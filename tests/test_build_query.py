@@ -1,0 +1,136 @@
+"""End-to-end: corpus → segment build → BM25 / reference-mode queries,
+checked for rank identity (and bitwise score identity for BM25) against
+the single-process oracle."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from typesense_ray.corpus import PLANTED_TERMS, generate_corpus_table
+from typesense_ray.index_build import IndexConfig, build_index, doc_id_from_key
+from typesense_ray.oracle import OracleIndex
+from typesense_ray.query import LocalIndexSearcher, search_index
+
+N_DOCS = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus_table(N_DOCS, SEED)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, corpus, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("idx"))
+    cfg = IndexConfig(batch_docs=64, meta_fields=("repo", "path", "lang"))
+    stats = build_index(rd.from_arrow(corpus), out, cfg, concurrency=2)
+    assert stats["n_docs"] == N_DOCS
+    assert stats["n_segments"] >= 4
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows = corpus.to_pylist()
+    return OracleIndex(
+        rows,
+        text_field="content",
+        doc_id_of=lambda r: doc_id_from_key(r["repo"], r["path"]),
+    )
+
+
+QUERIES = [
+    "quasar",
+    "pulsar redshift",
+    "def return",
+    "tokamak qubit entropy",
+    "quasar -pulsar",
+    "nosuchterm",
+    "nebulaflux",
+    "*",
+]
+
+
+def test_sha_invariant_through_build(index_dir, corpus):
+    seg_docs = glob.glob(os.path.join(index_dir, "segments", "seg-*", "docs.parquet"))
+    import pyarrow.parquet as pq
+
+    shas = []
+    for p in seg_docs:
+        shas += pq.read_table(p, columns=["sha256"])["sha256"].to_pylist()
+    assert sorted(shas) == sorted(corpus["sha256"].to_pylist())
+
+
+def test_manifest_and_stats(index_dir):
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == N_DOCS
+    assert stats["avgdl"] > 0
+    seg_manifest = glob.glob(
+        os.path.join(index_dir, "segments", "seg-*", "manifest.json")
+    )
+    assert len(seg_manifest) == stats["n_segments"]
+    m = json.load(open(seg_manifest[0]))
+    assert {"segment_id", "n_docs", "metrics", "corpus_fingerprint"} <= set(m)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_bm25_rank_and_score_identity(index_dir, oracle, q):
+    searcher = LocalIndexSearcher(index_dir)
+    got = searcher.search(q, k=20, mode="bm25")
+    want = oracle.search(q, k=20, mode="bm25")
+    assert got.num_rows == len(want)
+    for i, (did, score) in enumerate(want):
+        assert int(got["doc_id"][i].as_py()) == did, f"rank {i} mismatch for {q!r}"
+        assert got["score"][i].as_py() == score, f"score mismatch at rank {i} for {q!r}"
+
+
+@pytest.mark.parametrize("q", ["quasar", "pulsar redshift", "def return lambda"])
+def test_reference_mode_rank_identity(index_dir, oracle, q):
+    searcher = LocalIndexSearcher(index_dir)
+    got = searcher.search(q, k=15, mode="reference")
+    want = oracle.search(q, k=15, mode="reference")
+    got_ids = [int(x.as_py()) for x in got["doc_id"]]
+    assert got_ids == [w[0] for w in want]
+    assert [int(x.as_py()) for x in got["s0"]] == [w[1] for w in want]
+
+
+def test_distributed_equals_local(ray_session, index_dir):
+    local = LocalIndexSearcher(index_dir)
+    for q in ["quasar", "pulsar redshift"]:
+        a = local.search(q, k=10, mode="bm25")
+        b = search_index(index_dir, q, k=10, concurrency=2)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_resume_skips_complete_segments(ray_session, corpus, index_dir):
+    import ray.data as rd
+
+    cfg = IndexConfig(batch_docs=64, meta_fields=("repo", "path", "lang"))
+    stats2 = build_index(rd.from_arrow(corpus), index_dir, cfg, concurrency=2)
+    assert stats2["segments_skipped"] == stats2["n_segments"]
+    assert stats2["n_docs"] == N_DOCS
+
+
+def test_hydrate_returns_rows_in_rank_order(index_dir):
+    searcher = LocalIndexSearcher(index_dir)
+    got = searcher.search("quasar", k=5, mode="bm25")
+    ids = np.array(got["doc_id"].to_pylist(), dtype=np.uint64)
+    docs = searcher.hydrate(ids, columns=["doc_id", "repo", "path", "sha256"])
+    assert docs["doc_id"].to_pylist() == list(ids)
+
+
+def test_empty_and_whitespace_docs_indexed(index_dir, corpus):
+    searcher = LocalIndexSearcher(index_dir)
+    total = sum(seg.n_docs for seg in searcher.segments)
+    assert total == N_DOCS  # empty docs are present (wildcard-searchable)
+    wild = searcher.search("*", k=N_DOCS, mode="bm25")
+    assert wild.num_rows == N_DOCS

@@ -1,0 +1,457 @@
+"""Query path: per-segment top-k → tiny global merge.
+
+Ray-Data-first rendition of the reference search fan-out
+(``src/collection.cpp:771-863``: all shard threads search concurrently,
+main thread barriers and merges topsters). Here the "shards" are durable
+Parquet segments; execution modes:
+
+- :class:`LocalIndexSearcher` — all segments in one process (tests,
+  conformance, and the per-query latency path on one node).
+- :func:`search_index` — Dataset fan-out: one row per segment →
+  ``map_batches(SegmentScorer, concurrency=N)`` actor pool (postings
+  loaded once per actor, ``src/index.cpp:1197-1230``'s shard-thread role)
+  → small per-segment top-k tables → driver merge
+  ``sort(score desc, doc_id desc).limit(k)``.
+
+Scoring within a segment is fully vectorized: local doc ids are dense
+ordinals, so conjunctive evaluation is sorted-array intersection
+(``ArrayUtils::and_scalar``, ``src/array_utils.cpp:4-37``, re-expressed as
+``np.intersect1d``) and disjunctive evaluation is a dense score
+accumulator (``scores[ids] += term_scores``) with block-max pruning
+available from the stored per-block (max_tf, min_dl) metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from typesense_ray.codec import decode_posting_ids, decode_positions, varbyte_decode
+from typesense_ray.index_build import DOCS_FILE, POSTINGS_FILE
+from typesense_ray.scoring import (
+    bm25_idf,
+    bm25_term_scores,
+    reference_match_score,
+)
+
+
+class SegmentSearcher:
+    """Holds one segment's docs sidecar; reads postings on demand
+    (or preloaded into an in-memory term dict with ``preload=True``)."""
+
+    def __init__(self, seg_dir: str, preload: bool = False):
+        self.seg_dir = seg_dir
+        docs = pq.read_table(os.path.join(seg_dir, DOCS_FILE))
+        self.docs = docs
+        self.doc_ids = docs["doc_id"].to_numpy()
+        self.doclen = docs["doclen"].to_numpy().astype(np.int64)
+        self.n_docs = docs.num_rows
+        self._postings_path = os.path.join(seg_dir, POSTINGS_FILE)
+        self._cache: dict[str, dict] | None = None
+        if preload:
+            self._cache = {}
+            t = pq.read_table(self._postings_path)
+            for i in range(t.num_rows):
+                self._cache[t["term"][i].as_py()] = {
+                    c: t[c][i].as_py() for c in t.column_names if c != "term"
+                }
+
+    def postings(self, terms: list[str]) -> dict[str, dict]:
+        """term → raw posting row (encoded); absent terms omitted."""
+        if self._cache is not None:
+            return {t: self._cache[t] for t in terms if t in self._cache}
+        tbl = pq.read_table(
+            self._postings_path, filters=[("term", "in", list(terms))]
+        )
+        out = {}
+        for i in range(tbl.num_rows):
+            out[tbl["term"][i].as_py()] = {
+                c: tbl[c][i].as_py() for c in tbl.column_names if c != "term"
+            }
+        return out
+
+    # -- core evaluation ---------------------------------------------------
+
+    def candidates(
+        self,
+        include_terms: list[str],
+        exclude_terms: list[str] = (),
+        filter_mask: np.ndarray | None = None,
+        with_postings: bool = False,
+    ):
+        """Conjunctive candidate set as *local* ids (+ decoded postings).
+
+        Mirrors the reference AND-intersection of posting lists with
+        exclusion difference (``src/index.cpp:826-952``).
+        """
+        if include_terms == ["*"]:
+            cand = np.arange(self.n_docs, dtype=np.int64)
+            post = {}
+        else:
+            post = self.postings(list(include_terms))
+            if len(post) < len(set(include_terms)):
+                return np.empty(0, np.int64), {}
+            decoded = {}
+            for t, p in post.items():
+                ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(np.int64)
+                tfs = varbyte_decode(p["tfs_vb"], p["df"]).astype(np.int64)
+                decoded[t] = {"ids": ids, "tfs": tfs, "raw": p}
+            post = decoded
+            # intersect smallest-df first
+            order = sorted(post, key=lambda t: post[t]["ids"].size)
+            cand = post[order[0]]["ids"]
+            for t in order[1:]:
+                cand = np.intersect1d(cand, post[t]["ids"], assume_unique=True)
+                if cand.size == 0:
+                    break
+        if cand.size and exclude_terms:
+            ex = self.postings(list(exclude_terms))
+            for t, p in ex.items():
+                ex_ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(np.int64)
+                cand = np.setdiff1d(cand, ex_ids, assume_unique=True)
+                if cand.size == 0:
+                    break
+        if cand.size and filter_mask is not None:
+            cand = cand[filter_mask[cand]]
+        return cand, (post if with_postings or include_terms != ["*"] else {})
+
+    def term_positions_for(
+        self, post: dict, cand: np.ndarray
+    ) -> dict[str, list[np.ndarray]]:
+        """Per term: positions array for each candidate doc (decoded lazily
+        only for candidates — used by the reference scorer / highlighter)."""
+        out = {}
+        for t, p in post.items():
+            tfs = p["tfs"]
+            allpos = decode_positions(p["raw"]["pos_vb"], tfs)
+            starts = np.zeros(len(tfs), dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            idx = np.searchsorted(p["ids"], cand)
+            out[t] = [
+                allpos[starts[i] : starts[i] + tfs[i]].astype(np.int64) for i in idx
+            ]
+        return out
+
+    def search_bm25(
+        self,
+        include_terms: list[str],
+        exclude_terms: list[str],
+        k: int,
+        global_df: dict[str, int],
+        n_docs_total: int,
+        avgdl: float,
+        k1: float,
+        b: float,
+        filter_mask: np.ndarray | None = None,
+    ):
+        """Segment-local BM25 top-k (conjunctive). Returns (doc_ids, scores)
+        sorted by (score desc, doc_id desc) — the tie-break the reference
+        applies via ``Topster::is_greater`` (``include/topster.h:254-257``)."""
+        cand, post = self.candidates(include_terms, exclude_terms, filter_mask, True)
+        if cand.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        if include_terms != ["*"]:
+            dl = self.doclen[cand]
+            # fixed term order (sorted) + float64 ⇒ deterministic sums
+            for t in sorted(set(include_terms)):
+                p = post[t]
+                idx = np.searchsorted(p["ids"], cand)
+                tf = p["tfs"][idx]
+                idf = float(bm25_idf(global_df[t], n_docs_total))
+                scores += bm25_term_scores(tf, dl, idf, avgdl, k1, b)
+        return self._topk(cand, scores, k)
+
+    def search_reference(
+        self,
+        include_terms: list[str],
+        exclude_terms: list[str],
+        k: int,
+        static_order: np.ndarray | None,
+        filter_mask: np.ndarray | None = None,
+        total_cost: int = 0,
+    ):
+        """Segment-local top-k under reference semantics: packed proximity
+        match score, then static sort field desc, then doc_id desc.
+        Returns (doc_ids, s0, s1)."""
+        cand, post = self.candidates(include_terms, exclude_terms, filter_mask, True)
+        if cand.size == 0:
+            e = np.empty(0, np.int64)
+            return np.empty(0, np.uint64), e, e
+        if include_terms == ["*"] or len(include_terms) <= 1:
+            s0 = np.full(
+                cand.size,
+                reference_match_score([None], total_cost)
+                if include_terms != ["*"]
+                else 0,
+                dtype=np.int64,
+            )
+        else:
+            perterm = self.term_positions_for(post, cand)
+            ordered = [perterm[t] for t in include_terms]
+            s0 = np.fromiter(
+                (
+                    reference_match_score([tp[i] for tp in ordered], total_cost)
+                    for i in range(cand.size)
+                ),
+                dtype=np.int64,
+                count=cand.size,
+            )
+        s1 = (
+            static_order[cand].astype(np.int64)
+            if static_order is not None
+            else np.zeros(cand.size, np.int64)
+        )
+        gids = self.doc_ids[cand]
+        order = np.lexsort((gids, s1, s0))[::-1][:k]
+        return gids[order], s0[order], s1[order]
+
+    def _topk(self, cand: np.ndarray, scores: np.ndarray, k: int):
+        gids = self.doc_ids[cand]
+        if cand.size > k * 8 and k < cand.size:
+            part = np.argpartition(scores, cand.size - k)[cand.size - k :]
+            gids, scores = gids[part], scores[part]
+        order = np.lexsort((gids, scores))[::-1][:k]
+        return gids[order], scores[order]
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def load_global_df(index_dir: str, terms: list[str] | None = None) -> dict[str, int]:
+    d = pads.dataset(os.path.join(index_dir, "global", "df"))
+    if terms is not None:
+        tbl = d.to_table(filter=pads.field("term").isin(list(terms)))
+    else:
+        tbl = d.to_table()
+    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+
+def segment_dirs(index_dir: str) -> list[str]:
+    stats = load_stats(index_dir)
+    return [
+        os.path.join(index_dir, "segments", f"seg-{sid}") for sid in stats["segments"]
+    ]
+
+
+def merge_topk(parts: list[tuple], k: int):
+    """Merge per-segment (doc_ids, *score_cols) into global top-k with the
+    (scores..., doc_id) desc tie-break."""
+    if not parts:
+        return None
+    ids = np.concatenate([p[0] for p in parts])
+    score_cols = [
+        np.concatenate([p[j] for p in parts]) for j in range(1, len(parts[0]))
+    ]
+    order = np.lexsort((ids, *reversed(score_cols)))[::-1][:k]
+    return (ids[order], *[c[order] for c in score_cols])
+
+
+class LocalIndexSearcher:
+    """All segments in one process; query fan-out is a simple loop.
+
+    This is the per-node executor the distributed paths build on, and the
+    conformance/latency harness. ``preload=True`` pins all postings in RAM
+    (the reference's always-in-RAM model, ``src/collection_manager.cpp:
+    153-232``)."""
+
+    def __init__(self, index_dir: str, preload: bool = False):
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        self.segments = [
+            SegmentSearcher(d, preload=preload) for d in segment_dirs(index_dir)
+        ]
+        self._df_cache: dict[str, int] = {}
+        if preload:
+            self._df_cache = load_global_df(index_dir)
+            self._df_all = True
+        else:
+            self._df_all = False
+
+    def _dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing and not self._df_all:
+            self._df_cache.update(load_global_df(self.index_dir, missing))
+        return {t: self._df_cache.get(t, 0) for t in terms}
+
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        mode: str = "bm25",
+        exclude_terms: list[str] = (),
+        static_field: str | None = None,
+        filter_masks: list[np.ndarray] | None = None,
+        total_cost: int = 0,
+    ) -> pa.Table:
+        from typesense_ray.tokenizer import tokenize_query
+
+        if isinstance(query, str):
+            include, exc = tokenize_query(query)
+            exclude = list(exc) + list(exclude_terms)
+        else:
+            include, exclude = list(query), list(exclude_terms)
+        if mode == "bm25":
+            dfs = self._dfs([t for t in include if t != "*"])
+            if any(dfs[t] == 0 for t in dfs):
+                return pa.table(
+                    {"doc_id": pa.array([], pa.uint64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            parts = []
+            for i, seg in enumerate(self.segments):
+                mask = filter_masks[i] if filter_masks else None
+                ids, scores = seg.search_bm25(
+                    include, exclude, k, dfs, self.stats["n_docs"],
+                    self.stats["avgdl"], self.stats["k1"], self.stats["b"], mask,
+                )
+                if ids.size:
+                    parts.append((ids, scores))
+            merged = merge_topk(parts, k)
+            if merged is None:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.uint64()),
+                     "score": pa.array([], pa.float64())}
+                )
+            return pa.table({"doc_id": merged[0], "score": merged[1]})
+        elif mode == "reference":
+            parts = []
+            for i, seg in enumerate(self.segments):
+                mask = filter_masks[i] if filter_masks else None
+                static = (
+                    seg.docs[static_field].to_numpy() if static_field else None
+                )
+                ids, s0, s1 = seg.search_reference(
+                    include, exclude, k, static, mask, total_cost
+                )
+                if ids.size:
+                    parts.append((ids, s0, s1))
+            merged = merge_topk(parts, k)
+            if merged is None:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.uint64()),
+                     "s0": pa.array([], pa.int64()),
+                     "s1": pa.array([], pa.int64())}
+                )
+            return pa.table({"doc_id": merged[0], "s0": merged[1], "s1": merged[2]})
+        raise ValueError(f"unknown mode {mode}")
+
+    def hydrate(self, doc_ids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        """Fetch stored doc rows for top-k ids (the reference's per-hit
+        RocksDB fetch, ``src/collection.cpp:948-957``) — a broadcast-k-ids
+        lookup against segment docs sidecars."""
+        want = set(int(x) for x in doc_ids)
+        out = []
+        for seg in self.segments:
+            m = np.isin(seg.doc_ids, np.array(sorted(want), dtype=np.uint64))
+            if m.any():
+                t = seg.docs.filter(pa.array(m))
+                out.append(t.select(columns) if columns else t)
+        if not out:
+            return None
+        tbl = pa.concat_tables(out)
+        # order by requested doc_ids
+        pos = {int(d): i for i, d in enumerate(doc_ids)}
+        idx = sorted(range(tbl.num_rows), key=lambda r: pos[int(tbl["doc_id"][r].as_py())])
+        return tbl.take(pa.array(idx))
+
+
+class SegmentScorer:
+    """Actor-pool stage for the Dataset query fan-out: one input row per
+    segment path; emits that segment's top-k. Segments (and their postings
+    when ``preload``) are cached per actor across queries/batches."""
+
+    def __init__(self, index_dir: str, preload: bool = False):
+        self.index_dir = index_dir
+        self.preload = preload
+        self._segs: dict[str, SegmentSearcher] = {}
+        self.stats = load_stats(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_ids, out_scores = [], []
+        for row in batch.to_pylist():
+            seg_dir = row["seg_dir"]
+            seg = self._segs.get(seg_dir)
+            if seg is None:
+                seg = self._segs[seg_dir] = SegmentSearcher(seg_dir, self.preload)
+            dfs = json.loads(row["dfs_json"])
+            ids, scores = seg.search_bm25(
+                json.loads(row["include_json"]),
+                json.loads(row["exclude_json"]),
+                int(row["k"]),
+                dfs,
+                self.stats["n_docs"],
+                self.stats["avgdl"],
+                self.stats["k1"],
+                self.stats["b"],
+            )
+            out_ids.append(ids)
+            out_scores.append(scores)
+        ids = np.concatenate(out_ids) if out_ids else np.empty(0, np.uint64)
+        sc = np.concatenate(out_scores) if out_scores else np.empty(0, np.float64)
+        return pa.table({"doc_id": pa.array(ids, pa.uint64()), "score": sc})
+
+
+def search_index(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Distributed BM25 top-k: Dataset fan-out over segments, actor-pool
+    scoring, and a driver-side merge of the tiny per-segment top-k sets."""
+    import ray
+    import ray.data as rd
+
+    from typesense_ray.tokenizer import tokenize_query
+
+    include, exclude = tokenize_query(query)
+    dfs = (
+        load_global_df(index_dir, [t for t in include if t != "*"])
+        if include != ["*"]
+        else {}
+    )
+    if include != ["*"] and any(dfs.get(t, 0) == 0 for t in include):
+        return pa.table(
+            {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float64())}
+        )
+    rows = [
+        {
+            "seg_dir": d,
+            "include_json": json.dumps(include),
+            "exclude_json": json.dumps(exclude),
+            "dfs_json": json.dumps(dfs),
+            "k": k,
+        }
+        for d in segment_dirs(index_dir)
+    ]
+    if concurrency is None:
+        concurrency = min(len(rows), max(2, int(ray.cluster_resources().get("CPU", 4)) // 2))
+    out = (
+        rd.from_items(rows)
+        .map_batches(
+            SegmentScorer(index_dir),
+            batch_format="pyarrow",
+            batch_size=max(1, len(rows) // concurrency),
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .take_all()
+    )
+    if not out:
+        return pa.table(
+            {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float64())}
+        )
+    ids = np.array([r["doc_id"] for r in out], dtype=np.uint64)
+    scores = np.array([r["score"] for r in out], dtype=np.float64)
+    order = np.lexsort((ids, scores))[::-1][:k]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.uint64()), "score": scores[order]}
+    )

@@ -1,0 +1,218 @@
+"""Relational search surface: filters, facets, sort, group, pagination,
+synonyms, overrides, drop-tokens, highlighting."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from typesense_ray.collection import (
+    Override,
+    RayCollection,
+    SynonymIndex,
+    highlight_text,
+)
+from typesense_ray.filtering import parse_filter
+from typesense_ray.index_build import IndexConfig, build_index
+
+TITLES = [
+    ("omega blue tshirt", "omega", 11, ["blue"], 4.5, True),
+    ("alpha red shoes", "alpha", 10, ["red", "white"], 4.3, False),
+    ("omega red shoes", "omega", 10, ["red"], 4.6, True),
+    ("beta green hat", "beta", 9, ["green"], 4.2, False),
+    ("alpha blue hat", "alpha", 11, ["blue", "green"], 3.9, True),
+    ("gamma red tshirt", "gamma", 12, ["red"], 4.8, False),
+    ("omega white sneakers", "omega", 10, ["white"], 4.1, True),
+    ("beta white tshirt", "beta", 11, ["white"], 4.4, False),
+    ("alpha red tshirt premium", "alpha", 12, ["red"], 4.9, True),
+    ("gamma blue sneakers", "gamma", 9, ["blue"], 3.7, False),
+]
+
+
+@pytest.fixture(scope="module")
+def coll(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "docnum": pa.array(range(len(TITLES)), pa.int64()),
+            "title": pa.array([t[0] for t in TITLES]),
+            "brand": pa.array([t[1] for t in TITLES]),
+            "size": pa.array([t[2] for t in TITLES], pa.int64()),
+            "colors": pa.array([t[3] for t in TITLES], pa.list_(pa.string())),
+            "rating": pa.array([t[4] for t in TITLES], pa.float64()),
+            "in_stock": pa.array([t[5] for t in TITLES], pa.bool_()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("apparel"))
+    cfg = IndexConfig(
+        text_field="title",
+        id_field="docnum",
+        sha_field=None,
+        batch_docs=4,
+        meta_fields=("docnum", "title", "brand", "size", "colors", "rating", "in_stock"),
+    )
+    build_index(rd.from_arrow(tbl), out, cfg, concurrency=2)
+    return RayCollection(out, default_sorting_field="size")
+
+
+def ids(resp):
+    return [h["document"]["docnum"] for h in resp["hits"]]
+
+
+def test_basic_search_and_found(coll):
+    r = coll.search("red")
+    assert r["found"] == 4
+    assert set(ids(r)) == {1, 2, 5, 8}
+
+
+def test_filter_numeric(coll):
+    r = coll.search("*", filter_by="size:>=11")
+    assert r["found"] == 5
+    r = coll.search("*", filter_by="size:[9,12]")  # OR list
+    assert r["found"] == 4
+    r = coll.search("*", filter_by="rating:<4.0")
+    assert sorted(ids(r)) == [4, 9]
+    r = coll.search("red", filter_by="size:>10 && rating:>4.5")
+    assert sorted(ids(r)) == [5, 8]
+
+
+def test_filter_bool(coll):
+    r = coll.search("*", filter_by="in_stock:true")
+    assert r["found"] == 5
+
+
+def test_filter_string_contains_and_equals(coll):
+    r = coll.search("*", filter_by="brand:omega")
+    assert r["found"] == 3
+    r = coll.search("*", filter_by="title:red shoes")  # AND of tokens
+    assert sorted(ids(r)) == [1, 2]
+    r = coll.search("*", filter_by="brand:[alpha,beta]")
+    assert r["found"] == 5
+    r = coll.search("*", filter_by="title:= omega red shoes")  # exact
+    assert ids(r) == [2]
+
+
+def test_filter_string_array(coll):
+    r = coll.search("*", filter_by="colors:green")
+    assert sorted(ids(r)) == [3, 4]
+
+
+def test_sort_by(coll):
+    r = coll.search("*", sort_by="size:desc,rating:desc", per_page=3)
+    assert ids(r) == [8, 5, 0]  # size 12 rating 4.9/4.8, then size 11 rating 4.5
+    r = coll.search("*", sort_by="size:asc,rating:asc", per_page=3)
+    assert ids(r) == [9, 3, 6]
+
+
+def test_default_sort_uses_static_field(coll):
+    # equal bm25 scores → size desc breaks ties
+    # equal-score (doclen-3) docs tie-break by size desc then doc_id desc;
+    # the longer doc 8 scores lower despite size 12
+    r = coll.search("tshirt")
+    assert ids(r) == [5, 7, 0, 8]
+
+
+def test_facets_counts_and_stats(coll):
+    r = coll.search("*", facet_by="brand,size")
+    fc = {f["field_name"]: f for f in r["facet_counts"]}
+    brand_counts = {c["value"]: c["count"] for c in fc["brand"]["counts"]}
+    assert brand_counts == {"omega": 3, "alpha": 3, "beta": 2, "gamma": 2}
+    assert fc["size"]["stats"]["min"] == 9
+    assert fc["size"]["stats"]["max"] == 12
+    assert fc["size"]["stats"]["avg"] == pytest.approx(10.5)
+
+
+def test_facet_array_field(coll):
+    r = coll.search("*", facet_by="colors")
+    fc = r["facet_counts"][0]
+    counts = {c["value"]: c["count"] for c in fc["counts"]}
+    assert counts == {"red": 4, "blue": 3, "white": 3, "green": 2}
+
+
+def test_facets_respect_query(coll):
+    r = coll.search("red", facet_by="brand")
+    counts = {c["value"]: c["count"] for c in r["facet_counts"][0]["counts"]}
+    assert counts == {"alpha": 2, "omega": 1, "gamma": 1}
+
+
+def test_group_by(coll):
+    r = coll.search("*", group_by="brand", group_limit=2, sort_by="rating:desc")
+    assert r["found"] == 4  # distinct brands
+    g0 = r["grouped_hits"][0]
+    assert g0["group_key"] == ["alpha"]  # best rating 4.9
+    assert [h["document"]["docnum"] for h in g0["hits"]] == [8, 1]
+
+
+def test_grouped_facet_counts_distinct_groups(coll):
+    r = coll.search("*", facet_by="size", group_by="brand")
+    counts = {c["value"]: c["count"] for c in r["facet_counts"][0]["counts"]}
+    # size 10 appears in brands alpha, omega → 2 distinct groups
+    assert counts[10] == 2
+
+
+def test_pagination(coll):
+    all_ids = ids(coll.search("*", per_page=10))
+    p1 = ids(coll.search("*", per_page=3, page=1))
+    p2 = ids(coll.search("*", per_page=3, page=2))
+    assert p1 == all_ids[:3]
+    assert p2 == all_ids[3:6]
+
+
+def test_exclusion_tokens(coll):
+    r = coll.search("red -shoes")
+    assert sorted(ids(r)) == [5, 8]
+
+
+def test_drop_tokens_fallback(coll):
+    # 'nonexistent red' has no conjunctive match; fallback drops right
+    # token first, then left → matches docs containing 'red'
+    r = coll.search("red doesnotexist")
+    assert r["found"] == 4
+    assert set(ids(r)) == {1, 2, 5, 8}
+
+
+def test_synonyms(coll):
+    syn = SynonymIndex()
+    syn.add_synonym("crimson", ["red"])
+    c2 = RayCollection(coll._local.index_dir, default_sorting_field="size",
+                       synonyms=syn)
+    r = c2.search("crimson")
+    assert r["found"] == 4
+
+
+def test_overrides_pinned_and_hidden(coll):
+    ov = Override(rule_query="red", match="exact", includes=[(9, 1)], excludes=[1])
+    c2 = RayCollection(coll._local.index_dir, default_sorting_field="size",
+                       overrides=[ov])
+    r = c2.search("red")
+    got = ids(r)
+    assert got[0] == 9  # pinned at position 1
+    assert 1 not in got  # hidden
+
+
+def test_include_exclude_fields(coll):
+    r = coll.search("red", include_fields=["docnum", "brand"])
+    assert set(r["hits"][0]["document"].keys()) == {"docnum", "brand"}
+    r = coll.search("red", exclude_fields=["title"])
+    assert "title" not in r["hits"][0]["document"]
+
+
+def test_highlight(coll):
+    r = coll.search("red tshirt")
+    h = next(h for h in r["hits"] if h["document"]["docnum"] == 5)
+    assert h["highlights"][0]["snippet"] == "gamma <mark>red</mark> <mark>tshirt</mark>"
+    assert set(h["highlights"][0]["matched_tokens"]) == {"red", "tshirt"}
+
+
+def test_highlight_long_text_window():
+    text = " ".join(f"w{i}" for i in range(50)) + " target here"
+    out = highlight_text(text, ["target"])
+    assert "<mark>target</mark>" in out["snippet"]
+    assert len(out["snippet"].split(" ")) <= 2 * 4 + 2  # affix window
+
+
+def test_filter_parse_errors(coll):
+    with pytest.raises(KeyError):
+        parse_filter("nosuchfield:1", coll.field_types)
+    with pytest.raises(ValueError):
+        parse_filter("size", coll.field_types)

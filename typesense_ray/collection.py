@@ -1,0 +1,611 @@
+"""RayCollection — the full search surface over a built index.
+
+Re-expresses the reference's ``Collection::search``
+(``src/collection.cpp:495-1164``) over durable Parquet segments:
+
+    parse query → synonym expansion → per-segment (filter mask →
+    conjunctive candidates → score → partial top-k + facet partials) →
+    global merge (dedup best, sort, overrides weave, paginate) →
+    hydrate + highlight.
+
+Everything per-segment runs embarrassingly parallel (actors in the
+distributed path, a loop locally); merges handle only per-segment
+top-k's, facet partial maps and counts — all small. Facet counting at
+scale is the partial+final aggregate pattern (``src/collection.cpp:
+821-862``'s shard merge ≙ Ray groupby partials).
+
+Supported search params (reference defaults in parens,
+``src/core_api.cpp:252-349``): ``filter_by``, ``sort_by`` (≤3 keys,
+``_text_match`` pseudo-field), ``facet_by`` + ``max_facet_values`` (10),
+``page`` (1) / ``per_page`` (10, ≤250), ``group_by`` + ``group_limit``
+(3, ≤99), ``include_fields``/``exclude_fields``, exclusion tokens
+(``-tok``), drop-tokens fallback (threshold 10), synonyms, overrides
+(pinned/hidden), highlighting (snippet_threshold 30, 4-token affix).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow as pa
+
+from typesense_ray.filtering import (
+    StringTokenCache,
+    arrow_field_kind,
+    eval_filters,
+    norm_tokens,
+    parse_filter,
+)
+from typesense_ray.query import LocalIndexSearcher, SegmentSearcher
+from typesense_ray.scoring import bm25_idf, bm25_term_scores, reference_match_score
+from typesense_ray.tokenizer import tokenize, tokenize_query
+
+SNIPPET_THRESHOLD = 30
+HIGHLIGHT_AFFIX = 4
+DROP_TOKENS_THRESHOLD = 10
+PER_PAGE_MAX = 250
+GROUP_LIMIT_MAX = 99
+
+
+@dataclass
+class SortField:
+    name: str
+    desc: bool = True
+
+
+def parse_sort_by(sort_by: str | None) -> list[SortField]:
+    out = []
+    if not sort_by:
+        return out
+    for piece in sort_by.split(","):
+        piece = piece.strip()
+        if not piece:
+            continue
+        if ":" in piece:
+            name, order = piece.rsplit(":", 1)
+            out.append(SortField(name.strip(), order.strip().lower() != "asc"))
+        else:
+            out.append(SortField(piece, True))
+    if len(out) > 3:
+        raise ValueError("sort_by supports at most 3 fields")
+    return out
+
+
+@dataclass
+class Override:
+    """Curation rule (``include/collection.h:22-94``): when the query
+    matches ``rule_query`` (exact or contains), force-include docs at
+    fixed positions and/or hide docs."""
+
+    rule_query: str
+    match: str = "exact"  # 'exact' | 'contains'
+    includes: list[tuple[int, int]] = dc_field(default_factory=list)  # (doc_id, 1-based pos)
+    excludes: list[int] = dc_field(default_factory=list)
+
+    def matches(self, query: str) -> bool:
+        q = " ".join(norm_tokens(query))
+        r = " ".join(norm_tokens(self.rule_query))
+        return q == r if self.match == "exact" else (r in q if r else False)
+
+
+class SynonymIndex:
+    """Synonym expansion (``src/collection.cpp:1929-2064``): replaces a
+    matching token window with each mapped synonym, producing extra query
+    variants searched identically. ``add_synonym(root, synonyms)`` is the
+    one-way form; ``add_multiway([a, b, c])`` maps each to the others."""
+
+    def __init__(self):
+        self._map: dict[tuple[str, ...], list[tuple[str, ...]]] = {}
+
+    def add_synonym(self, root: str, synonyms: list[str]):
+        key = norm_tokens(root)
+        self._map.setdefault(key, [])
+        for s in synonyms:
+            ts = norm_tokens(s)
+            if ts and ts not in self._map[key]:
+                self._map[key].append(ts)
+
+    def add_multiway(self, phrases: list[str]):
+        toks = [norm_tokens(p) for p in phrases]
+        for i, root in enumerate(toks):
+            for j, syn in enumerate(toks):
+                if i != j:
+                    self._map.setdefault(root, [])
+                    if syn not in self._map[root]:
+                        self._map[root].append(syn)
+
+    def expand(self, tokens: list[str], limit: int = 20) -> list[list[str]]:
+        """All query variants (excluding the original), via window
+        reduction over token spans, longest windows first."""
+        out: list[list[str]] = []
+        seen = {tuple(tokens)}
+
+        def rec(cur: tuple[str, ...]):
+            if len(out) >= limit:
+                return
+            n = len(cur)
+            for w in range(n, 0, -1):
+                for s in range(0, n - w + 1):
+                    window = cur[s : s + w]
+                    for syn in self._map.get(window, ()):
+                        cand = cur[:s] + syn + cur[s + w :]
+                        if cand not in seen:
+                            seen.add(cand)
+                            out.append(list(cand))
+                            rec(cand)
+
+        rec(tuple(tokens))
+        return out[:limit]
+
+
+def _drop_token_variants(tokens: list[str]) -> list[list[str]]:
+    """The reference's fallback order (``src/index.cpp:1757-1783``): drop
+    from the right until len/2, then from the left."""
+    n = len(tokens)
+    variants = []
+    mid = n // 2
+    for dropped in range(1, n):
+        if dropped <= mid:
+            variants.append(tokens[: n - dropped])
+        else:
+            variants.append(tokens[dropped - mid :])
+    return variants
+
+
+class RayCollection:
+    def __init__(
+        self,
+        index_dir: str,
+        default_sorting_field: str | None = None,
+        preload: bool = False,
+        synonyms: SynonymIndex | None = None,
+        overrides: list[Override] | None = None,
+    ):
+        self._local = LocalIndexSearcher(index_dir, preload=preload)
+        self.stats = self._local.stats
+        self.segments: list[SegmentSearcher] = self._local.segments
+        self.default_sorting_field = default_sorting_field
+        self.synonyms = synonyms or SynonymIndex()
+        self.overrides = overrides or []
+        self._token_caches = [StringTokenCache() for _ in self.segments]
+        schema = self.segments[0].docs.schema if self.segments else pa.schema([])
+        self.field_types = {
+            name: arrow_field_kind(schema.field(name).type) for name in schema.names
+        }
+
+    # -- scoring helpers ---------------------------------------------------
+
+    def _dfs(self, terms):
+        return self._local._dfs(list(terms))
+
+    def _score_bm25(self, seg: SegmentSearcher, cand, post, terms):
+        scores = np.zeros(cand.size, dtype=np.float64)
+        if terms != ["*"] and cand.size:
+            dl = seg.doclen[cand]
+            dfs = self._dfs([t for t in set(terms)])
+            for t in sorted(set(terms)):
+                p = post[t]
+                idx = np.searchsorted(p["ids"], cand)
+                tf = p["tfs"][idx]
+                idf = float(bm25_idf(dfs[t], self.stats["n_docs"]))
+                scores += bm25_term_scores(
+                    tf, dl, idf, self.stats["avgdl"], self.stats["k1"], self.stats["b"]
+                )
+        return scores
+
+    def _score_reference(self, seg: SegmentSearcher, cand, post, terms):
+        if terms == ["*"]:
+            return np.zeros(cand.size, dtype=np.int64)
+        if len(terms) <= 1:
+            return np.full(cand.size, reference_match_score([None], 0), dtype=np.int64)
+        perterm = seg.term_positions_for(post, cand)
+        ordered = [perterm[t] for t in terms]
+        return np.fromiter(
+            (
+                reference_match_score([tp[i] for tp in ordered], 0)
+                for i in range(cand.size)
+            ),
+            dtype=np.int64,
+            count=cand.size,
+        )
+
+    # -- main entry --------------------------------------------------------
+
+    def search(
+        self,
+        q: str,
+        *,
+        mode: str = "bm25",
+        filter_by: str = "",
+        sort_by: str | None = None,
+        facet_by: str = "",
+        max_facet_values: int = 10,
+        page: int = 1,
+        per_page: int = 10,
+        group_by: str = "",
+        group_limit: int = 3,
+        include_fields: list[str] | None = None,
+        exclude_fields: list[str] | None = None,
+        drop_tokens_threshold: int = DROP_TOKENS_THRESHOLD,
+        highlight: bool = True,
+        text_field: str | None = None,
+        use_synonyms: bool = True,
+    ) -> dict:
+        per_page = min(per_page, PER_PAGE_MAX)
+        group_limit = min(group_limit, GROUP_LIMIT_MAX)
+        fetch_k = page * per_page
+
+        include, exclude = tokenize_query(q)
+        variants = [include]
+        if use_synonyms and include != ["*"]:
+            variants += self.synonyms.expand(include)
+
+        clauses = parse_filter(filter_by, self.field_types) if filter_by else []
+        facet_fields = [f.strip() for f in facet_by.split(",") if f.strip()]
+        group_fields = [f.strip() for f in group_by.split(",") if f.strip()]
+        sort_fields = parse_sort_by(sort_by)
+        if not sort_fields:
+            sort_fields = [SortField("_text_match", True)]
+            if self.default_sorting_field:
+                sort_fields.append(SortField(self.default_sorting_field, True))
+
+        # per-segment evaluation (the distributed path runs this block
+        # inside SegmentScorer actors; locally it is a loop)
+        seg_results = []
+        total_found = 0
+        for si, seg in enumerate(self.segments):
+            mask = (
+                eval_filters(seg.docs, clauses, self.field_types, self._token_caches[si])
+                if clauses
+                else None
+            )
+            res = self._search_segment(seg, variants, exclude, mask, mode)
+            seg_results.append(res)
+            total_found += res["cand"].size
+
+        # drop-tokens fallback: too few results and a multi-token query →
+        # retry with truncated token lists, merging (dedup keeps best)
+        if total_found < drop_tokens_threshold and len(include) > 1:
+            for truncated in _drop_token_variants(include):
+                extra_found = 0
+                for si, seg in enumerate(self.segments):
+                    mask = (
+                        eval_filters(
+                            seg.docs, clauses, self.field_types, self._token_caches[si]
+                        )
+                        if clauses
+                        else None
+                    )
+                    res2 = self._search_segment(seg, [truncated], exclude, mask, mode)
+                    seg_results[si] = _merge_seg_results(seg_results[si], res2)
+                    extra_found += res2["cand"].size
+                total_found = sum(r["cand"].size for r in seg_results)
+                if total_found >= drop_tokens_threshold:
+                    break
+
+        # hidden/pinned curation
+        hidden: set[int] = set()
+        pinned: list[tuple[int, int]] = []
+        for ov in self.overrides:
+            if ov.matches(q):
+                hidden |= set(ov.excludes)
+                pinned += [(pos, did) for (did, pos) in ov.includes]
+
+        # rank candidates per segment by the sort spec, keep fetch_k each
+        ranked_parts = []
+        for seg, res in zip(self.segments, seg_results):
+            part = self._rank_segment(seg, res, sort_fields, mode, fetch_k, group_fields)
+            if part is not None:
+                ranked_parts.append(part)
+
+        merged = _merge_ranked(ranked_parts, hidden)
+
+        # facets over ALL matched docs (not just top-k), merged partials
+        facet_counts = []
+        if facet_fields:
+            facet_counts = self._facets(
+                seg_results, facet_fields, max_facet_values, group_fields
+            )
+
+        out_of = self.stats["n_docs"]
+        response: dict = {"page": page, "out_of": out_of, "request_params": {"q": q}}
+
+        if group_fields:
+            groups = self._group(merged, group_fields, group_limit)
+            response["found"] = len(groups)
+            start = (page - 1) * per_page
+            page_groups = groups[start : start + per_page]
+            response["grouped_hits"] = [
+                {
+                    "group_key": list(gk),
+                    "hits": self._hits(rows, include, mode, include_fields,
+                                       exclude_fields, highlight, text_field),
+                }
+                for gk, rows in page_groups
+            ]
+        else:
+            found = sum(r["cand"].size for r in seg_results)
+            if hidden:
+                found -= sum(
+                    int(np.isin(seg.doc_ids[res["cand"]],
+                                np.array(sorted(hidden), dtype=np.uint64)).sum())
+                    for seg, res in zip(self.segments, seg_results)
+                )
+            # weave pinned hits at fixed positions (src/collection.cpp:897-922)
+            rows = merged[: fetch_k]
+            if pinned:
+                rows = self._weave_pinned(rows, pinned, fetch_k)
+                found += sum(
+                    1 for _, did in pinned
+                    if not any(r["doc_id"] == did for r in merged)
+                )
+            response["found"] = found
+            start = (page - 1) * per_page
+            response["hits"] = self._hits(
+                rows[start : start + per_page], include, mode,
+                include_fields, exclude_fields, highlight, text_field,
+            )
+
+        if facet_counts:
+            response["facet_counts"] = facet_counts
+        return response
+
+    # -- internals ---------------------------------------------------------
+
+    def _search_segment(self, seg, variants, exclude, mask, mode):
+        """Evaluate all query variants on one segment; dedup docs keeping
+        the best score (the reference Topster's kv_map behavior,
+        ``include/topster.h:168-213``)."""
+        best: dict[int, float] = {}
+        all_cand: np.ndarray | None = None
+        for terms in variants:
+            cand, post = seg.candidates(terms, exclude, mask, True)
+            if cand.size == 0:
+                continue
+            if mode == "bm25":
+                scores = self._score_bm25(seg, cand, post, terms)
+            else:
+                scores = self._score_reference(seg, cand, post, terms)
+            for c, s in zip(cand.tolist(), scores.tolist()):
+                if c not in best or s > best[c]:
+                    best[c] = s
+            all_cand = cand if all_cand is None else np.union1d(all_cand, cand)
+        if all_cand is None:
+            all_cand = np.empty(0, np.int64)
+        cand = np.array(sorted(best.keys()), dtype=np.int64)
+        scores = np.array([best[c] for c in cand], dtype=np.float64)
+        return {"cand": cand, "score": scores}
+
+    def _rank_segment(self, seg, res, sort_fields, mode, fetch_k, group_fields):
+        cand, score = res["cand"], res["score"]
+        if cand.size == 0:
+            return None
+        keys = []
+        for sf in sort_fields:
+            if sf.name == "_text_match":
+                v = score
+            else:
+                v = seg.docs[sf.name].to_numpy(zero_copy_only=False)[cand].astype(
+                    np.float64
+                )
+            keys.append(v if sf.desc else -v)
+        gids = seg.doc_ids[cand]
+        order = np.lexsort((gids, *reversed(keys)))[::-1]
+        if not group_fields:
+            order = order[:fetch_k]
+        rows = []
+        group_vals = (
+            {f: seg.docs[f].to_pylist() for f in group_fields} if group_fields else None
+        )
+        for oi in order:
+            row = {
+                "doc_id": int(gids[oi]),
+                "sort_key": tuple(float(k[oi]) for k in keys),
+                "score": float(score[oi]) if mode == "bm25" else int(score[oi]),
+                "_seg": seg,
+                "_local": int(cand[oi]),
+            }
+            if group_vals is not None:
+                row["group_key"] = tuple(
+                    _norm_group_val(group_vals[f][cand[oi]]) for f in group_fields
+                )
+            rows.append(row)
+        return rows
+
+    def _weave_pinned(self, rows, pinned, fetch_k):
+        pinned = sorted(pinned)
+        out = [r for r in rows if r["doc_id"] not in {d for _, d in pinned}]
+        for pos, did in pinned:
+            hit = {"doc_id": did, "sort_key": (), "score": 0.0,
+                   "_seg": None, "_local": -1}
+            for seg in self.segments:
+                j = np.searchsorted(seg.doc_ids, np.uint64(did))
+                if j < seg.n_docs and int(seg.doc_ids[j]) == did:
+                    hit["_seg"], hit["_local"] = seg, int(j)
+                    break
+            out.insert(min(pos - 1, len(out)), hit)
+        return out[:fetch_k]
+
+    def _group(self, merged, group_fields, group_limit):
+        groups: dict[tuple, list] = {}
+        for row in merged:
+            groups.setdefault(row["group_key"], []).append(row)
+        ranked = []
+        for gk, rows in groups.items():
+            rows.sort(key=lambda r: (r["sort_key"], r["doc_id"]), reverse=True)
+            ranked.append((gk, rows[:group_limit]))
+        ranked.sort(
+            key=lambda g: (g[1][0]["sort_key"], g[1][0]["doc_id"]), reverse=True
+        )
+        return ranked
+
+    def _facets(self, seg_results, facet_fields, max_facet_values, group_fields):
+        out = []
+        for ffield in facet_fields:
+            kind = self.field_types.get(ffield)
+            counts: dict = {}
+            repr_raw: dict = {}
+            stats = {"min": None, "max": None, "sum": 0.0, "count": 0}
+            group_sets: dict = {}
+            for seg, res in zip(self.segments, seg_results):
+                cand = res["cand"]
+                if cand.size == 0:
+                    continue
+                col = seg.docs[ffield]
+                is_arr = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+                vals = col.to_pylist()
+                gvals = (
+                    [
+                        tuple(
+                            _norm_group_val(seg.docs[f].to_pylist()[c])
+                            for f in group_fields
+                        )
+                        for c in cand.tolist()
+                    ]
+                    if group_fields
+                    else None
+                )
+                for ci, c in enumerate(cand.tolist()):
+                    v = vals[c]
+                    elems = v if is_arr and v is not None else [v]
+                    for e in elems:
+                        if e is None:
+                            continue
+                        if kind == "str":
+                            key = " ".join(norm_tokens(str(e)))
+                            repr_raw.setdefault(key, str(e))
+                        else:
+                            key = e
+                            if kind in ("int", "float"):
+                                x = float(e)
+                                stats["min"] = x if stats["min"] is None else min(stats["min"], x)
+                                stats["max"] = x if stats["max"] is None else max(stats["max"], x)
+                                stats["sum"] += x
+                                stats["count"] += 1
+                        if group_fields:
+                            group_sets.setdefault(key, set()).add(gvals[ci])
+                        else:
+                            counts[key] = counts.get(key, 0) + 1
+            if group_fields:
+                counts = {k: len(s) for k, s in group_sets.items()}
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[
+                :max_facet_values
+            ]
+            entry = {
+                "field_name": ffield,
+                "counts": [
+                    {
+                        "value": repr_raw.get(k, k) if kind == "str" else k,
+                        "count": c,
+                    }
+                    for k, c in top
+                ],
+            }
+            if kind in ("int", "float") and stats["count"]:
+                entry["stats"] = {
+                    "min": stats["min"],
+                    "max": stats["max"],
+                    "sum": stats["sum"],
+                    "avg": stats["sum"] / stats["count"],
+                    "count": stats["count"],
+                }
+            out.append(entry)
+        return out
+
+    def _hits(self, rows, include_tokens, mode, include_fields, exclude_fields,
+              highlight, text_field):
+        hits = []
+        tf = text_field or self.stats["config"]["text_field"]
+        for row in rows:
+            seg, local = row["_seg"], row["_local"]
+            if seg is None:
+                continue
+            doc = {
+                name: seg.docs[name][local].as_py() for name in seg.docs.column_names
+            }
+            raw_text = None
+            if tf in doc:
+                raw_text = doc[tf]
+            if include_fields:
+                doc = {k: v for k, v in doc.items() if k in include_fields}
+            if exclude_fields:
+                doc = {k: v for k, v in doc.items() if k not in exclude_fields}
+            hit = {"document": doc}
+            hit["text_match" if mode != "bm25" else "score"] = row["score"]
+            if highlight and raw_text is not None and include_tokens != ["*"]:
+                hl = highlight_text(raw_text, include_tokens)
+                if hl:
+                    hit["highlights"] = [{"field": tf, **hl}]
+            hits.append(hit)
+        return hits
+
+
+def _norm_group_val(v):
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
+def _merge_seg_results(a, b):
+    best = dict(zip(a["cand"].tolist(), a["score"].tolist()))
+    for c, s in zip(b["cand"].tolist(), b["score"].tolist()):
+        if c not in best or s > best[c]:
+            best[c] = s
+    cand = np.array(sorted(best.keys()), dtype=np.int64)
+    return {"cand": cand, "score": np.array([best[c] for c in cand], np.float64)}
+
+
+def _merge_ranked(parts, hidden: set[int]):
+    rows = [r for part in parts for r in part]
+    if hidden:
+        rows = [r for r in rows if r["doc_id"] not in hidden]
+    rows.sort(key=lambda r: (r["sort_key"], r["doc_id"]), reverse=True)
+    return rows
+
+
+def highlight_text(text: str, query_tokens: list[str]) -> dict | None:
+    """Snippet highlighting (``src/collection.cpp:1309-1473``): locate
+    query tokens, wrap matches in ``<mark>``, and when the field is longer
+    than ``SNIPPET_THRESHOLD`` tokens emit a window padded by
+    ``HIGHLIGHT_AFFIX`` tokens around the matched span. (The reference
+    windows around the best proximity match; this highlights around the
+    first..last matched slots — observable output matches for the common
+    single-span case.)"""
+    slots_raw = text.replace("\n", " ").split(" ")
+    qset = set(query_tokens)
+    matched_idx = []
+    matched_tokens = []
+    normed = [None] * len(slots_raw)
+    for i, raw in enumerate(slots_raw):
+        t = norm_tokens(raw)
+        nt = t[0] if t else ""
+        normed[i] = nt
+        if nt and nt in qset:
+            matched_idx.append(i)
+            if nt not in matched_tokens:
+                matched_tokens.append(nt)
+    if not matched_idx:
+        return None
+    if len(slots_raw) <= SNIPPET_THRESHOLD:
+        lo, hi = 0, len(slots_raw) - 1
+    else:
+        # window around the BEST match span: the 10-slot window holding the
+        # most distinct query tokens (earliest on ties), like the reference's
+        # proximity Match window (include/match_score.h:106-120)
+        best_start, best_end, best_n = matched_idx[0], matched_idx[0], 1
+        marr = np.asarray(matched_idx)
+        for s in matched_idx:
+            in_win = marr[(marr >= s) & (marr <= s + 10)]
+            n_distinct = len({normed[i] for i in in_win})
+            if n_distinct > best_n:
+                best_n, best_start, best_end = n_distinct, s, int(in_win[-1])
+        lo = max(0, best_start - HIGHLIGHT_AFFIX)
+        hi = min(len(slots_raw) - 1, best_end + HIGHLIGHT_AFFIX)
+    pieces = []
+    for i in range(lo, hi + 1):
+        if normed[i] and normed[i] in qset:
+            pieces.append(f"<mark>{slots_raw[i]}</mark>")
+        else:
+            pieces.append(slots_raw[i])
+    return {"snippet": " ".join(pieces), "matched_tokens": matched_tokens}

@@ -1,0 +1,239 @@
+"""``filter_by`` DSL: parse + vectorized per-segment evaluation.
+
+Grammar mirrors the reference (``Collection::parse_filter_query``,
+``src/collection.cpp:1741-1891``; comparator extraction
+``include/field.h:105-142``):
+
+- clauses joined by ``&&`` (AND);
+- numeric/float: ``field:42``, ``field:>=10``, ``field:[10,>=20,<5]``
+  (list = OR, each element may carry its own comparator);
+- bool: ``field:true`` / ``field:[true,false]``;
+- string: ``field:value`` = CONTAINS (docs whose field contains *all*
+  tokens of the value, ``src/index.cpp:1026-1060``), ``field:= value`` =
+  EQUALS (token count must also match — the reference's facet-hash exact
+  check, ``src/index.cpp:1062-1105``), ``field:[v1,v2]`` = OR over values.
+
+Evaluation is vectorized over a segment's docs sidecar (Arrow columns →
+numpy); string token sets are computed once per segment+field and cached
+by the caller.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from typesense_ray.tokenizer import tokenize
+
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+@dataclass
+class FilterClause:
+    field: str
+    values: list[str]
+    comparators: list[str]  # per value: '=', '<', '<=', '>', '>=', 'CONTAINS', 'EQUALS'
+
+
+def _extract_comparator(v: str) -> tuple[str, str]:
+    v = v.strip()
+    if _NUM_RE.match(v):
+        return "=", v
+    for op in ("<=", ">=", "<", ">"):
+        if v.startswith(op):
+            return op, v[len(op):].strip()
+    raise ValueError(f"invalid numeric comparator in {v!r}")
+
+
+def parse_filter(filter_by: str, field_types: dict[str, str]) -> list[FilterClause]:
+    """``field_types``: field → 'int' | 'float' | 'bool' | 'str' (list types
+    use the element kind)."""
+    clauses = []
+    if not filter_by or not filter_by.strip():
+        return clauses
+    for block in filter_by.split("&&"):
+        if ":" not in block:
+            raise ValueError(f"could not parse filter block {block!r}")
+        fname, raw = block.split(":", 1)
+        fname = fname.strip()
+        raw = raw.strip()
+        if fname not in field_types:
+            raise KeyError(f"no filter field named {fname!r}")
+        kind = field_types[fname]
+        if kind in ("int", "float") and raw.startswith("="):
+            raw = raw[1:].strip()  # ':=' is meaningless for numerics
+        if kind in ("int", "float"):
+            if raw.startswith("[") and raw.endswith("]"):
+                vals, comps = [], []
+                for piece in raw[1:-1].split(","):
+                    op, v = _extract_comparator(piece)
+                    vals.append(v)
+                    comps.append(op)
+                clauses.append(FilterClause(fname, vals, comps))
+            else:
+                op, v = _extract_comparator(raw)
+                clauses.append(FilterClause(fname, [v], [op]))
+        elif kind == "bool":
+            raws = (
+                raw[1:-1].split(",") if raw.startswith("[") and raw.endswith("]")
+                else [raw]
+            )
+            vals = []
+            for r in raws:
+                r = r.strip()
+                if r not in ("true", "false"):
+                    raise ValueError(f"bool filter value must be true/false: {r!r}")
+                vals.append(r)
+            clauses.append(FilterClause(fname, vals, ["="] * len(vals)))
+        else:  # string
+            comp = "CONTAINS"
+            if raw.startswith("="):
+                comp = "EQUALS"
+                raw = raw[1:].strip()
+            if raw.startswith("[") and raw.endswith("]"):
+                vals = [v.strip() for v in raw[1:-1].split(",")]
+            else:
+                vals = [raw]
+            clauses.append(FilterClause(fname, vals, [comp] * len(vals)))
+    return clauses
+
+
+def norm_tokens(value: str) -> tuple[str, ...]:
+    return tuple(t for t in tokenize(value or "", keep_empty=False) if t)
+
+
+class StringTokenCache:
+    """Per-(segment, field) cache of each doc's normalized token tuples.
+    For scalar string columns: one tuple per doc. For list<string>
+    columns: a list of tuples (one per array element) per doc."""
+
+    def __init__(self):
+        self._cache: dict[str, list] = {}
+
+    def get(self, docs: pa.Table, field: str):
+        if field in self._cache:
+            return self._cache[field]
+        col = docs[field]
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            vals = [
+                [norm_tokens(x) for x in (elem or [])] for elem in col.to_pylist()
+            ]
+        else:
+            vals = [norm_tokens(x) for x in col.to_pylist()]
+        self._cache[field] = vals
+        return vals
+
+
+def _numeric_mask(col: np.ndarray, clause: FilterClause, kind: str) -> np.ndarray:
+    mask = np.zeros(len(col), dtype=bool)
+    cast = float if kind == "float" else int
+    for v, op in zip(clause.values, clause.comparators):
+        x = cast(v)
+        if op == "=":
+            mask |= col == x
+        elif op == "<":
+            mask |= col < x
+        elif op == "<=":
+            mask |= col <= x
+        elif op == ">":
+            mask |= col > x
+        elif op == ">=":
+            mask |= col >= x
+    return mask
+
+
+def eval_filters(
+    docs: pa.Table,
+    clauses: list[FilterClause],
+    field_types: dict[str, str],
+    token_cache: StringTokenCache,
+) -> np.ndarray:
+    """AND of all clauses → boolean mask over the segment's docs."""
+    n = docs.num_rows
+    mask = np.ones(n, dtype=bool)
+    for clause in clauses:
+        kind = field_types[clause.field]
+        if kind in ("int", "float"):
+            col_arrow = docs[clause.field]
+            if pa.types.is_list(col_arrow.type) or pa.types.is_large_list(col_arrow.type):
+                # array numeric field: value matches if ANY element does
+                m = np.zeros(n, dtype=bool)
+                pylist = col_arrow.to_pylist()
+                for v, op in zip(clause.values, clause.comparators):
+                    cast = float if kind == "float" else int
+                    x = cast(v)
+                    cmp = {
+                        "=": lambda e: e == x,
+                        "<": lambda e: e < x,
+                        "<=": lambda e: e <= x,
+                        ">": lambda e: e > x,
+                        ">=": lambda e: e >= x,
+                    }[op]
+                    m |= np.array(
+                        [any(cmp(e) for e in (row or [])) for row in pylist], dtype=bool
+                    )
+            else:
+                col = col_arrow.to_numpy(zero_copy_only=False)
+                m = _numeric_mask(col, clause, kind)
+        elif kind == "bool":
+            col_arrow = docs[clause.field]
+            if pa.types.is_list(col_arrow.type) or pa.types.is_large_list(col_arrow.type):
+                pylist = col_arrow.to_pylist()
+                m = np.zeros(n, dtype=bool)
+                for v in clause.values:
+                    want = v == "true"
+                    m |= np.array(
+                        [any(e == want for e in (row or [])) for row in pylist],
+                        dtype=bool,
+                    )
+            else:
+                col = docs[clause.field].to_numpy(zero_copy_only=False)
+                m = np.zeros(n, dtype=bool)
+                for v in clause.values:
+                    m |= col == (v == "true")
+        else:  # string
+            toks_per_doc = token_cache.get(docs, clause.field)
+            is_array = toks_per_doc and isinstance(toks_per_doc[0], list)
+            m = np.zeros(n, dtype=bool)
+            for v, comp in zip(clause.values, clause.comparators):
+                want = norm_tokens(v)
+                if not want:
+                    continue
+                wset = set(want)
+                if is_array:
+                    if comp == "EQUALS":
+                        mm = [any(t == want for t in row) for row in toks_per_doc]
+                    else:
+                        mm = [
+                            wset <= set(t for tup in row for t in tup)
+                            for row in toks_per_doc
+                        ]
+                else:
+                    if comp == "EQUALS":
+                        # reference exact check: all tokens present AND token
+                        # count equal (src/index.cpp:1070-1074)
+                        mm = [
+                            len(t) == len(want) and wset <= set(t)
+                            for t in toks_per_doc
+                        ]
+                    else:
+                        mm = [wset <= set(t) for t in toks_per_doc]
+                m |= np.array(mm, dtype=bool)
+        mask &= m
+    return mask
+
+
+def arrow_field_kind(t: pa.DataType) -> str:
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        t = t.value_type
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    return "str"

@@ -1,44 +1,615 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 search over
+the sf0.001 documents table). ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY.md §2 plus the training-data
+operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names, floats rounded identically on
+both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_K1 = 1.2
+_B = 0.75
+_BM25_QUERY = "data stream join"
+_BM25_TERMS = ("data", "join", "stream")  # sorted
+
+_CACHE: dict[str, Any] = {}
+
+
+def _docs_index(sf_dir: str):
+    """Build (once per sf_dir) the inverted index over documents.parquet
+    and return a RayCollection. Content-addressed output dir → resumable."""
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    key = f"coll:{sf_dir}"
+    if key in _CACHE:
+        return _CACHE[key]
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out = f"/tmp/tsray_cache/docidx-{tag}"
+    os.makedirs(out, exist_ok=True)
+    cfg = IndexConfig(
+        text_field="text",
+        id_field="doc_id",
+        sha_field=None,
+        batch_docs=4096,
+        meta_fields=("doc_id", "text", "lang", "source", "n_chars"),
+    )
+    build_index(f"{sf_dir}/documents.parquet", out, cfg)
+    coll = RayCollection(out, default_sorting_field="n_chars")
+    _CACHE[key] = coll
+    return coll
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _i64(tbl: pa.Table, col: str) -> pa.Table:
+    i = tbl.schema.get_field_index(col)
+    return tbl.set_column(i, col, tbl[col].cast(pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# fulltext engine queries
+# ---------------------------------------------------------------------------
+
+
+def q_term_df_top50(sf_dir: str) -> pa.Table:
+    """Tokenize → (term, doc) triples → pre-agg per batch → groupby(term)
+    df → top 50 by (df desc, term asc). The index-build hot path exposed
+    as a relational result."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from typesense_ray.tokenizer import doc_term_positions
+
+    def triples(batch: pa.Table) -> pa.Table:
+        terms: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            d, _ = doc_term_positions(text or "")
+            for t in d:
+                terms[t] = terms.get(t, 0) + 1  # per-batch partial df
+        ks = sorted(terms)
+        return pa.table(
+            {"term": pa.array(ks, pa.string()),
+             "df_part": pa.array([terms[k] for k in ks], pa.int64())}
+        )
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(triples, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(50)
+    )
+    return _i64(pa.Table.from_pandas(ds.to_pandas()), "df").select(["term", "df"])
+
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    coll = _docs_index(sf_dir)
+    res = coll._local.search(_BM25_QUERY, k=10, mode="bm25")
+    return pa.table(
+        {
+            "doc_id": res["doc_id"].cast(pa.int64()),
+            "score": pa.array(
+                [round(s, 4) for s in res["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def q_exact_and_search(sf_dir: str) -> pa.Table:
+    coll = _docs_index(sf_dir)
+    return coll.matching_ids("window merge")
+
+
+def q_filter_dsl(sf_dir: str) -> pa.Table:
+    coll = _docs_index(sf_dir)
+    return coll.matching_ids("*", filter_by="n_chars:>=300 && lang:[en,de]")
+
+
+def q_facet_lang_counts(sf_dir: str) -> pa.Table:
+    coll = _docs_index(sf_dir)
+    r = coll.search("data", facet_by="lang", per_page=1, highlight=False,
+                    max_facet_values=100)
+    counts = r["facet_counts"][0]["counts"]
+    return pa.table(
+        {"value": pa.array([c["value"] for c in counts], pa.string()),
+         "cnt": pa.array([c["count"] for c in counts], pa.int64())}
+    )
+
+
+def q_facet_stats_by_lang(sf_dir: str) -> pa.Table:
+    """Facet-stats machinery (min/max/sum/avg/count) as a grouped aggregate
+    (the reference's numeric facet stats, src/index.cpp:608-640)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = (
+        _read(sf_dir, "documents")
+        .groupby("lang")
+        .aggregate(
+            Min("n_chars", alias_name="min_nc"),
+            Max("n_chars", alias_name="max_nc"),
+            Sum("n_chars", alias_name="sum_nc"),
+            Mean("n_chars", alias_name="avg_nc"),
+            Count(alias_name="cnt"),
+        )
+    )
+    tbl = pa.Table.from_pandas(ds.to_pandas())
+    tbl = pa.table(
+        {
+            "lang": tbl["lang"],
+            "min_nc": tbl["min_nc"].cast(pa.int64()),
+            "max_nc": tbl["max_nc"].cast(pa.int64()),
+            "sum_nc": tbl["sum_nc"].cast(pa.int64()),
+            "avg_nc": pa.array(
+                [round(float(x), 6) for x in tbl["avg_nc"].to_pylist()], pa.float64()
+            ),
+            "cnt": tbl["cnt"].cast(pa.int64()),
+        }
+    )
+    return tbl
+
+
+def q_sort_topk(sf_dir: str) -> pa.Table:
+    coll = _docs_index(sf_dir)
+    r = coll.search("*", sort_by="n_chars:desc", per_page=20, highlight=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [h["document"]["doc_id"] for h in r["hits"]], pa.int64()
+            ),
+            "n_chars": pa.array(
+                [h["document"]["n_chars"] for h in r["hits"]], pa.int64()
+            ),
+        }
+    )
+
+
+def q_group_top2_per_lang(sf_dir: str) -> pa.Table:
+    coll = _docs_index(sf_dir)
+    r = coll.search(
+        "*", group_by="lang", group_limit=2, sort_by="n_chars:desc",
+        per_page=100, highlight=False,
+    )
+    langs, dids, ncs = [], [], []
+    for g in r["grouped_hits"]:
+        for h in g["hits"]:
+            langs.append(g["group_key"][0])
+            dids.append(h["document"]["doc_id"])
+            ncs.append(h["document"]["n_chars"])
+    return pa.table(
+        {"lang": pa.array(langs, pa.string()),
+         "doc_id": pa.array(dids, pa.int64()),
+         "n_chars": pa.array(ncs, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents"), text_col="text", id_col="doc_id")
+    ids = sorted(r["doc_id"] for r in out.select_columns(["doc_id"]).take_all())
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def q_token_counts(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.text import token_count_batch
+
+    out = (
+        _read(sf_dir, "documents")
+        .map_batches(lambda b: token_count_batch(b, "text"), batch_format="pyarrow")
+        .select_columns(["doc_id", "ws_tokens"])
+        .sort("doc_id")
+    )
+    return pa.Table.from_pandas(out.to_pandas()).select(["doc_id", "ws_tokens"])
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.text import quality_batch
+
+    out = (
+        _read(sf_dir, "documents")
+        .map_batches(lambda b: quality_batch(b, "text"), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "digit_ratio", "punct_ratio"])
+        .sort("doc_id")
+    )
+    return pa.Table.from_pandas(out.to_pandas()).select(
+        ["doc_id", "n_tokens", "digit_ratio", "punct_ratio"]
+    )
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from typesense_ray.functions.similarity import knn_bruteforce
+
+    emb = _read(sf_dir, "embeddings")
+    q0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = np.array(
+        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    res = knn_bruteforce(emb, qvec, k=10, vec_col="embedding", id_col="vec_id")
+    return pa.table(
+        {
+            "vec_id": res["vec_id"].cast(pa.int64()),
+            "score": pa.array(
+                [round(s, 5) for s in res["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def _augmented_docs(sf_dir: str):
+    """documents ∪ perturbed copies of the first 20 docs (doc_id+10^6) —
+    a deterministic near-dup injection so dedup ops have work to do."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    head = base.slice(0, 20)
+    mut_texts = []
+    for t in head["text"].to_pylist():
+        words = (t or "").split(" ")
+        if len(words) > 3:
+            words[len(words) // 2] = "mutatedword"
+        mut_texts.append(" ".join(words))
+    mutated = pa.table(
+        {
+            "doc_id": pa.array(
+                [d + 1_000_000 for d in head["doc_id"].to_pylist()], pa.int64()
+            ),
+            "text": pa.array(mut_texts, pa.string()),
+        }
+    )
+    return rd.from_arrow(pa.concat_tables([base.select(["doc_id", "text"]), mutated]))
+
+
+def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _augmented_docs(sf_dir), text_col="text", id_col="doc_id", threshold=0.7
+    )
+    return pa.table(
+        {
+            "a": pairs["a"],
+            "b": pairs["b"],
+            "jaccard": pa.array(
+                [round(j, 4) for j in pairs["jaccard"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def q_simhash_groups(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.dedup import simhash_groups
+
+    out = simhash_groups(_augmented_docs(sf_dir), text_col="text", id_col="doc_id")
+    rows = sorted(
+        (r["doc_id"], int(r["simhash"]), r["group_size"]) for r in out.take_all()
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "simhash": pa.array([r[1] for r in rows], pa.uint64()),
+            "group_size": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.text import LangId
+
+    out = (
+        _read(sf_dir, "documents")
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .select_columns(["doc_id", "lang_pred", "lang_conf"])
+        .sort("doc_id")
+    )
+    return pa.Table.from_pandas(out.to_pandas()).select(
+        ["doc_id", "lang_pred", "lang_conf"]
+    )
+
+
+def q_fingerprints(sf_dir: str) -> pa.Table:
+    from typesense_ray.functions.text import fingerprint_batch
+
+    out = (
+        _read(sf_dir, "documents")
+        .map_batches(lambda b: fingerprint_batch(b, "text"), batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+        .sort("doc_id")
+    )
+    return pa.Table.from_pandas(out.to_pandas()).select(["doc_id", "fingerprint"])
+
+
+def q_multimodal_decode(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from typesense_ray.functions.multimodal import ImageDecode, make_fake_media_table
+
+    ds = rd.from_arrow(make_fake_media_table(64, seed=11))
+    out = (
+        ds.map_batches(
+            ImageDecode(resize=(224, 224)), batch_format="pyarrow",
+            batch_size=8, concurrency=2,
+        )
+        .select_columns(["media_id", "height", "width", "channels"])
+        .sort("media_id")
+    )
+    return pa.Table.from_pandas(out.to_pandas())
+
+
+# ---------------------------------------------------------------------------
+# relational aggregates over the TPC-H-ish tables (facet-stats machinery)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1ish(sf_dir: str) -> pa.Table:
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem").map_batches(
+        lambda b: b.append_column(
+            "disc_price", pc.multiply(b["l_extendedprice"],
+                                      pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "l_returnflag": tbl["l_returnflag"],
+            "l_linestatus": tbl["l_linestatus"],
+            "sum_qty": pa.array(
+                [round(float(x), 2) for x in tbl["sum_qty"].to_pylist()], pa.float64()
+            ),
+            "sum_disc_price": pa.array(
+                [round(float(x), 2) for x in tbl["sum_disc_price"].to_pylist()],
+                pa.float64(),
+            ),
+            "avg_qty": pa.array(
+                [round(float(x), 6) for x in tbl["avg_qty"].to_pylist()], pa.float64()
+            ),
+            "count_order": tbl["count_order"].cast(pa.int64()),
+        }
+    )
+
+
+def q_events_tumbling(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event_type (count + sum(value)) —
+    the streaming-shaped aggregate expressed as groupby over an
+    event-time window key."""
+    import pandas as pd
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        return df[["window", "event_type", "value"]]
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        _read(sf_dir, "events")
+        .map_batches(add_window, batch_format="pandas")
+        .groupby(["window", "event_type"])
+        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="cnt"))
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "window": tbl["window"],
+            "event_type": tbl["event_type"],
+            "sum_value": pa.array(
+                [round(float(x), 6) for x in tbl["sum_value"].to_pylist()],
+                pa.float64(),
+            ),
+            "cnt": tbl["cnt"].cast(pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the inverted
+    index over documents.parquet (segment writers + global df shuffle),
+    run a BM25 top-10 search, and return the hydrated hits."""
+    sf_dir = "/root/testdata/sf0.001"
+    coll = _docs_index(sf_dir)
+    res = coll._local.search(_BM25_QUERY, k=10, mode="bm25")
+    ids = np.array(res["doc_id"].to_pylist(), dtype=np.uint64)
+    docs = coll._local.hydrate(ids, columns=["doc_id", "lang", "source", "n_chars"])
+    return docs.append_column(
+        "score", pa.array(res["score"].to_pylist(), pa.float64())
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "term_df_top50": q_term_df_top50,
+        "bm25_topk": q_bm25_topk,
+        "exact_and_search": q_exact_and_search,
+        "filter_dsl": q_filter_dsl,
+        "facet_lang_counts": q_facet_lang_counts,
+        "facet_stats_by_lang": q_facet_stats_by_lang,
+        "sort_topk": q_sort_topk,
+        "group_top2_per_lang": q_group_top2_per_lang,
+        "exact_dedup": q_exact_dedup,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "knn_cosine": q_knn_cosine,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_groups": q_simhash_groups,
+        "langid": q_langid,
+        "fingerprints": q_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+        "tpch_q1ish": q_tpch_q1ish,
+        "events_tumbling": q_events_tumbling,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         lower(regexp_replace(u.tok, '[^a-zA-Z0-9]', '', 'g')) AS term
+  FROM documents,
+       unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(tok)
+), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return {
+        "term_df_top50": _TOKS_CTE
+        + """
+SELECT term, count(DISTINCT doc_id) AS df
+FROM toks2 GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 50
+""",
+        "bm25_topk": _TOKS_CTE
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2
+  WHERE term IN ({bm25_terms}) GROUP BY doc_id, term
+), dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = {len(_BM25_TERMS)}),
+scores AS (
+  SELECT c.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS raw_score
+  FROM cand c
+  JOIN tf ON tf.doc_id = c.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id DESC LIMIT 10
+""",
+        "exact_and_search": _TOKS_CTE
+        + """
+SELECT doc_id FROM toks2 WHERE term IN ('window','merge')
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+ORDER BY doc_id
+""",
+        "filter_dsl": """
+SELECT doc_id FROM documents
+WHERE n_chars >= 300 AND lang IN ('en','de')
+ORDER BY doc_id
+""",
+        "facet_lang_counts": _TOKS_CTE
+        + """
+SELECT d.lang AS value, count(*) AS cnt
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks2 t WHERE t.doc_id = d.doc_id AND t.term = 'data')
+GROUP BY d.lang
+""",
+        "facet_stats_by_lang": """
+SELECT lang, min(n_chars) AS min_nc, max(n_chars) AS max_nc,
+       sum(n_chars) AS sum_nc, round(avg(n_chars), 6) AS avg_nc,
+       count(*) AS cnt
+FROM documents GROUP BY lang
+""",
+        "sort_topk": """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id DESC LIMIT 20
+""",
+        "group_top2_per_lang": """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents
+) WHERE rn <= 2
+""",
+        "exact_dedup": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "token_counts": """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens
+FROM documents ORDER BY doc_id
+""",
+        "quality": """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                       / length(text), 6) END AS digit_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                       / length(text), 6) END AS punct_ratio
+FROM documents ORDER BY doc_id
+""",
+        "knn_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id DESC
+LIMIT 10
+""",
+        "tpch_q1ish": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "events_tumbling": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window,
+       event_type,
+       round(sum(value), 6) AS sum_value,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,215 @@
+"""Training-data operators: dedup family, similarity search, text
+analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from typesense_ray.functions.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_groups,
+)
+from typesense_ray.functions.multimodal import (
+    FrameSample,
+    ImageDecode,
+    ImageEmbed,
+    make_fake_media_table,
+)
+from typesense_ray.functions.similarity import IVFIndex, knn_bruteforce
+from typesense_ray.functions.text import (
+    LangId,
+    fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "hello world"},
+        {"doc_id": 2, "text": "hello world"},
+        {"doc_id": 3, "text": "different"},
+        {"doc_id": 9, "text": "hello world"},
+    ]
+    out = exact_dedup(rd.from_items(rows)).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("lazy", "sleepy")},  # near-dup
+        {"doc_id": 3, "text": "completely different content about databases and queries " * 5},
+        {"doc_id": 4, "text": base},  # exact dup
+    ]
+    pairs = minhash_lsh_pairs(rd.from_items(rows), threshold=0.7)
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert (1, 4) in got
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    jac = dict(zip(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()),
+                   pairs["jaccard"].to_pylist()))
+    assert jac[(1, 4)] == 1.0
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert ngram_jaccard("", "") == 1.0
+
+
+def test_simhash_groups(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta"},
+        {"doc_id": 3, "text": "unrelated words entirely here"},
+    ]
+    out = simhash_groups(rd.from_items(rows)).take_all()
+    grouped = [r for r in out if r["group_size"] > 1]
+    assert sorted(r["doc_id"] for r in grouped) == [1, 2]
+
+
+def test_knn_bruteforce_matches_numpy(emb_ds):
+    rows = emb_ds.take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = vecs[:2]
+    got = knn_bruteforce(emb_ds, q, k=5)
+    # numpy oracle
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for qi in range(2):
+        order = sorted(zip(sims[:, qi], ids), key=lambda t: (-t[0], -t[1]))[:5]
+        want_ids = [int(i) for _, i in order]
+        mask = np.array(got["query_id"].to_pylist()) == qi
+        got_ids = np.array(got["vec_id"].to_pylist())[mask].tolist()
+        assert got_ids == want_ids
+
+
+def test_ivf_recall_vs_bruteforce(emb_ds):
+    rows = emb_ds.take_all()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    idx = IVFIndex(n_centroids=8, n_iter=4).fit(emb_ds)
+    q = vecs[7]
+    exact = knn_bruteforce(emb_ds, q, k=10)
+    exact_ids = set(exact["vec_id"].to_pylist())
+    approx = idx.search(q, k=10, nprobe=4)
+    approx_ids = {i for _, i in approx}
+    recall = len(exact_ids & approx_ids) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 lists
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 1, "embedding": base.tolist()},
+        {"vec_id": 2, "embedding": (base + 0.01 * rng.standard_normal(16)).tolist()},
+        {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    out = embedding_dup_pairs(rd.from_items(rows), threshold=0.95).take_all()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_langid(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "the cat is on the mat and the dog is in the house"},
+        {"doc_id": 2, "text": "le chat est dans la maison et le chien est pour les amis"},
+        {"doc_id": 3, "text": "der hund ist in dem haus und die katze ist mit den kindern"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=1, batch_size=4)
+        .take_all()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["lang_pred"] == "en"
+    assert by_id[2]["lang_pred"] == "fr"
+    assert by_id[3]["lang_pred"] == "de"
+    assert by_id[4]["lang_pred"] == "und"
+
+
+def test_quality_and_token_count(docs_ds):
+    out = docs_ds.limit(20).map_batches(
+        quality_batch, batch_format="pyarrow"
+    ).map_batches(token_count_batch, batch_format="pyarrow").take_all()
+    for r in out:
+        assert r["n_tokens"] == r["ws_tokens"]
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["bpe_tokens"] >= r["ws_tokens"] or r["n_tokens"] == 0
+
+
+def test_fingerprint_deterministic(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": 1, "text": "stable doc"}, {"doc_id": 2, "text": "stable doc"}]
+    out = rd.from_items(rows).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).take_all()
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["fingerprint"] != 0
+
+
+def test_multimodal_stages(ray_session):
+    import ray.data as rd
+
+    media = make_fake_media_table(16)
+    ds = rd.from_arrow(media)
+    dec = ds.map_batches(
+        ImageDecode(resize=(224, 224)), batch_format="pyarrow",
+        batch_size=4, concurrency=2,
+    ).take_all()
+    assert all(r["height"] == 224 and r["channels"] == 3 for r in dec)
+
+    emb = ds.map_batches(
+        ImageEmbed(dim=32), batch_format="pyarrow", batch_size=4, concurrency=2
+    ).take_all()
+    assert all(abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-5 for r in emb)
+    # deterministic: same payload → same embedding
+    emb2 = ds.map_batches(
+        ImageEmbed(dim=32), batch_format="pyarrow", batch_size=4, concurrency=2
+    ).take_all()
+    assert np.allclose(emb[0]["embedding"], emb2[0]["embedding"])
+
+    frames = rd.from_arrow(make_fake_media_table(4, kind="video")).map_batches(
+        FrameSample(n_frames=3), batch_format="pyarrow", batch_size=2, concurrency=1
+    ).take_all()
+    assert len(frames) == 12
+
+    with pytest.raises(Exception):
+        rd.from_arrow(media).map_batches(
+            ImageDecode(backend="real"), batch_format="pyarrow", concurrency=1
+        ).take_all()

@@ -351,6 +351,27 @@ class RayCollection:
             response["facet_counts"] = facet_counts
         return response
 
+    def matching_ids(self, q: str, filter_by: str = "") -> pa.Table:
+        """All matching doc_ids for a query+filter (no top-k cap) — the
+        export / bulk-delete-resolution path (``src/core_api.cpp:880-985``
+        resolves filter matches the same way before deleting)."""
+        include, exclude = tokenize_query(q)
+        clauses = parse_filter(filter_by, self.field_types) if filter_by else []
+        ids = []
+        for si, seg in enumerate(self.segments):
+            mask = (
+                eval_filters(seg.docs, clauses, self.field_types, self._token_caches[si])
+                if clauses
+                else None
+            )
+            cand, _ = seg.candidates(include, exclude, mask, False)
+            if cand.size:
+                ids.append(seg.doc_ids[cand])
+        all_ids = (
+            np.sort(np.concatenate(ids)) if ids else np.empty(0, np.uint64)
+        )
+        return pa.table({"doc_id": pa.array(all_ids.astype(np.int64), pa.int64())})
+
     # -- internals ---------------------------------------------------------
 
     def _search_segment(self, seg, variants, exclude, mask, mode):

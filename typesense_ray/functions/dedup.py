@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All are expressed as Dataset transforms: vectorized ``map_batches`` for
+per-doc signatures, ``groupby`` for the bucket/shuffle step (the classic
+shingle → minhash → band → bucket-groupby pipeline), with candidate
+verification as a second small stage. At 100 TB the only all-to-all is
+the band-bucket groupby whose rows are (band, hash, id) triples —
+tiny compared to the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64_bytes(s: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Add a stable 16-hex content hash column (for exact dedup)."""
+    hashes = [
+        hashlib.blake2b((t or "").encode("utf-8"), digest_size=8).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partition by content hash, keep the min-id row per
+    group (deterministic winner). Returns the surviving rows.
+
+    Reference role: Topster kv_map per-key dedup (``include/topster.h:
+    168-213``) generalized to corpus dedup; Ray shape: map_batches(hash)
+    → groupby(hash).map_groups(head-after-sort)."""
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda b: text_hash_batch(b, text_col), batch_format="pyarrow"
+    )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return hashed.groupby("text_hash").map_groups(keep_min, batch_format="pandas")
+
+
+# -- shingles / jaccard ------------------------------------------------------
+
+
+def char_shingles(text: str, k: int = 5) -> set[int]:
+    t = " ".join((text or "").lower().split())
+    if len(t) < k:
+        return {_hash64_bytes(t)} if t else set()
+    return {_hash64_bytes(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = char_shingles(a, k), char_shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+class MinHasher:
+    """Seeded universal-hash MinHash signatures (vectorized per doc)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 1729):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingle_hashes: set[int]) -> np.ndarray:
+        if not shingle_hashes:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
+        # (a*x + b) mod p, per permutation — outer product via broadcasting
+        ax = (
+            x[None, :].astype(object) * self.a[:, None].astype(object)
+            + self.b[:, None].astype(object)
+        ) % _MERSENNE
+        return np.min(np.asarray(ax, dtype=np.uint64), axis=1)
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 1729,
+):
+    """MinHash+LSH near-dup detection.
+
+    Pipeline: map_batches(shingle→minhash→explode to (band, band_hash, id))
+    → groupby(band, band_hash) → candidate pairs → verify true n-gram
+    Jaccard on the pair texts → pairs ≥ threshold, deduplicated, a < b.
+
+    The verify stage broadcasts the candidate pair texts by joining ids
+    back to the corpus (small side after LSH); at larger scale, swap the
+    broadcast for a hash-join of pairs against the corpus.
+    """
+    import pandas as pd
+
+    rows_per_band = num_perm // bands
+    hasher = MinHasher(num_perm, seed)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        out_band, out_hash, out_id = [], [], []
+        ids = batch[id_col].to_pylist()
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            sig = hasher.signature(char_shingles(text, shingle_k))
+            for bnd in range(bands):
+                chunk = sig[bnd * rows_per_band : (bnd + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_band.append(bnd)
+                out_hash.append(h)
+                out_id.append(did)
+        return pa.table(
+            {"band": pa.array(out_band, pa.int32()),
+             "band_hash": pa.array(out_hash, pa.string()),
+             id_col: pa.array(out_id)}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+    cand = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    pairs = {(int(r["a"]), int(r["b"])) for r in cand.take_all()}
+    if not pairs:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+
+    # verify with true n-gram Jaccard (broadcast texts of candidate ids)
+    import ray
+
+    need = {x for p in pairs for x in p}
+    texts = {}
+    for b in ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for did, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            if did in need:
+                texts[did] = txt
+    out_a, out_b, out_j = [], [], []
+    for a, b_ in sorted(pairs):
+        j = ngram_jaccard(texts.get(a, ""), texts.get(b_, ""), shingle_k)
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b_)
+            out_j.append(j)
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+# -- simhash ----------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+    from collections import Counter
+
+    toks = Counter((text or "").lower().split())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, w in toks.items():
+        h = _hash64_bytes(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), w, -w)
+    return int(
+        np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+
+
+def simhash_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-simhash grouping (hamming-0): map_batches(simhash) →
+    groupby(simhash); emits groups with >1 member. For hamming ≤ d, split
+    the 64 bits into d+1 bands and bucket-join each band (same LSH shape
+    as minhash_lsh_pairs)."""
+    import pandas as pd
+
+    def add_sim(batch: pa.Table) -> pa.Table:
+        sims = [simhash64(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {id_col: batch[id_col], "simhash": pa.array(sims, pa.uint64())}
+        )
+
+    def groups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "simhash": [], "group_size": []})
+        g = g.sort_values(id_col)
+        g["group_size"] = len(g)
+        return g
+
+    return (
+        ds.map_batches(add_sim, batch_format="pyarrow")
+        .groupby("simhash")
+        .map_groups(groups, batch_format="pandas")
+    )
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+):
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket (groupby
+    signature) → within-bucket exact pairwise cosine → pairs ≥ threshold.
+    Two vectors with cosine ≥ 0.95 collide in all n_planes bits with
+    probability (1 - θ/π)^n ≈ 0.5 for n=8; run with 2-3 plane seeds for
+    recall at scale (union of pairs)."""
+    import pandas as pd
+
+    def add_sig(batch: pa.Table, plane_seed: int) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        rng = np.random.default_rng(plane_seed)
+        planes = rng.standard_normal((vecs.shape[1], n_planes))
+        sig = (vecs @ planes > 0).astype(np.uint8)
+        packed = np.packbits(sig, axis=1)[:, 0].astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "bucket": pa.array(packed),
+             vec_col: batch[vec_col]}
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        v = np.array(g[vec_col].tolist(), dtype=np.float64)
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn = v / norm
+        sim = vn @ vn.T
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sim[i, j] >= threshold:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_c.append(float(sim[i, j]))
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    return (
+        ds.map_batches(lambda b: add_sig(b, seed), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )

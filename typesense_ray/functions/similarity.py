@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_bruteforce` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each ``map_batches`` task computes a
+  vectorized partial top-k (numpy matmul), and the driver merges the tiny
+  per-block top-k's. No shuffle.
+- :func:`knn_ivf` — the scale path: coarse k-means centroids from a
+  sample, inverted lists per centroid (a one-column groupby), query probes
+  only ``nprobe`` nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_bruteforce(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> pa.Table:
+    """Exact top-k for each query row. Returns (query_id, {id_col}, score,
+    rank), ranked by (score desc, id desc) per query."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = _normalize(q) if metric == "cosine" else q
+    q_ref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # zero-copy read from the object store
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vn = _normalize(v) if metric == "cosine" else v
+        sims = vn @ qm.T  # (batch, nq)
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            col = sims[:, qi]
+            part = np.argpartition(col, len(col) - kk)[len(col) - kk :]
+            for j in part:
+                out_q.append(qi)
+                out_id.append(int(ids[j]))
+                out_s.append(float(col[j]))
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int32()),
+             id_col: pa.array(out_id, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    parts = ds.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=4096
+    ).take_all()
+    out_rows = {"query_id": [], id_col: [], "score": [], "rank": []}
+    by_q: dict[int, list] = {}
+    for r in parts:
+        by_q.setdefault(r["query_id"], []).append((r["score"], r[id_col]))
+    for qi in sorted(by_q):
+        rows = sorted(by_q[qi], key=lambda t: (-t[0], -t[1]))[:k]
+        for rank, (s, did) in enumerate(rows, 1):
+            out_rows["query_id"].append(qi)
+            out_rows[id_col].append(did)
+            out_rows["score"].append(s)
+            out_rows["rank"].append(rank)
+    return pa.table(
+        {"query_id": pa.array(out_rows["query_id"], pa.int32()),
+         id_col: pa.array(out_rows[id_col], pa.int64()),
+         "score": pa.array(out_rows["score"], pa.float64()),
+         "rank": pa.array(out_rows["rank"], pa.int32())}
+    )
+
+
+class IVFIndex:
+    """Coarse-quantized ANN: sample → k-means (few Lloyd iterations) →
+    per-centroid inverted lists. Centroids are broadcast; assignment is a
+    stateless map_batches; each query scans only nprobe lists."""
+
+    def __init__(self, n_centroids: int = 16, n_iter: int = 5, seed: int = 3):
+        self.n_centroids = n_centroids
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+        self.lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def fit(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
+            sample_fraction: float = 1.0):
+        import ray
+
+        sample = (
+            ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=self.seed)
+        )
+        sm = np.array(
+            [r[vec_col] for r in sample.take_all()], dtype=np.float64
+        )
+        sm = _normalize(sm)
+        rng = np.random.default_rng(self.seed)
+        c = sm[rng.choice(len(sm), min(self.n_centroids, len(sm)), replace=False)]
+        for _ in range(self.n_iter):
+            assign = np.argmax(sm @ c.T, axis=1)
+            for j in range(len(c)):
+                members = sm[assign == j]
+                if len(members):
+                    v = members.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        c[j] = v / nv
+        self.centroids = c
+        c_ref = ray.put(c)
+
+        def assign_batch(batch: pa.Table) -> pa.Table:
+            cm = ray.get(c_ref)
+            v = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            a = np.argmax(v @ cm.T, axis=1).astype(np.int32)
+            return pa.table(
+                {id_col: batch[id_col], vec_col: batch[vec_col],
+                 "centroid": pa.array(a)}
+            )
+
+        assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
+        # inverted lists (small at test scale; at 100 TB these stay as a
+        # centroid-partitioned parquet layout instead of driver dicts)
+        for r in assigned.take_all():
+            self.lists.setdefault(int(r["centroid"]), ([], []))
+            self.lists[int(r["centroid"])][0].append(int(r[id_col]))
+            self.lists[int(r["centroid"])][1].append(r[vec_col])
+        self.lists = {
+            c_: (np.asarray(ids, np.int64),
+                 _normalize(np.asarray(vecs, np.float64)))
+            for c_, (ids, vecs) in self.lists.items()
+        }
+        return self
+
+    def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4):
+        q = np.asarray(query, dtype=np.float64).ravel()
+        qn = q / (np.linalg.norm(q) or 1.0)
+        order = np.argsort(-(self.centroids @ qn))[:nprobe]
+        best: list[tuple[float, int]] = []
+        for c_ in order:
+            if int(c_) not in self.lists:
+                continue
+            ids, vecs = self.lists[int(c_)]
+            sims = vecs @ qn
+            for s, i in zip(sims.tolist(), ids.tolist()):
+                best.append((s, i))
+        best.sort(key=lambda t: (-t[0], -t[1]))
+        return best[:k]

@@ -287,7 +287,9 @@ def _augmented_docs(sf_dir: str):
             "text": pa.array(mut_texts, pa.string()),
         }
     )
-    return rd.from_arrow(pa.concat_tables([base.select(["doc_id", "text"]), mutated]))
+    return rd.from_arrow(
+        pa.concat_tables([base.select(["doc_id", "text"]), mutated])
+    ).repartition(16)
 
 
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:

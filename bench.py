@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: inverted-index build throughput (docs/s) over the synthetic
+source-code corpus (the north-rule input shape) + BM25 query p50, plus
+per-pipeline timings for the operator suite over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": "corpus_index_build_sec", "value": <headline build sec>,
+   "unit": "sec", "queries": {...per-stage sec...}, "sf": ...,
+   "num_cpus": N, "docs_per_s": ..., "query_p50_ms": ...}
+
+``--scaling`` runs the same workload in two fresh processes
+(RAY_GRAFT_CPUS=8 and 32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CORPUS_DOCS = int(os.environ.get("GRAFT_CORPUS_DOCS", "40000"))
+SEED = 42
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf"
+
+
+def ensure_corpus(path: str, n_docs: int) -> None:
+    """Generate (once, cached) the synthetic code corpus parquet."""
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return
+    from typesense_ray.corpus import generate_corpus
+
+    shutil.rmtree(path, ignore_errors=True)
+    generate_corpus(path, n_docs, seed=SEED, num_blocks=64)
+    with open(marker, "w") as f:
+        f.write(str(n_docs))
+
+
+def timed(fn, *args, **kwargs):
+    t0 = time.perf_counter()
+    out = fn(*args, **kwargs)
+    return out, time.perf_counter() - t0
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from typesense_ray.corpus import PLANTED_TERMS
+    from typesense_ray.index_build import IndexConfig, build_index
+    from typesense_ray.query import LocalIndexSearcher, search_index
+
+    results: dict[str, float] = {}
+
+    # -- headline: corpus index build -----------------------------------
+    corpus_dir = f"/tmp/tsray_bench/corpus-{N_CORPUS_DOCS}-{SEED}"
+    ensure_corpus(corpus_dir, N_CORPUS_DOCS)
+    # warm the page cache so both scaling levels measure compute+shuffle
+    import pyarrow.dataset as pads
+
+    pads.dataset(corpus_dir).to_table(columns=["sha256"])
+
+    idx_dir = f"/tmp/tsray_bench/idx-{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    # Writer CPU hint: keep the concurrent-writer count near the host's
+    # EFFECTIVE core throughput (this sandbox advertises 32 CPUs but
+    # delivers ~11 cores; see BASELINE.md). ~num_cpus/10 slots/task caps
+    # the pool at ~10 heavy writers regardless of the advertised count.
+    writer_cpus = float(os.environ.get("GRAFT_WRITER_CPUS", max(2, NUM_CPUS // 10)))
+    cfg = IndexConfig(
+        batch_docs=2048,
+        meta_fields=("repo", "path", "lang"),
+        writer_num_cpus=writer_cpus,
+    )
+    stats, t_build = timed(build_index, corpus_dir, idx_dir, cfg)
+    results["corpus_index_build"] = round(t_build, 3)
+    docs_per_s = round(stats["n_docs"] / t_build, 1)
+
+    # -- query latency over the built index ------------------------------
+    searcher = LocalIndexSearcher(idx_dir, preload=True)
+    rng = np.random.default_rng(7)
+    queries = []
+    for _ in range(60):
+        k = int(rng.integers(1, 4))
+        terms = [PLANTED_TERMS[int(rng.zipf(1.4)) % len(PLANTED_TERMS)] for _ in range(k)]
+        queries.append(" ".join(terms))
+    lat = []
+    for q in queries:
+        t0 = time.perf_counter()
+        searcher.search(q, k=10, mode="bm25")
+        lat.append(time.perf_counter() - t0)
+    p50 = statistics.median(lat) * 1000
+    results["query_60x_local"] = round(sum(lat), 3)
+    _, t_dist = timed(search_index, idx_dir, "quasar pulsar", 10)
+    results["query_distributed_fanout"] = round(t_dist, 3)
+
+    if os.environ.get("GRAFT_BENCH_BUILD_ONLY"):
+        out = {
+            "metric": "corpus_index_build_sec",
+            "value": results["corpus_index_build"],
+            "unit": "sec",
+            "queries": results,
+            "sf": _sf_tag(),
+            "num_cpus": NUM_CPUS,
+            "n_corpus_docs": stats["n_docs"],
+            "docs_per_s": docs_per_s,
+            "query_p50_ms": round(p50, 2),
+        }
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ray.shutdown()
+        print(json.dumps(out))
+        return
+
+    # -- operator pipelines over $GRAFT_SF_DIR ---------------------------
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "term_df_top50",
+        "bm25_topk",
+        "facet_stats_by_lang",
+        "exact_dedup",
+        "minhash_dup_pairs",
+        "knn_cosine",
+        "tpch_q1ish",
+        "events_tumbling",
+    ]:
+        _, dt = timed(qs[name], SF_DIR)
+        results[name] = round(dt, 3)
+
+    out = {
+        "metric": "corpus_index_build_sec",
+        "value": results["corpus_index_build"],
+        "unit": "sec",
+        "queries": results,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "n_corpus_docs": stats["n_docs"],
+        "docs_per_s": docs_per_s,
+        "query_p50_ms": round(p50, 2),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    # N vs 4N parallelism in fresh processes (the sandbox stand-in for the
+    # two-cluster-size criterion). This host advertises 32 CPUs but
+    # delivers ~11 effective cores, so the honest 4x pair is 2 vs 8 —
+    # both levels fully backed by hardware (see BASELINE.md).
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", str(4 * lo)))
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_BUILD_ONLY="1",
+            GRAFT_CORPUS_DOCS=str(n_docs),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_hi = run(hi)  # first: generates/warms the shared corpus at higher parallelism
+    r_lo = run(lo)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    dps_lo, dps_hi = r_lo["docs_per_s"], r_hi["docs_per_s"]
+    eff = (dps_hi / dps_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus": [lo, hi],
+                "build_sec": [t_lo, t_hi],
+                "docs_per_s": [dps_lo, dps_hi],
+                "scaling_efficiency": round(eff, 3),
+                "sf": _sf_tag(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,120 @@
+"""Typo tolerance (deletion-neighborhood) + prefix expansion."""
+
+import pyarrow as pa
+import pytest
+
+from typesense_ray.index_build import IndexConfig, build_index
+from typesense_ray.typo import (
+    TypoResolver,
+    bounded_typo_cost,
+    build_typo_table,
+    deletes,
+    osa_distance,
+)
+
+DOCS = [
+    (0, "biological sciences department", 10),
+    (1, "biology lab equipment", 20),
+    (2, "exact rocket launch window", 30),
+    (3, "example of extreme exactness", 40),
+    (4, "rocket propulsion biology", 50),
+    (5, "launch the rocket now", 60),
+]
+
+
+@pytest.fixture(scope="module")
+def typo_coll(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+
+    tbl = pa.table(
+        {
+            "docnum": pa.array([d[0] for d in DOCS], pa.int64()),
+            "title": pa.array([d[1] for d in DOCS]),
+            "points": pa.array([d[2] for d in DOCS], pa.int64()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("typoidx"))
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=3,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_arrow(tbl), out, cfg, concurrency=2)
+    build_typo_table(out)
+    return RayCollection(out, default_sorting_field="points")
+
+
+def test_osa_distance():
+    assert osa_distance("biological", "biologcal") == 1  # deletion
+    assert osa_distance("loox", "look") == 1  # substitution
+    assert osa_distance("form", "from") == 1  # transposition (OSA)
+    assert osa_distance("abc", "abc") == 0
+    assert osa_distance("abc", "xyz", cap=2) == 3  # capped
+
+
+def test_bounded_cost():
+    assert bounded_typo_cost(2, 1) == 0
+    assert bounded_typo_cost(2, 2) == 1
+    assert bounded_typo_cost(2, 8) == 2
+
+
+def test_deletes_prefix_limited():
+    d = deletes("ab", 2)
+    assert d == {"ab", "a", "b", ""}
+    assert "verylongtok" not in deletes("verylongtokenstring", 1)  # prefix cap
+
+
+def test_fuzzy_candidates(typo_coll):
+    r = typo_coll.typo_resolver
+    cands = r.fuzzy("biologcal", max_cost=2)
+    assert cands[0][0] == "biological" and cands[0][1] == 1
+    cands = r.fuzzy("rocket", max_cost=2)
+    assert cands[0] == ("rocket", 0)  # exact always cost 0, first
+
+
+def test_prefix_candidates(typo_coll):
+    r = typo_coll.typo_resolver
+    ex = r.prefix("ex")
+    assert set(ex) >= {"exact", "example", "extreme", "exactness"}
+    assert r.prefix("zz") == []
+
+
+def test_typo_search(typo_coll):
+    resp = typo_coll.search("biologcal", mode="reference", num_typos=2)
+    assert [h["document"]["docnum"] for h in resp["hits"]] == [0]
+    # typo-0 exact subset is unaffected by enabling typo machinery
+    resp0 = typo_coll.search("rocket", mode="reference", num_typos=2)
+    ids0 = {h["document"]["docnum"] for h in resp0["hits"]}
+    assert ids0 == {2, 4, 5}
+
+
+def test_typo_cost_affects_reference_score(typo_coll):
+    # 'biologu' → 'biology' (cost 1); matched docs score (255-1) in byte 1
+    resp = typo_coll.search("biologu", mode="reference", num_typos=2)
+    ids = {h["document"]["docnum"] for h in resp["hits"]}
+    assert ids == {1, 4}
+    tm = resp["hits"][0]["text_match"]
+    assert (tm >> 8) & 0xFF == 254
+
+
+def test_prefix_search(typo_coll):
+    resp = typo_coll.search("launc", mode="reference", prefix=True)
+    ids = {h["document"]["docnum"] for h in resp["hits"]}
+    assert ids == {2, 5}  # 'launch' docs
+
+
+def test_multi_token_with_typo(typo_coll):
+    # drop_tokens_threshold=1 isolates the typo path (with the default
+    # threshold 10, the <10-result fallback would also add 'rocket'-only
+    # matches, which is faithful reference behavior)
+    resp = typo_coll.search(
+        "rocket lanch", mode="reference", num_typos=2, drop_tokens_threshold=1
+    )
+    ids = {h["document"]["docnum"] for h in resp["hits"]}
+    assert ids == {2, 5}
+
+
+def test_bm25_mode_with_typos(typo_coll):
+    resp = typo_coll.search("biologcal", mode="bm25", num_typos=2)
+    assert [h["document"]["docnum"] for h in resp["hits"]] == [0]

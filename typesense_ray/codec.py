@@ -19,11 +19,14 @@ import numpy as np
 BLOCK_SIZE = 128  # postings per block-max entry
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def varbyte_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array; returns (byte array, bytes-per-value).
+    The per-value lengths let callers slice one big encoded stream into
+    per-term / per-part chunks without re-encoding (see
+    :func:`slice_encoded`)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
     # bytes needed per value: ceil(bit_length/7), min 1 — computed by
     # repeated 7-bit shifts (≤10 iterations, vectorized)
     nbytes = np.ones(v.shape, dtype=np.int64)
@@ -49,7 +52,28 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         shifted[alive] >>= np.uint64(7)
         pos[alive] += 1
         alive = alive & (pos <= ends)
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    out, _ = varbyte_encode_raw(values)
     return out.tobytes()
+
+
+def slice_encoded(
+    buf: np.ndarray, nbytes: np.ndarray, part_starts: np.ndarray
+) -> list[bytes]:
+    """Split one encoded stream into per-part byte strings, where
+    ``part_starts`` are *value* indices (e.g. term boundaries)."""
+    if nbytes.size == 0:
+        return []
+    byte_offsets = np.zeros(nbytes.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_offsets[1:])
+    starts_b = byte_offsets[part_starts]
+    ends_b = np.append(byte_offsets[part_starts[1:]], byte_offsets[-1])
+    raw = buf.tobytes()
+    return [raw[s:e] for s, e in zip(starts_b, ends_b)]
 
 
 def varbyte_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:

@@ -169,10 +169,19 @@ class RayCollection:
         self.synonyms = synonyms or SynonymIndex()
         self.overrides = overrides or []
         self._token_caches = [StringTokenCache() for _ in self.segments]
+        self._typo_resolver = None
         schema = self.segments[0].docs.schema if self.segments else pa.schema([])
         self.field_types = {
             name: arrow_field_kind(schema.field(name).type) for name in schema.names
         }
+
+    @property
+    def typo_resolver(self):
+        if self._typo_resolver is None:
+            from typesense_ray.typo import TypoResolver
+
+            self._typo_resolver = TypoResolver(self._local.index_dir)
+        return self._typo_resolver
 
     # -- scoring helpers ---------------------------------------------------
 
@@ -194,16 +203,18 @@ class RayCollection:
                 )
         return scores
 
-    def _score_reference(self, seg: SegmentSearcher, cand, post, terms):
+    def _score_reference(self, seg: SegmentSearcher, cand, post, terms, cost=0):
         if terms == ["*"]:
             return np.zeros(cand.size, dtype=np.int64)
         if len(terms) <= 1:
-            return np.full(cand.size, reference_match_score([None], 0), dtype=np.int64)
+            return np.full(
+                cand.size, reference_match_score([None], cost), dtype=np.int64
+            )
         perterm = seg.term_positions_for(post, cand)
         ordered = [perterm[t] for t in terms]
         return np.fromiter(
             (
-                reference_match_score([tp[i] for tp in ordered], 0)
+                reference_match_score([tp[i] for tp in ordered], cost)
                 for i in range(cand.size)
             ),
             dtype=np.int64,
@@ -231,15 +242,23 @@ class RayCollection:
         highlight: bool = True,
         text_field: str | None = None,
         use_synonyms: bool = True,
+        num_typos: int = 0,
+        prefix: bool = False,
     ) -> dict:
         per_page = min(per_page, PER_PAGE_MAX)
         group_limit = min(group_limit, GROUP_LIMIT_MAX)
         fetch_k = page * per_page
 
         include, exclude = tokenize_query(q)
-        variants = [include]
+        variants: list[tuple[list[str], int]] = [(include, 0)]
+        if (num_typos > 0 or prefix) and include != ["*"]:
+            expanded = self.typo_resolver.expand_query(
+                include, num_typos=num_typos, prefix_last=prefix
+            )
+            if expanded:
+                variants = expanded
         if use_synonyms and include != ["*"]:
-            variants += self.synonyms.expand(include)
+            variants += [(v, 0) for v in self.synonyms.expand(include)]
 
         clauses = parse_filter(filter_by, self.field_types) if filter_by else []
         facet_fields = [f.strip() for f in facet_by.split(",") if f.strip()]
@@ -277,12 +296,18 @@ class RayCollection:
                         if clauses
                         else None
                     )
-                    res2 = self._search_segment(seg, [truncated], exclude, mask, mode)
+                    res2 = self._search_segment(
+                        seg, [(truncated, 0)], exclude, mask, mode
+                    )
                     seg_results[si] = _merge_seg_results(seg_results[si], res2)
                     extra_found += res2["cand"].size
                 total_found = sum(r["cand"].size for r in seg_results)
                 if total_found >= drop_tokens_threshold:
                     break
+
+        # highlight with every term any variant searched (so typo/prefix/
+        # synonym matches get marked, not just verbatim query tokens)
+        highlight_terms = sorted({t for terms, _ in variants for t in terms if t != "*"})
 
         # hidden/pinned curation
         hidden: set[int] = set()
@@ -319,7 +344,7 @@ class RayCollection:
             response["grouped_hits"] = [
                 {
                     "group_key": list(gk),
-                    "hits": self._hits(rows, include, mode, include_fields,
+                    "hits": self._hits(rows, highlight_terms, mode, include_fields,
                                        exclude_fields, highlight, text_field),
                 }
                 for gk, rows in page_groups
@@ -343,7 +368,7 @@ class RayCollection:
             response["found"] = found
             start = (page - 1) * per_page
             response["hits"] = self._hits(
-                rows[start : start + per_page], include, mode,
+                rows[start : start + per_page], highlight_terms, mode,
                 include_fields, exclude_fields, highlight, text_field,
             )
 
@@ -375,19 +400,19 @@ class RayCollection:
     # -- internals ---------------------------------------------------------
 
     def _search_segment(self, seg, variants, exclude, mask, mode):
-        """Evaluate all query variants on one segment; dedup docs keeping
-        the best score (the reference Topster's kv_map behavior,
-        ``include/topster.h:168-213``)."""
+        """Evaluate all (terms, cost) query variants on one segment; dedup
+        docs keeping the best score (the reference Topster's kv_map
+        behavior, ``include/topster.h:168-213``)."""
         best: dict[int, float] = {}
         all_cand: np.ndarray | None = None
-        for terms in variants:
+        for terms, cost in variants:
             cand, post = seg.candidates(terms, exclude, mask, True)
             if cand.size == 0:
                 continue
             if mode == "bm25":
                 scores = self._score_bm25(seg, cand, post, terms)
             else:
-                scores = self._score_reference(seg, cand, post, terms)
+                scores = self._score_reference(seg, cand, post, terms, cost)
             for c, s in zip(cand.tolist(), scores.tolist()):
                 if c not in best or s > best[c]:
                     best[c] = s
@@ -554,7 +579,7 @@ class RayCollection:
                 doc = {k: v for k, v in doc.items() if k not in exclude_fields}
             hit = {"document": doc}
             hit["text_match" if mode != "bm25" else "score"] = row["score"]
-            if highlight and raw_text is not None and include_tokens != ["*"]:
+            if highlight and raw_text is not None and include_tokens:
                 hl = highlight_text(raw_text, include_tokens)
                 if hl:
                     hit["highlights"] = [{"field": tf, **hl}]

@@ -57,10 +57,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def char_shingles(text: str, k: int = 5) -> set[int]:
+    """Stable hashed character k-grams (crc32-based — stable across runs
+    and processes, unlike builtin hash())."""
+    from zlib import crc32
+
     t = " ".join((text or "").lower().split())
     if len(t) < k:
-        return {_hash64_bytes(t)} if t else set()
-    return {_hash64_bytes(t[i : i + k]) for i in range(len(t) - k + 1)}
+        return {crc32(t.encode())} if t else set()
+    b = t.encode("utf-8")
+    # byte-level k-grams over the utf-8 stream (ascii-dominated corpora:
+    # identical to char k-grams)
+    return {crc32(b[i : i + k]) for i in range(len(b) - k + 1)}
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -85,12 +92,12 @@ class MinHasher:
         if not shingle_hashes:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
-        # (a*x + b) mod p, per permutation — outer product via broadcasting
-        ax = (
-            x[None, :].astype(object) * self.a[:, None].astype(object)
-            + self.b[:, None].astype(object)
-        ) % _MERSENNE
-        return np.min(np.asarray(ax, dtype=np.uint64), axis=1)
+        # (a*x + b) mod p per permutation, computed in uint64 with natural
+        # mod-2^64 wraparound (a deterministic universal-ish hash family —
+        # the exact function only needs to be a consistent hash, same trick
+        # as datasketch's vectorized minhash)
+        ax = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return ax.min(axis=1)
 
 
 def minhash_lsh_pairs(

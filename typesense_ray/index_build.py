@@ -40,13 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from typesense_ray.codec import (
-    BLOCK_SIZE,
-    block_max_meta,
-    encode_positions,
-    varbyte_encode,
-    delta_encode,
-)
+from typesense_ray.codec import BLOCK_SIZE, slice_encoded, varbyte_encode_raw
 from typesense_ray.tokenizer import doc_term_positions
 
 
@@ -62,6 +56,16 @@ class IndexConfig:
     block_size: int = BLOCK_SIZE
     k1: float = 1.2
     b: float = 0.75
+    # CPU slots reserved per segment-writer task. The writer is
+    # memory-bandwidth-heavy (string tokenization over large text blocks);
+    # >1 prevents oversubscription collapse on hosts whose advertised CPU
+    # count exceeds effective parallel throughput (SMT / noisy neighbors).
+    writer_num_cpus: float = 2.0
+    # global-df aggregation: 'stream' merges the per-segment (term, df)
+    # partials into a driver dict (vocab ≪ corpus — the combiner pattern);
+    # 'groupby' is the all-to-all path for vocabularies too large for one
+    # node; 'auto' picks by estimated row count.
+    df_mode: str = "auto"
 
     def fingerprint(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True).encode()
@@ -142,58 +146,133 @@ class SegmentWriter:
 
         t_sha = time.perf_counter()
 
-        # tokenize → per-term postings accumulators (term → [ids], [tfs], [pos])
+        # tokenize → flat (term, doc, tf, positions) entry arrays; grouping
+        # into per-term postings is one stable argsort over term codes (docs
+        # are processed in ascending local-id order, so within a term the
+        # doc ids stay ascending after the stable sort).
         doclens = np.zeros(n, dtype=np.int32)
-        acc: dict[str, tuple[list[int], list[int], list[list[int]]]] = {}
+        entry_terms: list[str] = []
+        entry_docs: list[int] = []
+        entry_tfs: list[int] = []
+        pos_flat_list: list[int] = []
         for local_id, text in enumerate(texts):
             if not text:
                 continue
             d, doclen = doc_term_positions(text)
             doclens[local_id] = doclen
             for term, positions in d.items():
-                try:
-                    e = acc[term]
-                except KeyError:
-                    e = acc[term] = ([], [], [])
-                e[0].append(local_id)
-                e[1].append(len(positions))
-                e[2].append(positions)
+                entry_terms.append(term)
+                entry_docs.append(local_id)
+                entry_tfs.append(len(positions))
+                pos_flat_list.extend(positions)
         t_tok = time.perf_counter()
 
-        # encode postings (terms sorted for deterministic output + binary
-        # searchable term dictionary)
-        terms = sorted(acc.keys())
-        n_terms = len(terms)
-        col_term: list[str] = []
-        col_df = np.empty(n_terms, np.int32)
-        col_cf = np.empty(n_terms, np.int64)
-        col_maxtf = np.empty(n_terms, np.int32)
-        col_ids: list[bytes] = []
-        col_tfs: list[bytes] = []
-        col_pos: list[bytes] = []
-        col_bm_last: list[list[int]] = []
-        col_bm_maxtf: list[list[int]] = []
-        col_bm_mindl: list[list[int]] = []
-        n_postings = 0
-        for ti, term in enumerate(terms):
-            ids_l, tfs_l, pos_l = acc[term]
-            ids = np.asarray(ids_l, dtype=np.uint64)  # ascending (insertion order)
-            tfs = np.asarray(tfs_l, dtype=np.int64)
-            pos = np.asarray([p for ps in pos_l for p in ps], dtype=np.uint64)
-            col_term.append(term)
-            col_df[ti] = len(ids)
-            col_cf[ti] = int(tfs.sum())
-            col_maxtf[ti] = int(tfs.max())
-            col_ids.append(varbyte_encode(delta_encode(ids)))
-            col_tfs.append(varbyte_encode(tfs.astype(np.uint64)))
-            col_pos.append(encode_positions(pos, tfs))
-            last, max_tf, min_dl = block_max_meta(
-                ids, tfs, doclens[ids.astype(np.int64)], cfg.block_size
+        n_entries = len(entry_terms)
+        if n_entries:
+            # hash-based factorize (O(E)) + sort of the ~unique terms only —
+            # much cheaper than sorting every entry string
+            import pandas as pd
+
+            codes, uniq = pd.factorize(np.asarray(entry_terms, dtype=object))
+            uniq_np = np.asarray(uniq, dtype=object)
+            srt = np.argsort(uniq_np)
+            rank = np.empty_like(srt)
+            rank[srt] = np.arange(len(srt))
+            uniq_terms = uniq_np[srt]
+            inv = rank[codes]
+            order = np.argsort(inv, kind="stable")
+            codes_s = inv[order]
+            docs_s = np.asarray(entry_docs, dtype=np.uint64)[order]
+            tfs_s = np.asarray(entry_tfs, dtype=np.int64)[order]
+            term_starts = np.flatnonzero(
+                np.r_[True, codes_s[1:] != codes_s[:-1]]
+            ).astype(np.int64)
+            n_terms = len(uniq_terms)
+
+            # per-term stats (vectorized segmented reductions)
+            col_df = np.diff(np.append(term_starts, n_entries)).astype(np.int32)
+            col_cf = np.add.reduceat(tfs_s, term_starts)
+            col_maxtf = np.maximum.reduceat(tfs_s, term_starts).astype(np.int32)
+
+            # doc-id stream: delta with restart at each term boundary
+            d_ids = docs_s.copy()
+            d_ids[1:] -= docs_s[:-1]
+            d_ids[term_starts] = docs_s[term_starts]
+            buf_ids, nb_ids = varbyte_encode_raw(d_ids)
+            col_ids = slice_encoded(buf_ids, nb_ids, term_starts)
+
+            buf_tfs, nb_tfs = varbyte_encode_raw(tfs_s.astype(np.uint64))
+            col_tfs = slice_encoded(buf_tfs, nb_tfs, term_starts)
+
+            # positions: reorder entry chunks into term order via one gather
+            pos_flat = np.asarray(pos_flat_list, dtype=np.uint64)
+            entry_lens = np.asarray(entry_tfs, dtype=np.int64)
+            entry_offs = np.zeros(n_entries, dtype=np.int64)
+            np.cumsum(entry_lens[:-1], out=entry_offs[1:])
+            lens_o = entry_lens[order]
+            offs_o = entry_offs[order]
+            total = int(lens_o.sum())
+            out_off = np.zeros(n_entries, dtype=np.int64)
+            np.cumsum(lens_o[:-1], out=out_off[1:])
+            gather = (
+                np.repeat(offs_o, lens_o)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(out_off, lens_o)
             )
-            col_bm_last.append([int(x) for x in last])
-            col_bm_maxtf.append([int(x) for x in max_tf])
-            col_bm_mindl.append([int(x) for x in min_dl])
-            n_postings += len(ids)
+            pos_sorted = pos_flat[gather]
+            # delta with restart at each (term, doc) entry boundary
+            d_pos = pos_sorted.copy()
+            d_pos[1:] -= pos_sorted[:-1]
+            entry_pos_starts = out_off
+            d_pos[entry_pos_starts] = pos_sorted[entry_pos_starts]
+            buf_pos, nb_pos = varbyte_encode_raw(d_pos)
+            col_pos = slice_encoded(buf_pos, nb_pos, out_off[term_starts])
+
+            # block-max metadata: one global reduceat over per-term blocks
+            bsz = cfg.block_size
+            blocks_per_term = (col_df.astype(np.int64) + bsz - 1) // bsz
+            bm_term_starts = np.zeros(n_terms, dtype=np.int64)
+            np.cumsum(blocks_per_term[:-1], out=bm_term_starts[1:])
+            n_blocks = int(blocks_per_term.sum())
+            blk_idx = np.arange(n_blocks, dtype=np.int64) - np.repeat(
+                bm_term_starts, blocks_per_term
+            )
+            blk_starts = np.repeat(term_starts, blocks_per_term) + blk_idx * bsz
+            term_ends = np.append(term_starts[1:], n_entries)
+            blk_ends = np.minimum(
+                blk_starts + bsz, np.repeat(term_ends, blocks_per_term)
+            )
+            dls_s = doclens[docs_s.astype(np.int64)].astype(np.int64)
+            bm_maxtf_flat = np.maximum.reduceat(tfs_s, blk_starts)
+            bm_mindl_flat = np.minimum.reduceat(dls_s, blk_starts)
+            bm_last_flat = docs_s[blk_ends - 1].astype(np.int64)
+            bm_offsets = np.append(bm_term_starts, n_blocks)
+            col_bm_last = pa.ListArray.from_arrays(
+                pa.array(bm_offsets, pa.int32()),
+                pa.array(bm_last_flat.astype(np.int32)),
+            )
+            col_bm_maxtf = pa.ListArray.from_arrays(
+                pa.array(bm_offsets, pa.int32()),
+                pa.array(bm_maxtf_flat.astype(np.int32)),
+            )
+            col_bm_mindl = pa.ListArray.from_arrays(
+                pa.array(bm_offsets, pa.int32()),
+                pa.array(bm_mindl_flat.astype(np.int32)),
+            )
+            col_term = [str(t) for t in uniq_terms]
+            n_postings = n_entries
+        else:
+            n_terms = 0
+            n_postings = 0
+            col_term = []
+            col_df = np.empty(0, np.int32)
+            col_cf = np.empty(0, np.int64)
+            col_maxtf = np.empty(0, np.int32)
+            col_ids = col_tfs = col_pos = []
+            empty_list = pa.ListArray.from_arrays(
+                pa.array([0], pa.int32()), pa.array([], pa.int32())
+            ).slice(0, 0)
+            col_bm_last = col_bm_maxtf = col_bm_mindl = empty_list
         t_enc = time.perf_counter()
 
         postings = pa.table(
@@ -205,9 +284,9 @@ class SegmentWriter:
                 "ids_vb": pa.array(col_ids, pa.binary()),
                 "tfs_vb": pa.array(col_tfs, pa.binary()),
                 "pos_vb": pa.array(col_pos, pa.binary()),
-                "bm_last": pa.array(col_bm_last, pa.list_(pa.int32())),
-                "bm_max_tf": pa.array(col_bm_maxtf, pa.list_(pa.int32())),
-                "bm_min_dl": pa.array(col_bm_mindl, pa.list_(pa.int32())),
+                "bm_last": col_bm_last,
+                "bm_max_tf": col_bm_maxtf,
+                "bm_min_dl": col_bm_mindl,
             }
         )
 
@@ -351,7 +430,7 @@ def build_index(
         batch_format="pyarrow",
         batch_size=cfg.batch_docs,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=cfg.writer_num_cpus,
     ).take_all()
     t_seg = time.perf_counter()
 
@@ -359,8 +438,11 @@ def build_index(
     n_docs = int(sum(m["n_docs"] for m in manifests))
     doclen_sum = int(sum(m["doclen_sum"] for m in manifests))
 
-    # global document frequencies — the only wide shuffle; rows are tiny
-    # (term, df) pairs, one per term per segment.
+    # global document frequencies. The per-segment term dicts are already
+    # combiner-style partials (one row per term per segment), so the merge
+    # is either streamed into a driver dict (vocab ≪ corpus) or, for
+    # vocabularies too large for one node, the build's only all-to-all
+    # shuffle: groupby(term).sum.
     seg_postings = [
         os.path.join(out_dir, "segments", f"seg-{sid}", POSTINGS_FILE)
         for sid in seg_ids
@@ -369,12 +451,34 @@ def build_index(
     import shutil
 
     shutil.rmtree(df_dir, ignore_errors=True)
-    (
-        rd.read_parquet(seg_postings, columns=["term", "df"])
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .write_parquet(df_dir)
-    )
+    total_term_rows = int(sum(m["n_terms"] for m in manifests))
+    mode = cfg.df_mode
+    if mode == "auto":
+        mode = "stream" if total_term_rows <= 20_000_000 else "groupby"
+    if seg_postings and mode == "stream":
+        import pyarrow.dataset as pads
+
+        dfs: dict[str, int] = {}
+        scanner = pads.dataset(seg_postings).scanner(columns=["term", "df"])
+        for rb in scanner.to_batches():
+            for t, d in zip(rb["term"].to_pylist(), rb["df"].to_pylist()):
+                dfs[t] = dfs.get(t, 0) + d
+        terms_sorted = sorted(dfs)
+        os.makedirs(df_dir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"term": pa.array(terms_sorted, pa.string()),
+                 "df": pa.array([dfs[t] for t in terms_sorted], pa.int64())}
+            ),
+            os.path.join(df_dir, "df.parquet"),
+        )
+    elif seg_postings:
+        (
+            rd.read_parquet(seg_postings, columns=["term", "df"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+            .write_parquet(df_dir)
+        )
     t_df = time.perf_counter()
 
     stats = {

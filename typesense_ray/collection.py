@@ -37,6 +37,7 @@ from typesense_ray.filtering import (
     norm_tokens,
     parse_filter,
 )
+from typesense_ray.index_build import FIELD_SEP
 from typesense_ray.query import LocalIndexSearcher, SegmentSearcher
 from typesense_ray.scoring import bm25_idf, bm25_term_scores, reference_match_score
 from typesense_ray.tokenizer import tokenize, tokenize_query
@@ -170,6 +171,7 @@ class RayCollection:
         self.overrides = overrides or []
         self._token_caches = [StringTokenCache() for _ in self.segments]
         self._typo_resolver = None
+        self._avgdl_cache: dict[str, float] = {}
         schema = self.segments[0].docs.schema if self.segments else pa.schema([])
         self.field_types = {
             name: arrow_field_kind(schema.field(name).type) for name in schema.names
@@ -188,10 +190,12 @@ class RayCollection:
     def _dfs(self, terms):
         return self._local._dfs(list(terms))
 
-    def _score_bm25(self, seg: SegmentSearcher, cand, post, terms):
+    def _score_bm25(self, seg: SegmentSearcher, cand, post, terms,
+                    dl_col=None, avgdl=None):
         scores = np.zeros(cand.size, dtype=np.float64)
         if terms != ["*"] and cand.size:
-            dl = seg.doclen[cand]
+            dl = (dl_col if dl_col is not None else seg.doclen)[cand]
+            avgdl = avgdl if avgdl is not None else self.stats["avgdl"]
             dfs = self._dfs([t for t in set(terms)])
             for t in sorted(set(terms)):
                 p = post[t]
@@ -199,9 +203,23 @@ class RayCollection:
                 tf = p["tfs"][idx]
                 idf = float(bm25_idf(dfs[t], self.stats["n_docs"]))
                 scores += bm25_term_scores(
-                    tf, dl, idf, self.stats["avgdl"], self.stats["k1"], self.stats["b"]
+                    tf, dl, idf, avgdl, self.stats["k1"], self.stats["b"]
                 )
         return scores
+
+    def _field_avgdl(self, field: str) -> float:
+        key = f"avgdl::{field}"
+        cached = self._avgdl_cache.get(key)
+        if cached is None:
+            col = f"dl__{field}"
+            tot = sum(
+                int(np.sum(seg.docs[col].to_numpy())) for seg in self.segments
+                if col in seg.docs.column_names
+            )
+            cached = self._avgdl_cache[key] = (
+                tot / self.stats["n_docs"] if self.stats["n_docs"] else 0.0
+            )
+        return cached
 
     def _score_reference(self, seg: SegmentSearcher, cand, post, terms, cost=0):
         if terms == ["*"]:
@@ -244,6 +262,8 @@ class RayCollection:
         use_synonyms: bool = True,
         num_typos: int = 0,
         prefix: bool = False,
+        query_by: list[str] | None = None,
+        query_by_weights: list[int] | None = None,
     ) -> dict:
         per_page = min(per_page, PER_PAGE_MAX)
         group_limit = min(group_limit, GROUP_LIMIT_MAX)
@@ -279,7 +299,25 @@ class RayCollection:
                 if clauses
                 else None
             )
-            res = self._search_segment(seg, variants, exclude, mask, mode)
+            if query_by:
+                primary = self.stats["config"]["text_field"]
+                indexed = set(self.stats["config"].get("indexed_fields") or ())
+                for f in query_by:
+                    if f != primary and f not in indexed:
+                        raise KeyError(
+                            f"query_by field {f!r} is not indexed "
+                            f"(text_field={primary!r}, indexed_fields={sorted(indexed)})"
+                        )
+            if query_by and (
+                len(query_by) > 1
+                or query_by[0] != self.stats["config"]["text_field"]
+            ):
+                res = self._search_segment_multi(
+                    seg, variants, exclude, mask, mode, query_by,
+                    query_by_weights or [1] * len(query_by),
+                )
+            else:
+                res = self._search_segment(seg, variants, exclude, mask, mode)
             seg_results.append(res)
             total_found += res["cand"].size
 
@@ -421,6 +459,50 @@ class RayCollection:
             all_cand = np.empty(0, np.int64)
         cand = np.array(sorted(best.keys()), dtype=np.int64)
         scores = np.array([best[c] for c in cand], dtype=np.float64)
+        return {"cand": cand, "score": scores}
+
+    def _search_segment_multi(self, seg, variants, exclude, mask, mode,
+                              fields, weights):
+        """Multi-field search (``query_by`` list): per field, evaluate all
+        variants against that field's (prefixed) postings; per doc take the
+        best score per field and aggregate the weighted sum — the
+        observable shape of the reference's cross-field aggregation
+        (``src/index.cpp:1495-1593``: field-wise weighted score sum)."""
+        primary = self.stats["config"]["text_field"]
+        per_field_best: list[dict[int, float]] = []
+        for field in fields:
+            pref = (lambda t: t) if field == primary else (
+                lambda t, f=field: f + FIELD_SEP + t
+            )
+            dl_col = None
+            avgdl = None
+            if field != primary:
+                col = f"dl__{field}"
+                if col in seg.docs.column_names:
+                    dl_col = seg.docs[col].to_numpy().astype(np.int64)
+                    avgdl = self._field_avgdl(field)
+            best: dict[int, float] = {}
+            for terms, cost in variants:
+                pterms = terms if terms == ["*"] else [pref(t) for t in terms]
+                pexcl = [pref(e) for e in exclude]
+                cand, post = seg.candidates(pterms, pexcl, mask, True)
+                if cand.size == 0:
+                    continue
+                if mode == "bm25":
+                    scores = self._score_bm25(seg, cand, post, pterms, dl_col, avgdl)
+                else:
+                    scores = self._score_reference(seg, cand, post, pterms, cost)
+                for c, sc in zip(cand.tolist(), scores.tolist()):
+                    if c not in best or sc > best[c]:
+                        best[c] = sc
+            per_field_best.append(best)
+        agg: dict[int, float] = {}
+        for fi, best in enumerate(per_field_best):
+            w = weights[fi]
+            for c, sc in best.items():
+                agg[c] = agg.get(c, 0.0) + w * sc
+        cand = np.array(sorted(agg.keys()), dtype=np.int64)
+        scores = np.array([agg[c] for c in cand], dtype=np.float64)
         return {"cand": cand, "score": scores}
 
     def _rank_segment(self, seg, res, sort_fields, mode, fetch_k, group_fields):

@@ -50,6 +50,12 @@ class IndexConfig:
     id_fields: tuple[str, ...] = ("repo", "path")  # hashed → doc_id
     id_field: str | None = None  # explicit int64 id column (overrides id_fields)
     meta_fields: tuple[str, ...] = ()  # carried into segment docs table
+    # additional searchable string / string[] fields. Their postings live in
+    # the same per-segment term dictionary under a field-prefixed key
+    # ("field\x1fterm"), mirroring the reference's one-ART-per-field
+    # search_index (include/index.h:149) without extra files. Each gets its
+    # own doclen column (dl__<field>) for per-field BM25.
+    indexed_fields: tuple[str, ...] = ()
     sha_field: str | None = "sha256"  # verified per row when present
     verify_sha: bool = True
     batch_docs: int = 4096  # docs per segment
@@ -76,6 +82,9 @@ def doc_id_from_key(repo: str, path: str) -> int:
     h = hashlib.blake2b(f"{repo}\0{path}".encode("utf-8"), digest_size=8)
     return int.from_bytes(h.digest(), "big") & 0x7FFFFFFFFFFFFFFF
 
+
+FIELD_SEP = "\x1f"  # joins field name + term in secondary-field keys
+ARRAY_POS_STRIDE = 1 << 16  # position offset between string[] elements
 
 DOCS_FILE = "docs.parquet"
 POSTINGS_FILE = "postings.parquet"
@@ -165,6 +174,38 @@ class SegmentWriter:
                 entry_docs.append(local_id)
                 entry_tfs.append(len(positions))
                 pos_flat_list.extend(positions)
+        # secondary indexed fields: same entry stream, field-prefixed keys
+        extra_doclens: dict[str, np.ndarray] = {}
+        for fld in cfg.indexed_fields:
+            if fld == cfg.text_field or fld not in batch.column_names:
+                continue
+            col = batch[fld]
+            is_arr = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            fdl = np.zeros(n, dtype=np.int32)
+            prefix = fld + FIELD_SEP
+            for local_id, val in enumerate(col.to_pylist()):
+                if val is None:
+                    continue
+                # string[]: elements tokenize independently; positions for
+                # element k are offset by k*ARRAY_POS_STRIDE (a simplified
+                # stand-in for the reference's per-element offset sentinel
+                # scheme, src/index.cpp:558-606)
+                elems = val if is_arr else [val]
+                agg: dict[str, list[int]] = {}
+                dl = 0
+                for k, el in enumerate(elems):
+                    d, n_tok = doc_term_positions(el or "")
+                    dl += n_tok
+                    off = k * ARRAY_POS_STRIDE
+                    for term, positions in d.items():
+                        agg.setdefault(term, []).extend(p + off for p in positions)
+                fdl[local_id] = dl
+                for term, positions in agg.items():
+                    entry_terms.append(prefix + term)
+                    entry_docs.append(local_id)
+                    entry_tfs.append(len(positions))
+                    pos_flat_list.extend(positions)
+            extra_doclens[fld] = fdl
         t_tok = time.perf_counter()
 
         n_entries = len(entry_terms)
@@ -295,6 +336,8 @@ class SegmentWriter:
             "doclen": pa.array(doclens, pa.int32()),
             "sha256": pa.array(shas, pa.string()),
         }
+        for fld, fdl in extra_doclens.items():
+            docs_cols[f"dl__{fld}"] = pa.array(fdl, pa.int32())
         for f in self.cfg.meta_fields:
             if f in batch.column_names and f not in docs_cols:
                 docs_cols[f] = batch[f]

@@ -94,6 +94,9 @@ def q_term_df_top50(sf_dir: str) -> pa.Table:
     ds = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
         .map_batches(triples, batch_format="pyarrow")
+        # partials are vocab-sized; coalesce before the shuffle so the
+        # aggregate doesn't pay wide-op overhead on tiny blocks
+        .repartition(8)
         .groupby("term")
         .aggregate(Sum("df_part", alias_name="df"))
         .sort(["df", "term"], descending=[True, False])

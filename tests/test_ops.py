@@ -1,0 +1,109 @@
+"""Collection lifecycle: JSONL import, export scan, filter-based delete
+with segment compaction."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from typesense_ray.collection import RayCollection
+from typesense_ray.index_build import IndexConfig
+from typesense_ray.ops import delete_by_filter, export_documents, import_documents
+
+
+@pytest.fixture()
+def built(ray_session, tmp_path):
+    rows = [
+        {"docnum": i, "title": t, "points": p, "lang": l}
+        for i, (t, p, l) in enumerate(
+            [
+                ("alpha rocket launch", 10, "en"),
+                ("beta rocket landing", 20, "en"),
+                ("gamma satellite orbit", 30, "fr"),
+                ("delta rocket orbit", 40, "fr"),
+                ("epsilon ground station", 50, "en"),
+                ("zeta rocket telemetry", 60, "de"),
+            ]
+        )
+    ]
+    jsonl = tmp_path / "docs.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=2,
+        meta_fields=("docnum", "title", "points", "lang"),
+    )
+    stats = import_documents(str(jsonl), out, cfg, concurrency=2)
+    assert stats["n_docs"] == 6
+    return out
+
+
+def test_jsonl_import_and_search(built):
+    coll = RayCollection(built, default_sorting_field="points")
+    r = coll.search("rocket")
+    assert r["found"] == 4
+
+
+def test_export_roundtrip(built, tmp_path):
+    ds = export_documents(built, columns=["doc_id", "title", "points"])
+    rows = sorted(ds.take_all(), key=lambda r: r["doc_id"])
+    assert len(rows) == 6
+    assert rows[0]["title"] == "alpha rocket launch"
+    out = str(tmp_path / "export")
+    ds.write_parquet(out)
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(out).count_rows() == 6
+
+
+def test_delete_by_filter(built):
+    stats = delete_by_filter(built, filter_by="lang:fr")
+    assert stats["n_docs"] == 4
+    assert stats["deleted_docs"] == 2
+    coll = RayCollection(built, default_sorting_field="points")
+    r = coll.search("rocket")
+    assert r["found"] == 3  # delta (fr) gone
+    assert {h["document"]["docnum"] for h in r["hits"]} == {0, 1, 5}
+    r2 = coll.search("orbit")
+    assert r2["found"] == 0  # both orbit docs were french
+    # stats & df refreshed: avgdl consistent with survivors
+    assert stats["avgdl"] == pytest.approx(3.0)
+
+
+def test_delete_by_ids(built):
+    stats = delete_by_filter(built, doc_ids=[0, 5])
+    assert stats["n_docs"] == 4
+    coll = RayCollection(built, default_sorting_field="points")
+    r = coll.search("rocket")
+    assert {h["document"]["docnum"] for h in r["hits"]} == {1, 3}
+
+
+def test_delete_then_scores_consistent(built):
+    """After compaction, BM25 over the survivors must equal a fresh build
+    over the same surviving docs (postings surgery is exact)."""
+    import ray.data as rd
+
+    delete_by_filter(built, filter_by="lang:en")
+    coll = RayCollection(built, default_sorting_field="points")
+    got = coll.search("rocket")
+    # fresh index over just the fr/de docs
+    rows = [
+        {"docnum": 3, "title": "delta rocket orbit", "points": 40, "lang": "fr"},
+        {"docnum": 2, "title": "gamma satellite orbit", "points": 30, "lang": "fr"},
+        {"docnum": 5, "title": "zeta rocket telemetry", "points": 60, "lang": "de"},
+    ]
+    out2 = built + "_fresh"
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=2,
+        meta_fields=("docnum", "title", "points", "lang"),
+    )
+    import_documents(rd.from_items(rows), out2, cfg, concurrency=2)
+    want = RayCollection(out2, default_sorting_field="points").search("rocket")
+    got_pairs = [(h["document"]["docnum"], h["score"]) for h in got["hits"]]
+    want_pairs = [(h["document"]["docnum"], h["score"]) for h in want["hits"]]
+    assert got_pairs == want_pairs

@@ -35,22 +35,51 @@ def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact dedup: hash-partition by content hash, keep the min-id row per
-    group (deterministic winner). Returns the surviving rows.
+    """Exact dedup: content-hash each row, pick the min-id winner per hash
+    with a two-stage aggregate (per-batch pandas partial → global
+    ``groupby(hash).min``), then semi-join the winners back. Returns the
+    surviving rows.
 
     Reference role: Topster kv_map per-key dedup (``include/topster.h:
-    168-213``) generalized to corpus dedup; Ray shape: map_batches(hash)
-    → groupby(hash).map_groups(head-after-sort)."""
+    168-213``) generalized to corpus dedup. The winner aggregate moves
+    only (hash, id) pairs; the per-group work is vectorized pandas, not
+    one callback per group."""
     import pandas as pd
 
     hashed = ds.map_batches(
         lambda b: text_hash_batch(b, text_col), batch_format="pyarrow"
     )
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[["text_hash", id_col]]
+            .groupby("text_hash", as_index=False)[id_col]
+            .min()
+        )
 
-    return hashed.groupby("text_hash").map_groups(keep_min, batch_format="pandas")
+    # final reduce over the (hash, min_id) partials: they are tiny (one row
+    # per distinct text per batch), so stream them to the driver; at
+    # distinct-text counts beyond driver RAM switch this to
+    # groupby("text_hash").aggregate(Min) — the partials are unchanged.
+    win_by_hash: dict[str, int] = {}
+    for b in hashed.map_batches(partial_min, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for h, i in zip(b["text_hash"], b[id_col]):
+            cur = win_by_hash.get(h)
+            if cur is None or i < cur:
+                win_by_hash[h] = i
+    win_ids = set(win_by_hash.values())
+
+    def keep_winners(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = np.fromiter(
+            (x in win_ids for x in b[id_col].to_pylist()), bool, b.num_rows
+        )
+        return b.filter(pa.array(m))
+
+    return hashed.map_batches(keep_winners, batch_format="pyarrow")
 
 
 # -- shingles / jaccard ------------------------------------------------------
@@ -142,38 +171,48 @@ def minhash_lsh_pairs(
              id_col: pa.array(out_id)}
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
-        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
-
-    cand = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    # bucket → candidate pairs. Bucket rows are (band, band_hash, id) —
+    # tiny — so they stream to the driver and group in one vectorized
+    # pandas pass (tens of thousands of per-group map_groups callbacks
+    # would dominate otherwise). At >10^8 band rows, switch this stage to
+    # ``groupby(["band","band_hash"]).map_groups`` so buckets never
+    # co-locate on one node.
+    bands_df = (
+        ds.map_batches(to_bands, batch_format="pyarrow").to_pandas()
     )
-    pairs = {(int(r["a"]), int(r["b"])) for r in cand.take_all()}
+    pairs: set[tuple[int, int]] = set()
+    for _, g in bands_df.groupby(["band", "band_hash"])[id_col]:
+        if len(g) > 1:
+            ids = sorted(int(x) for x in g)
+            pairs.update(
+                (ids[i], ids[j])
+                for i in range(len(ids))
+                for j in range(i + 1, len(ids))
+            )
     if not pairs:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
 
-    # verify with true n-gram Jaccard (broadcast texts of candidate ids)
-    import ray
-
+    # verify with true n-gram Jaccard; shingle sets computed once per doc
+    # (not per pair) from a streamed pass over the candidate texts
     need = {x for p in pairs for x in p}
-    texts = {}
+    shingles: dict[int, set[int]] = {}
     for b in ds.map_batches(
         lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
         for did, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
             if did in need:
-                texts[did] = txt
+                shingles[did] = char_shingles(txt, shingle_k)
     out_a, out_b, out_j = [], [], []
     for a, b_ in sorted(pairs):
-        j = ngram_jaccard(texts.get(a, ""), texts.get(b_, ""), shingle_k)
+        sa, sb = shingles.get(a, set()), shingles.get(b_, set())
+        if not sa and not sb:
+            j = 1.0
+        else:
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
         if j >= threshold:
             out_a.append(a)
             out_b.append(b_)

@@ -249,6 +249,7 @@ class RayCollection:
         filter_by: str = "",
         sort_by: str | None = None,
         facet_by: str = "",
+        facet_query: str = "",
         max_facet_values: int = 10,
         page: int = 1,
         per_page: int = 10,
@@ -368,7 +369,8 @@ class RayCollection:
         facet_counts = []
         if facet_fields:
             facet_counts = self._facets(
-                seg_results, facet_fields, max_facet_values, group_fields
+                seg_results, facet_fields, max_facet_values, group_fields,
+                facet_query,
             )
 
         out_of = self.stats["n_docs"]
@@ -413,6 +415,19 @@ class RayCollection:
         if facet_counts:
             response["facet_counts"] = facet_counts
         return response
+
+    def get_document(self, *key_parts, columns=None):
+        """Point lookup by the identifying key fields (string user id →
+        internal id, src/collection.cpp:1659-1672): hash the key the same
+        way the build did, then hydrate from the owning segment."""
+        from typesense_ray.index_build import doc_id_from_key
+
+        if len(key_parts) == 1 and isinstance(key_parts[0], int):
+            did = key_parts[0]
+        else:
+            did = doc_id_from_key(*[str(p) for p in key_parts])
+        tbl = self._local.hydrate(np.array([did], dtype=np.uint64), columns)
+        return None if tbl is None or tbl.num_rows == 0 else tbl.to_pylist()[0]
 
     def matching_ids(self, q: str, filter_by: str = "") -> pa.Table:
         """All matching doc_ids for a query+filter (no top-k cap) — the
@@ -568,7 +583,13 @@ class RayCollection:
         )
         return ranked
 
-    def _facets(self, seg_results, facet_fields, max_facet_values, group_fields):
+    def _facets(self, seg_results, facet_fields, max_facet_values, group_fields,
+                facet_query=""):
+        fq_field, fq_tokens = None, []
+        if facet_query and ":" in facet_query:
+            fq_field, fq_raw = facet_query.split(":", 1)
+            fq_field = fq_field.strip()
+            fq_tokens = list(norm_tokens(fq_raw))
         out = []
         for ffield in facet_fields:
             kind = self.field_types.get(ffield)
@@ -601,7 +622,11 @@ class RayCollection:
                         if e is None:
                             continue
                         if kind == "str":
-                            key = " ".join(norm_tokens(str(e)))
+                            vtoks = norm_tokens(str(e))
+                            if ffield == fq_field and fq_tokens and not \
+                                    _facet_value_matches(vtoks, fq_tokens):
+                                continue
+                            key = " ".join(vtoks)
                             repr_raw.setdefault(key, str(e))
                         else:
                             key = e
@@ -737,3 +762,54 @@ def highlight_text(text: str, query_tokens: list[str]) -> dict | None:
         else:
             pieces.append(slots_raw[i])
     return {"snippet": " ".join(pieces), "matched_tokens": matched_tokens}
+
+
+def _facet_value_matches(value_tokens, query_tokens) -> bool:
+    """Facet-query filtering (``Index::do_facets`` facet_query path,
+    ``src/index.cpp:679-707``): every facet-query token must match some
+    value token — the last query token by prefix, earlier ones within
+    fuzzy cost 0 (len<3) or 1."""
+    from typesense_ray.typo import osa_distance
+
+    for qi, qt in enumerate(query_tokens):
+        is_last = qi == len(query_tokens) - 1
+        cost = 0 if len(qt) < 3 else 1
+        ok = False
+        for vt in value_tokens:
+            if is_last and vt.startswith(qt):
+                ok = True
+                break
+            if osa_distance(qt, vt, cost) <= cost:
+                ok = True
+                break
+        if not ok:
+            return False
+    return True
+
+
+class CollectionRegistry:
+    """Named collections + aliases (``src/collection_manager.cpp:423-465``):
+    an alias resolves to a collection name at lookup time, so swapping the
+    target re-points readers atomically."""
+
+    def __init__(self):
+        self._collections: dict[str, RayCollection] = {}
+        self._aliases: dict[str, str] = {}
+
+    def register(self, name: str, coll: RayCollection):
+        self._collections[name] = coll
+
+    def upsert_alias(self, alias: str, target: str):
+        if target not in self._collections:
+            raise KeyError(f"no collection named {target!r}")
+        self._aliases[alias] = target
+
+    def drop_alias(self, alias: str):
+        self._aliases.pop(alias, None)
+
+    def get(self, name: str) -> RayCollection:
+        name = self._aliases.get(name, name)
+        try:
+            return self._collections[name]
+        except KeyError:
+            raise KeyError(f"no collection or alias named {name!r}") from None

@@ -78,8 +78,11 @@ class IndexConfig:
         return hashlib.blake2b(blob, digest_size=8).hexdigest()
 
 
-def doc_id_from_key(repo: str, path: str) -> int:
-    h = hashlib.blake2b(f"{repo}\0{path}".encode("utf-8"), digest_size=8)
+def doc_id_from_key(*parts: str) -> int:
+    """Deterministic 64-bit doc id from the identifying key fields (the
+    reference's string-id → seq_id map, src/collection.cpp:1659-1672,
+    replaced by a pure function of the key)."""
+    h = hashlib.blake2b("\0".join(parts).encode("utf-8"), digest_size=8)
     return int.from_bytes(h.digest(), "big") & 0x7FFFFFFFFFFFFFFF
 
 
@@ -426,6 +429,8 @@ def build_index(
     cfg: IndexConfig = IndexConfig(),
     *,
     concurrency: int | None = None,
+    schema=None,
+    rejects_dir: str | None = None,
 ) -> dict:
     """Build a full index from a corpus Dataset (or parquet path).
 
@@ -454,6 +459,16 @@ def build_index(
         ds = rd.read_parquet(source, columns=cols)
     else:
         ds = source
+
+    if schema:
+        # per-record validation (error per record, batch proceeds —
+        # src/index.cpp:249-352); rejects land beside the segments
+        from typesense_ray.validate import Validator
+
+        ds = ds.map_batches(
+            Validator(schema, rejects_dir or os.path.join(out_dir, "rejects")),
+            batch_format="pyarrow",
+        )
 
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)

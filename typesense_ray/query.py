@@ -348,12 +348,13 @@ class LocalIndexSearcher:
         RocksDB fetch, ``src/collection.cpp:948-957``) — a broadcast-k-ids
         lookup against segment docs sidecars."""
         want = set(int(x) for x in doc_ids)
+        sel = list(dict.fromkeys(["doc_id"] + list(columns))) if columns else None
         out = []
         for seg in self.segments:
             m = np.isin(seg.doc_ids, np.array(sorted(want), dtype=np.uint64))
             if m.any():
                 t = seg.docs.filter(pa.array(m))
-                out.append(t.select(columns) if columns else t)
+                out.append(t.select(sel) if sel else t)
         if not out:
             return None
         tbl = pa.concat_tables(out)

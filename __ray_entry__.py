@@ -354,6 +354,131 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas()).select(["doc_id", "fingerprint"])
 
 
+def q_typo_search(sf_dir: str) -> pa.Table:
+    """Typo-tolerant search (deletion-neighborhood + OSA verify): a typo'd
+    query must recover the clean query's matches."""
+    from typesense_ray.typo import build_typo_table
+
+    coll = _docs_index(sf_dir)
+    if not _CACHE.get(f"typo:{sf_dir}"):
+        build_typo_table(coll._local.index_dir)
+        coll._typo_resolver = None
+        _CACHE[f"typo:{sf_dir}"] = True
+    r = coll.search("strean jion", num_typos=2, per_page=250, highlight=False)
+    ids = sorted(h["document"]["doc_id"] for h in r["hits"])
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def q_prefix_search(sf_dir: str) -> pa.Table:
+    """Prefix expansion with an uncapped result set: expand 'wind' to its
+    vocabulary completions, union the matching ids per completion."""
+    coll = _docs_index(sf_dir)
+    ids: set[int] = set()
+    for term in coll.typo_resolver.prefix("wind"):
+        ids.update(coll.matching_ids(term)["doc_id"].to_pylist())
+    return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
+
+
+def q_reference_rank(sf_dir: str) -> pa.Table:
+    """Reference-semantics ranking (packed proximity match score +
+    n_chars desc + doc_id desc) — the conformance scorer exercised on the
+    documents table (oracle: the pure-python engine, checked in tests)."""
+    coll = _docs_index(sf_dir)
+    r = coll.search("data stream", mode="reference", per_page=20, highlight=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                [h["document"]["doc_id"] for h in r["hits"]], pa.int64()
+            ),
+            "text_match": pa.array([h["text_match"] for h in r["hits"]], pa.int64()),
+        }
+    )
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup over embeddings ∪ two injected
+    near-copies (deterministic)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from typesense_ray.functions.dedup import embedding_dup_pairs
+
+    base = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb0 = np.array(base["embedding"].to_pylist()[:2], dtype=np.float32)
+    inject = pa.table(
+        {
+            "vec_id": pa.array([10_000_000, 10_000_001], pa.int64()),
+            "embedding": pa.array(
+                [(v + 0.001).tolist() for v in emb0],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(pa.concat_tables([
+        base.cast(inject.schema), inject
+    ])).repartition(8)
+    pairs = embedding_dup_pairs(ds, threshold=0.99)
+    rows = sorted(
+        (r["a"], r["b"], round(r["cosine"], 4)) for r in pairs.take_all()
+    )
+    return pa.table(
+        {"a": pa.array([r[0] for r in rows], pa.int64()),
+         "b": pa.array([r[1] for r in rows], pa.int64()),
+         "cosine": pa.array([r[2] for r in rows], pa.float64())}
+    )
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF approximate NN: top-10 for vec 0 with nprobe=4 of 8 lists."""
+    import pyarrow.parquet as pq
+
+    from typesense_ray.functions.similarity import IVFIndex
+
+    emb = _read(sf_dir, "embeddings")
+    idx = IVFIndex(n_centroids=8, n_iter=4).fit(emb)
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.array(
+        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0]
+    )
+    best = idx.search(qvec, k=10, nprobe=4)
+    return pa.table(
+        {"vec_id": pa.array([i for _, i in best], pa.int64()),
+         "score": pa.array([round(s, 5) for s, _ in best], pa.float64())}
+    )
+
+
+def q_multifield_search(sf_dir: str) -> pa.Table:
+    """query_by over two fields (text + source) with weights — built on a
+    dedicated small index with source as a secondary indexed field."""
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    key = f"mf:{sf_dir}"
+    coll = _CACHE.get(key)
+    if coll is None:
+        tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+        out = f"/tmp/tsray_cache/mfidx-{tag}"
+        cfg = IndexConfig(
+            text_field="text", id_field="doc_id", sha_field=None,
+            batch_docs=4096,
+            meta_fields=("doc_id", "text", "lang", "source", "n_chars"),
+            indexed_fields=("source",),
+        )
+        build_index(f"{sf_dir}/documents.parquet", out, cfg)
+        coll = _CACHE[key] = RayCollection(out, default_sorting_field="n_chars")
+    r = coll.search(
+        "src8 data", query_by=["text", "source"], query_by_weights=[1, 2],
+        per_page=50, highlight=False, drop_tokens_threshold=1,
+    )
+    return pa.table(
+        {"doc_id": pa.array(
+            sorted(h["document"]["doc_id"] for h in r["hits"]), pa.int64()
+        )}
+    )
+
+
 def q_multimodal_decode(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
@@ -377,26 +502,38 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
 
 
 def q_tpch_q1ish(sf_dir: str) -> pa.Table:
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+    """Pricing-summary aggregate with per-batch combiners: each batch
+    pre-aggregates to ≤|groups| rows inside map_batches, so the shuffle
+    moves partials, not the 600k-row table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "lineitem").map_batches(
-        lambda b: b.append_column(
-            "disc_price", pc.multiply(b["l_extendedprice"],
-                                      pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        ),
-        batch_format="pyarrow",
-    )
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
     out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
+        _read(sf_dir, "lineitem")
+        .map_batches(partial, batch_format="pandas")
+        .repartition(8)
+        .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     tbl = pa.Table.from_pandas(out.to_pandas())
+    avg = [
+        s / c
+        for s, c in zip(tbl["sum_qty"].to_pylist(), tbl["count_order"].to_pylist())
+    ]
+    tbl = tbl.append_column("avg_qty", pa.array(avg, pa.float64()))
     return pa.table(
         {
             "l_returnflag": tbl["l_returnflag"],
@@ -422,18 +559,23 @@ def q_events_tumbling(sf_dir: str) -> pa.Table:
     event-time window key."""
     import pandas as pd
 
-    def add_window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
-        return df[["window", "event_type", "value"]]
+    def window_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            window=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00")
+        )
+        return df.groupby(["window", "event_type"], as_index=False).agg(
+            sum_value=("value", "sum"), cnt=("value", "size")
+        )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     out = (
         _read(sf_dir, "events")
-        .map_batches(add_window, batch_format="pandas")
+        .map_batches(window_partials, batch_format="pandas")
+        .repartition(8)
         .groupby(["window", "event_type"])
-        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="cnt"))
+        .aggregate(Sum("sum_value", alias_name="sum_value"),
+                   Sum("cnt", alias_name="cnt"))
     )
     tbl = pa.Table.from_pandas(out.to_pandas())
     return pa.table(
@@ -489,6 +631,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "tpch_q1ish": q_tpch_q1ish,
         "events_tumbling": q_events_tumbling,
+        "typo_search": q_typo_search,
+        "prefix_search": q_prefix_search,
+        "reference_rank": q_reference_rank,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_ivf": q_ann_ivf,
+        "multifield_search": q_multifield_search,
     }
 
 
@@ -606,9 +754,13 @@ LIMIT 10
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "prefix_search": _TOKS_CTE
+        + """
+SELECT DISTINCT doc_id FROM toks2 WHERE term LIKE 'wind%' ORDER BY doc_id
 """,
         "events_tumbling": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window,

@@ -128,6 +128,23 @@ def test_hydrate_returns_rows_in_rank_order(index_dir):
     assert docs["doc_id"].to_pylist() == list(ids)
 
 
+def test_results_invariant_under_partitioning(ray_session, corpus, index_dir, tmp_path):
+    """Different segment sizes / concurrency ⇒ identical top-k ids AND
+    bitwise-identical BM25 scores (FIXTURES.md §4 invariant 3)."""
+    import ray.data as rd
+
+    other = str(tmp_path / "repartitioned")
+    cfg2 = IndexConfig(batch_docs=23, meta_fields=("repo", "path", "lang"))
+    build_index(rd.from_arrow(corpus), other, cfg2, concurrency=3)
+    a = LocalIndexSearcher(index_dir)
+    b = LocalIndexSearcher(other)
+    for q in ["quasar", "pulsar redshift", "tokamak qubit entropy", "*"]:
+        ra = a.search(q, k=25, mode="bm25")
+        rb = b.search(q, k=25, mode="bm25")
+        assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
+        assert ra["score"].to_pylist() == rb["score"].to_pylist(), q
+
+
 def test_empty_and_whitespace_docs_indexed(index_dir, corpus):
     searcher = LocalIndexSearcher(index_dir)
     total = sum(seg.n_docs for seg in searcher.segments)

@@ -290,6 +290,29 @@ class RayCollection:
             if self.default_sorting_field:
                 sort_fields.append(SortField(self.default_sorting_field, True))
 
+        if query_by:
+            primary = self.stats["config"]["text_field"]
+            indexed = set(self.stats["config"].get("indexed_fields") or ())
+            for f in query_by:
+                if f != primary and f not in indexed:
+                    raise KeyError(
+                        f"query_by field {f!r} is not indexed "
+                        f"(text_field={primary!r}, indexed_fields={sorted(indexed)})"
+                    )
+        multi = bool(
+            query_by
+            and (len(query_by) > 1
+                 or query_by[0] != self.stats["config"]["text_field"])
+        )
+
+        def eval_seg(seg, variant_list, mask):
+            if multi:
+                return self._search_segment_multi(
+                    seg, variant_list, exclude, mask, mode, query_by,
+                    query_by_weights or [1] * len(query_by),
+                )
+            return self._search_segment(seg, variant_list, exclude, mask, mode)
+
         # per-segment evaluation (the distributed path runs this block
         # inside SegmentScorer actors; locally it is a loop)
         seg_results = []
@@ -300,25 +323,7 @@ class RayCollection:
                 if clauses
                 else None
             )
-            if query_by:
-                primary = self.stats["config"]["text_field"]
-                indexed = set(self.stats["config"].get("indexed_fields") or ())
-                for f in query_by:
-                    if f != primary and f not in indexed:
-                        raise KeyError(
-                            f"query_by field {f!r} is not indexed "
-                            f"(text_field={primary!r}, indexed_fields={sorted(indexed)})"
-                        )
-            if query_by and (
-                len(query_by) > 1
-                or query_by[0] != self.stats["config"]["text_field"]
-            ):
-                res = self._search_segment_multi(
-                    seg, variants, exclude, mask, mode, query_by,
-                    query_by_weights or [1] * len(query_by),
-                )
-            else:
-                res = self._search_segment(seg, variants, exclude, mask, mode)
+            res = eval_seg(seg, variants, mask)
             seg_results.append(res)
             total_found += res["cand"].size
 
@@ -335,9 +340,7 @@ class RayCollection:
                         if clauses
                         else None
                     )
-                    res2 = self._search_segment(
-                        seg, [(truncated, 0)], exclude, mask, mode
-                    )
+                    res2 = eval_seg(seg, [(truncated, 0)], mask)
                     seg_results[si] = _merge_seg_results(seg_results[si], res2)
                     extra_found += res2["cand"].size
                 total_found = sum(r["cand"].size for r in seg_results)

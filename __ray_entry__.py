@@ -118,6 +118,22 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_or_topk(sf_dir: str) -> pa.Table:
+    """Disjunctive (OR) BM25 top-10 via block-max WAND."""
+    coll = _docs_index(sf_dir)
+    res = coll._local.search(
+        _BM25_QUERY, k=10, mode="bm25_or", disjunctive_method="wand"
+    )
+    return pa.table(
+        {
+            "doc_id": res["doc_id"].cast(pa.int64()),
+            "score": pa.array(
+                [round(s, 4) for s in res["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def q_exact_and_search(sf_dir: str) -> pa.Table:
     coll = _docs_index(sf_dir)
     return coll.matching_ids("window merge")
@@ -614,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_df_top50": q_term_df_top50,
         "bm25_topk": q_bm25_topk,
+        "bm25_or_topk": q_bm25_or_topk,
         "exact_and_search": q_exact_and_search,
         "filter_dsl": q_filter_dsl,
         "facet_lang_counts": q_facet_lang_counts,
@@ -684,6 +701,33 @@ scores AS (
   JOIN dl ON dl.doc_id = c.doc_id
   CROSS JOIN stats s
   GROUP BY c.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scores ORDER BY raw_score DESC, doc_id DESC LIMIT 10
+""",
+        "bm25_or_topk": _TOKS_CTE
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2
+  WHERE term IN ({bm25_terms}) GROUP BY doc_id, term
+), dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS raw_score
+  FROM tf
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
 )
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores ORDER BY raw_score DESC, doc_id DESC LIMIT 10

@@ -74,8 +74,15 @@ class IndexConfig:
     df_mode: str = "auto"
 
     def fingerprint(self) -> str:
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        blob = json.dumps(
+            {**asdict(self), "_format": SEGMENT_FORMAT_VERSION}, sort_keys=True
+        ).encode()
         return hashlib.blake2b(blob, digest_size=8).hexdigest()
+
+
+# bump when the segment file layout changes — gives format-changed segments
+# new content addresses so resume never mixes layouts
+SEGMENT_FORMAT_VERSION = 2
 
 
 def doc_id_from_key(*parts: str) -> int:
@@ -303,6 +310,31 @@ class SegmentWriter:
                 pa.array(bm_offsets, pa.int32()),
                 pa.array(bm_mindl_flat.astype(np.int32)),
             )
+            # per-block byte offsets into the term's ids_vb/tfs_vb slices so
+            # block-max WAND can decode one block without its predecessors
+            # (delta restarts via the previous block's bm_last as base)
+            byte_off_ids = np.zeros(n_entries + 1, dtype=np.int64)
+            np.cumsum(nb_ids, out=byte_off_ids[1:])
+            byte_off_tfs = np.zeros(n_entries + 1, dtype=np.int64)
+            np.cumsum(nb_tfs, out=byte_off_tfs[1:])
+            term_byte_base_ids = byte_off_ids[
+                np.repeat(term_starts, blocks_per_term)
+            ]
+            term_byte_base_tfs = byte_off_tfs[
+                np.repeat(term_starts, blocks_per_term)
+            ]
+            col_bm_ids_boff = pa.ListArray.from_arrays(
+                pa.array(bm_offsets, pa.int32()),
+                pa.array(
+                    (byte_off_ids[blk_starts] - term_byte_base_ids).astype(np.int32)
+                ),
+            )
+            col_bm_tfs_boff = pa.ListArray.from_arrays(
+                pa.array(bm_offsets, pa.int32()),
+                pa.array(
+                    (byte_off_tfs[blk_starts] - term_byte_base_tfs).astype(np.int32)
+                ),
+            )
             col_term = [str(t) for t in uniq_terms]
             n_postings = n_entries
         else:
@@ -317,6 +349,7 @@ class SegmentWriter:
                 pa.array([0], pa.int32()), pa.array([], pa.int32())
             ).slice(0, 0)
             col_bm_last = col_bm_maxtf = col_bm_mindl = empty_list
+            col_bm_ids_boff = col_bm_tfs_boff = empty_list
         t_enc = time.perf_counter()
 
         postings = pa.table(
@@ -331,6 +364,8 @@ class SegmentWriter:
                 "bm_last": col_bm_last,
                 "bm_max_tf": col_bm_maxtf,
                 "bm_min_dl": col_bm_mindl,
+                "bm_ids_boff": col_bm_ids_boff,
+                "bm_tfs_boff": col_bm_tfs_boff,
             }
         )
 

@@ -51,9 +51,15 @@ class OracleIndex:
     def df(self, term: str) -> int:
         return len(self.postings.get(term, ()))
 
-    def candidates(self, include: list[str], exclude: list[str]) -> list[int]:
+    def candidates(
+        self, include: list[str], exclude: list[str], conjunctive: bool = True
+    ) -> list[int]:
         if include == ["*"]:
             cand = set(self.all_ids)
+        elif not conjunctive:
+            cand = set()
+            for t in set(include):
+                cand |= set(self.postings.get(t, {}).keys())
         else:
             sets = []
             for t in set(include):
@@ -81,14 +87,17 @@ class OracleIndex:
             exclude = list(exc) + list(exclude_terms)
         else:
             include, exclude = list(query), list(exclude_terms)
-        cand = self.candidates(include, exclude)
+        conjunctive = mode != "bm25_or"
+        cand = self.candidates(include, exclude, conjunctive)
         results = []
-        if mode == "bm25":
+        if mode in ("bm25", "bm25_or"):
             for did in cand:
                 score = 0.0
                 if include != ["*"]:
                     dl = self.doclen[did]
                     for t in sorted(set(include)):
+                        if did not in self.postings.get(t, {}):
+                            continue  # disjunctive: absent term adds nothing
                         tf = len(self.postings[t][did])
                         idf = float(bm25_idf(self.df(t), self.n_docs))
                         score += float(

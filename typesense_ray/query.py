@@ -167,6 +167,92 @@ class SegmentSearcher:
                 scores += bm25_term_scores(tf, dl, idf, avgdl, k1, b)
         return self._topk(cand, scores, k)
 
+    def search_bm25_disjunctive(
+        self,
+        include_terms: list[str],
+        exclude_terms: list[str],
+        k: int,
+        global_df: dict[str, int],
+        n_docs_total: int,
+        avgdl: float,
+        k1: float,
+        b: float,
+        filter_mask: np.ndarray | None = None,
+        method: str = "auto",
+        block_size: int | None = None,
+    ):
+        """Segment-local disjunctive (OR) BM25 top-k.
+
+        ``method="dense"``: score-all accumulator — local ids are dense
+        ordinals, so ``scores[ids] += term_scores`` per term is a
+        branch-free vectorized pass (the fast path for segment-sized doc
+        counts). ``method="wand"``: block-max WAND (``wand.py``) — decodes
+        only the blocks that can beat the running threshold; the scale
+        path for very long postings. ``"auto"`` uses WAND for unfiltered
+        queries over large segments. Exclusions/filters force dense (the
+        mask must suppress docs before they enter the heap)."""
+        terms = sorted(set(t for t in include_terms if t != "*"))
+        if not terms:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        post = self.postings(terms)
+        if not post:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        if method == "auto":
+            method = (
+                "wand"
+                if filter_mask is None and not exclude_terms
+                and self.n_docs > 65536
+                else "dense"
+            )
+        if method == "wand" and any(
+            "bm_ids_boff" not in p for p in post.values()
+        ):
+            method = "dense"  # pre-v2 segment without block byte offsets
+        if method == "wand" and filter_mask is None and not exclude_terms:
+            from typesense_ray.codec import BLOCK_SIZE
+            from typesense_ray.wand import TermCursor, wand_topk
+
+            from typesense_ray.scoring import bm25_idf as _idf
+
+            if block_size is None:
+                block_size = BLOCK_SIZE
+            cursors = [
+                TermCursor(
+                    post[t],
+                    float(_idf(global_df[t], n_docs_total)),
+                    k1, b, avgdl, self.doclen, block_size, term=t,
+                )
+                for t in terms
+                if t in post
+            ]
+            lids, scores = wand_topk(cursors, k)
+            return self.doc_ids[lids], scores
+
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        present = np.zeros(self.n_docs, dtype=bool)
+        for t in terms:
+            if t not in post:
+                continue
+            p = post[t]
+            ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(np.int64)
+            tfs = varbyte_decode(p["tfs_vb"], p["df"]).astype(np.int64)
+            idf = float(bm25_idf(global_df[t], n_docs_total))
+            scores[ids] += bm25_term_scores(
+                tfs, self.doclen[ids], idf, avgdl, k1, b
+            )
+            present[ids] = True
+        if exclude_terms:
+            ex = self.postings(list(exclude_terms))
+            for t, p in ex.items():
+                ex_ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(np.int64)
+                present[ex_ids] = False
+        if filter_mask is not None:
+            present &= filter_mask
+        cand = np.flatnonzero(present)
+        if cand.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        return self._topk(cand, scores[cand], k)
+
     def search_reference(
         self,
         include_terms: list[str],
@@ -290,6 +376,7 @@ class LocalIndexSearcher:
         static_field: str | None = None,
         filter_masks: list[np.ndarray] | None = None,
         total_cost: int = 0,
+        disjunctive_method: str = "auto",
     ) -> pa.Table:
         from typesense_ray.tokenizer import tokenize_query
 
@@ -298,9 +385,9 @@ class LocalIndexSearcher:
             exclude = list(exc) + list(exclude_terms)
         else:
             include, exclude = list(query), list(exclude_terms)
-        if mode == "bm25":
+        if mode in ("bm25", "bm25_or"):
             dfs = self._dfs([t for t in include if t != "*"])
-            if any(dfs[t] == 0 for t in dfs):
+            if mode == "bm25" and any(dfs[t] == 0 for t in dfs):
                 return pa.table(
                     {"doc_id": pa.array([], pa.uint64()),
                      "score": pa.array([], pa.float64())}
@@ -308,10 +395,19 @@ class LocalIndexSearcher:
             parts = []
             for i, seg in enumerate(self.segments):
                 mask = filter_masks[i] if filter_masks else None
-                ids, scores = seg.search_bm25(
-                    include, exclude, k, dfs, self.stats["n_docs"],
-                    self.stats["avgdl"], self.stats["k1"], self.stats["b"], mask,
-                )
+                if mode == "bm25":
+                    ids, scores = seg.search_bm25(
+                        include, exclude, k, dfs, self.stats["n_docs"],
+                        self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+                        mask,
+                    )
+                else:
+                    ids, scores = seg.search_bm25_disjunctive(
+                        include, exclude, k, dfs, self.stats["n_docs"],
+                        self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+                        mask, method=disjunctive_method,
+                        block_size=self.stats["config"].get("block_size"),
+                    )
                 if ids.size:
                     parts.append((ids, scores))
             merged = merge_topk(parts, k)

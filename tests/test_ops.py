@@ -10,7 +10,12 @@ import pytest
 
 from typesense_ray.collection import RayCollection
 from typesense_ray.index_build import IndexConfig
-from typesense_ray.ops import delete_by_filter, export_documents, import_documents
+from typesense_ray.ops import (
+    delete_by_filter,
+    export_documents,
+    import_documents,
+    upsert_documents,
+)
 
 
 @pytest.fixture()
@@ -81,6 +86,66 @@ def test_delete_by_ids(built):
     coll = RayCollection(built, default_sorting_field="points")
     r = coll.search("rocket")
     assert {h["document"]["docnum"] for h in r["hits"]} == {1, 3}
+
+
+def test_upsert_replaces_and_appends(built):
+    import ray.data as rd
+
+    delta = [
+        # replaces docnum=0 (same key, no longer matches "rocket")
+        {"docnum": 0, "title": "alpha satellite relay", "points": 11, "lang": "en"},
+        # brand-new doc
+        {"docnum": 9, "title": "eta rocket booster", "points": 70, "lang": "en"},
+    ]
+    stats = upsert_documents(rd.from_items(delta), built)
+    assert stats["n_docs"] == 7
+    assert stats["upserted_docs"] == 2
+    coll = RayCollection(built, default_sorting_field="points")
+    r = coll.search("rocket")
+    assert {h["document"]["docnum"] for h in r["hits"]} == {1, 3, 5, 9}
+    r2 = coll.search("relay")
+    assert [h["document"]["docnum"] for h in r2["hits"]] == [0]
+    assert r2["hits"][0]["document"]["points"] == 11  # new version stored
+
+
+def test_upsert_equals_fresh_build(built, tmp_path):
+    """Upsert (compaction + delta segments + df re-merge) must be score-
+    exact vs a fresh build of the final corpus."""
+    import ray.data as rd
+
+    final_rows = [
+        {"docnum": 0, "title": "alpha satellite relay", "points": 11, "lang": "en"},
+        {"docnum": 1, "title": "beta rocket landing", "points": 20, "lang": "en"},
+        {"docnum": 2, "title": "gamma satellite orbit", "points": 30, "lang": "fr"},
+        {"docnum": 3, "title": "delta rocket orbit", "points": 40, "lang": "fr"},
+        {"docnum": 4, "title": "epsilon ground station", "points": 50, "lang": "en"},
+        {"docnum": 5, "title": "zeta rocket telemetry", "points": 60, "lang": "de"},
+        {"docnum": 9, "title": "eta rocket booster", "points": 70, "lang": "en"},
+    ]
+    upsert_documents(rd.from_items([final_rows[0], final_rows[-1]]), built)
+    out2 = str(tmp_path / "fresh")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=2,
+        meta_fields=("docnum", "title", "points", "lang"),
+    )
+    import_documents(rd.from_items(final_rows), out2, cfg, concurrency=2)
+    for q in ("rocket", "satellite", "orbit"):
+        got = RayCollection(built, default_sorting_field="points").search(q)
+        want = RayCollection(out2, default_sorting_field="points").search(q)
+        got_pairs = [(h["document"]["docnum"], h["score"]) for h in got["hits"]]
+        want_pairs = [(h["document"]["docnum"], h["score"]) for h in want["hits"]]
+        assert got_pairs == want_pairs, q
+
+
+def test_upsert_duplicate_keys_rejected(built):
+    import ray.data as rd
+
+    delta = [
+        {"docnum": 0, "title": "one", "points": 1, "lang": "en"},
+        {"docnum": 0, "title": "two", "points": 2, "lang": "en"},
+    ]
+    with pytest.raises(ValueError, match="duplicate doc keys"):
+        upsert_documents(rd.from_items(delta), built)
 
 
 def test_delete_then_scores_consistent(built):

@@ -93,6 +93,21 @@ def doc_id_from_key(*parts: str) -> int:
     return int.from_bytes(h.digest(), "big") & 0x7FFFFFFFFFFFFFFF
 
 
+def compute_doc_ids(batch: pa.Table, cfg: "IndexConfig") -> np.ndarray:
+    """Doc ids for a batch under ``cfg`` — either the explicit ``id_field``
+    column or :func:`doc_id_from_key` over ``id_fields``. Pure function of
+    the data, shared by the segment writer and the upsert path."""
+    if cfg.id_field:
+        ids = batch[cfg.id_field].to_numpy()
+        if ids.min() < 0:
+            raise ValueError("id_field values must be non-negative")
+        return ids.astype(np.uint64)
+    cols = [batch[f].to_pylist() for f in cfg.id_fields]
+    return np.array(
+        [doc_id_from_key(*key) for key in zip(*cols)], dtype=np.uint64
+    )
+
+
 FIELD_SEP = "\x1f"  # joins field name + term in secondary-field keys
 ARRAY_POS_STRIDE = 1 << 16  # position offset between string[] elements
 
@@ -118,16 +133,7 @@ class SegmentWriter:
     # -- helpers -----------------------------------------------------------
 
     def _doc_ids(self, batch: pa.Table) -> np.ndarray:
-        cfg = self.cfg
-        if cfg.id_field:
-            ids = batch[cfg.id_field].to_numpy()
-            if ids.min() < 0:
-                raise ValueError("id_field values must be non-negative")
-            return ids.astype(np.uint64)
-        cols = [batch[f].to_pylist() for f in cfg.id_fields]
-        return np.array(
-            [doc_id_from_key(*key) for key in zip(*cols)], dtype=np.uint64
-        )
+        return compute_doc_ids(batch, self.cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()

@@ -163,77 +163,65 @@ def _compact_segment(seg_dir: str, keep: np.ndarray, seg_root: str,
     }
 
 
-def delete_by_filter(index_dir: str, filter_by: str = "",
-                     doc_ids: list[int] | None = None) -> dict:
-    """Delete docs matching a ``filter_by`` expression (and/or an explicit
-    id list); affected segments are compacted in place (new content-
-    addressed dirs), global stats refreshed. Returns updated stats."""
+def _segment_delete_work(seg_dir: str, filter_by: str, want_ids: np.ndarray,
+                         seg_root: str, cfg_fp: str, block_size: int) -> dict:
+    """Per-segment delete: evaluate the mask and compact if any doc dies.
+    Runs as a Ray task — deletes over many segments fan out instead of
+    looping on the driver. ``segment_id=None`` means the whole segment
+    was deleted."""
     from typesense_ray.filtering import arrow_field_kind
-    from typesense_ray.query import SegmentSearcher, load_stats, segment_dirs
 
-    stats = load_stats(index_dir)
-    cfg_fp = stats["config"].get("config_fingerprint") or IndexConfig(
-        **{k: (tuple(v) if isinstance(v, list) else v)
-           for k, v in stats["config"].items()}
-    ).fingerprint()
-    block_size = stats["config"].get("block_size", 128)
-    seg_root = os.path.join(index_dir, "segments")
-
-    want_ids = (
-        np.array(sorted(set(doc_ids)), dtype=np.uint64)
-        if doc_ids else np.empty(0, np.uint64)
-    )
-    new_segments = []
-    n_docs = 0
-    doclen_sum = 0
-    n_deleted = 0
-    for d in segment_dirs(index_dir):
-        seg = SegmentSearcher(d)
+    m = json.load(open(os.path.join(seg_dir, MANIFEST_FILE)))
+    if filter_by:
+        docs = pq.read_table(os.path.join(seg_dir, DOCS_FILE))
+        seg_ids = docs["doc_id"].to_numpy()
+    else:
+        # id-only deletes need just the id column to decide overlap
+        docs = None
+        seg_ids = pq.read_table(
+            os.path.join(seg_dir, DOCS_FILE), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+    delete_mask = np.zeros(len(seg_ids), dtype=bool)
+    if want_ids.size:
+        delete_mask |= np.isin(seg_ids, want_ids)
+    if filter_by:
         field_types = {
-            name: arrow_field_kind(seg.docs.schema.field(name).type)
-            for name in seg.docs.column_names
+            name: arrow_field_kind(docs.schema.field(name).type)
+            for name in docs.column_names
         }
-        delete_mask = np.zeros(seg.n_docs, dtype=bool)
-        if filter_by:
-            clauses = parse_filter(filter_by, field_types)
-            delete_mask |= eval_filters(
-                seg.docs, clauses, field_types, StringTokenCache()
-            )
-        if want_ids.size:
-            delete_mask |= np.isin(seg.doc_ids, want_ids)
-        if not delete_mask.any():
-            sid = os.path.basename(d)[len("seg-"):]
-            m = json.load(open(os.path.join(d, MANIFEST_FILE)))
-            new_segments.append(sid)
-            n_docs += m["n_docs"]
-            doclen_sum += m["doclen_sum"]
-            continue
-        n_deleted += int(delete_mask.sum())
-        keep = ~delete_mask
-        if not keep.any():
-            continue  # whole segment deleted
-        res = _compact_segment(d, keep, seg_root, cfg_fp, block_size)
-        new_segments.append(res["segment_id"])
-        n_docs += res["n_docs"]
-        doclen_sum += res["doclen_sum"]
+        clauses = parse_filter(filter_by, field_types)
+        delete_mask |= eval_filters(docs, clauses, field_types, StringTokenCache())
+    if not delete_mask.any():
+        return {
+            "segment_id": m["segment_id"],
+            "n_docs": m["n_docs"],
+            "doclen_sum": m["doclen_sum"],
+            "n_postings": m.get("n_postings", 0),
+            "n_deleted": 0,
+        }
+    n_del = int(delete_mask.sum())
+    keep = ~delete_mask
+    if not keep.any():  # whole segment deleted
+        return {"segment_id": None, "n_docs": 0, "doclen_sum": 0,
+                "n_postings": 0, "n_deleted": n_del}
+    res = _compact_segment(seg_dir, keep, seg_root, cfg_fp, block_size)
+    res["n_deleted"] = n_del
+    return res
 
-    stats["segments"] = new_segments
-    stats["n_docs"] = n_docs
-    stats["doclen_sum"] = doclen_sum
-    stats["avgdl"] = (doclen_sum / n_docs) if n_docs else 0.0
-    stats["n_segments"] = len(new_segments)
-    stats["deleted_docs"] = stats.get("deleted_docs", 0) + n_deleted
 
-    # refresh global df (streamed combiner merge over surviving segments)
+def _refresh_global_df(index_dir: str, seg_ids: list[str]) -> None:
+    """Rewrite ``global/df`` by re-merging the per-segment ``(term, df)``
+    partials (streamed combiner merge — vocab ≪ corpus)."""
     import pyarrow.dataset as pads
     import shutil
 
+    seg_root = os.path.join(index_dir, "segments")
     df_dir = os.path.join(index_dir, "global", "df")
     shutil.rmtree(df_dir, ignore_errors=True)
     os.makedirs(df_dir, exist_ok=True)
     dfs: dict[str, int] = {}
     paths = [
-        os.path.join(seg_root, f"seg-{sid}", POSTINGS_FILE) for sid in new_segments
+        os.path.join(seg_root, f"seg-{sid}", POSTINGS_FILE) for sid in seg_ids
     ]
     if paths:
         for rb in pads.dataset(paths).scanner(columns=["term", "df"]).to_batches():
@@ -247,6 +235,136 @@ def delete_by_filter(index_dir: str, filter_by: str = "",
         ),
         os.path.join(df_dir, "df.parquet"),
     )
+
+
+def delete_by_filter(index_dir: str, filter_by: str = "",
+                     doc_ids=None, *, _commit: bool = True) -> dict:
+    """Delete docs matching a ``filter_by`` expression (and/or an explicit
+    id list); affected segments are compacted in parallel Ray tasks (new
+    content-addressed dirs), global stats refreshed. ``_commit=False``
+    defers the manifest + global-df write (used by :func:`upsert_documents`
+    so a crash between its delete and append phases leaves the old
+    manifest — and thus the old index view — intact)."""
+    import ray
+
+    from typesense_ray.query import load_stats, segment_dirs
+
+    stats = load_stats(index_dir)
+    cfg_fp = stats["config"].get("config_fingerprint") or IndexConfig(
+        **{k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in stats["config"].items()}
+    ).fingerprint()
+    block_size = stats["config"].get("block_size", 128)
+    seg_root = os.path.join(index_dir, "segments")
+
+    want_ids = (
+        np.unique(np.asarray(list(doc_ids), dtype=np.uint64))
+        if doc_ids is not None and len(doc_ids)
+        else np.empty(0, np.uint64)
+    )
+    dirs = segment_dirs(index_dir)
+    ids_ref = ray.put(want_ids)  # broadcast once, not per task
+    task = ray.remote(num_cpus=1)(_segment_delete_work)
+    results = ray.get(
+        [task.remote(d, filter_by, ids_ref, seg_root, cfg_fp, block_size)
+         for d in dirs]
+    )
+
+    new_segments = [r["segment_id"] for r in results if r["segment_id"]]
+    stats["segments"] = new_segments
+    stats["n_docs"] = int(sum(r["n_docs"] for r in results))
+    stats["doclen_sum"] = int(sum(r["doclen_sum"] for r in results))
+    stats["n_postings"] = int(sum(r["n_postings"] for r in results))
+    stats["avgdl"] = (
+        stats["doclen_sum"] / stats["n_docs"] if stats["n_docs"] else 0.0
+    )
+    stats["n_segments"] = len(new_segments)
+    stats["deleted_docs"] = stats.get("deleted_docs", 0) + int(
+        sum(r["n_deleted"] for r in results)
+    )
+    if _commit:
+        _refresh_global_df(index_dir, new_segments)
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+    return stats
+
+
+def upsert_documents(source, index_dir: str, *,
+                     concurrency: int | None = None) -> dict:
+    """Upsert a delta of documents into an existing index: docs whose
+    (data-derived) ``doc_id`` already exists replace the old version; new
+    ids append. The reference mutates postings in place on update
+    (``src/index.cpp:2086-2191`` remove + re-add); with immutable segments
+    this becomes: compact old versions out of affected segments (parallel
+    Ray tasks), write the delta as fresh content-addressed segments, then
+    re-merge global stats and commit one manifest. Assumes the delta is
+    small relative to the index (its id set is broadcast via ``ray.put``);
+    for bulk rewrites, rebuild instead."""
+    import ray
+    import ray.data as rd
+
+    from typesense_ray.index_build import SegmentWriter, compute_doc_ids
+    from typesense_ray.query import load_stats
+
+    stats = load_stats(index_dir)
+    cfg = IndexConfig(
+        **{k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in stats["config"].items()}
+    )
+    if isinstance(source, str):
+        source = (
+            rd.read_json(source)
+            if source.endswith((".jsonl", ".json"))
+            else rd.read_parquet(source)
+        )
+    # the delta is consumed twice (id scan, then segment build): pin it
+    source = source.materialize()
+
+    id_parts = [
+        compute_doc_ids(b, cfg)
+        for b in source.iter_batches(
+            batch_format="pyarrow", batch_size=cfg.batch_docs
+        )
+    ]
+    incoming = (
+        np.concatenate(id_parts) if id_parts else np.empty(0, np.uint64)
+    )
+    uniq, counts = np.unique(incoming, return_counts=True)
+    if (counts > 1).any():
+        raise ValueError(
+            "duplicate doc keys within one upsert delta (last-write-wins "
+            "is ambiguous under parallel segment builds) — dedup first"
+        )
+
+    # phase 1: drop old versions (uncommitted — old manifest stays valid)
+    stats = delete_by_filter(index_dir, doc_ids=uniq, _commit=False)
+
+    # phase 2: append the delta as new segments
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+    ds = source
+    if ds.num_blocks() < concurrency and len(uniq) > cfg.batch_docs:
+        ds = ds.repartition(concurrency)
+    manifests = ds.map_batches(
+        SegmentWriter(index_dir, cfg),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_docs,
+        concurrency=concurrency,
+        num_cpus=cfg.writer_num_cpus,
+    ).take_all()
+
+    stats["segments"] = stats["segments"] + [m["segment_id"] for m in manifests]
+    stats["n_docs"] += int(sum(m["n_docs"] for m in manifests))
+    stats["doclen_sum"] += int(sum(m["doclen_sum"] for m in manifests))
+    stats["n_postings"] += int(sum(m["n_postings"] for m in manifests))
+    stats["avgdl"] = (
+        stats["doclen_sum"] / stats["n_docs"] if stats["n_docs"] else 0.0
+    )
+    stats["n_segments"] = len(stats["segments"])
+    stats["upserted_docs"] = stats.get("upserted_docs", 0) + int(len(uniq))
+
+    # phase 3: commit — global df over surviving + new segments, one manifest
+    _refresh_global_df(index_dir, stats["segments"])
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(stats, f, indent=1)
     return stats

@@ -372,7 +372,8 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
 
 def q_typo_search(sf_dir: str) -> pa.Table:
     """Typo-tolerant search (deletion-neighborhood + OSA verify): a typo'd
-    query must recover the clean query's matches."""
+    query recovers the clean query's full match set (uncapped id view, so
+    the DuckDB oracle can mirror it with damerau_levenshtein)."""
     from typesense_ray.typo import build_typo_table
 
     coll = _docs_index(sf_dir)
@@ -380,9 +381,16 @@ def q_typo_search(sf_dir: str) -> pa.Table:
         build_typo_table(coll._local.index_dir)
         coll._typo_resolver = None
         _CACHE[f"typo:{sf_dir}"] = True
-    r = coll.search("strean jion", num_typos=2, per_page=250, highlight=False)
-    ids = sorted(h["document"]["doc_id"] for h in r["hits"])
-    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+    return coll.matching_ids("strean jion", num_typos=2)
+
+
+def q_multifield_ids(sf_dir: str) -> pa.Table:
+    """Cross-field match set: a doc hits when SOME query_by field contains
+    every query token (text tokens vs the source keyword field)."""
+    _multifield_coll(sf_dir)  # ensure the two-field index exists
+    return _CACHE[f"mf:{sf_dir}"].matching_ids(
+        "src8", query_by=["text", "source"]
+    )
 
 
 def q_prefix_search(sf_dir: str) -> pa.Table:
@@ -465,9 +473,9 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     )
 
 
-def q_multifield_search(sf_dir: str) -> pa.Table:
-    """query_by over two fields (text + source) with weights — built on a
-    dedicated small index with source as a secondary indexed field."""
+def _multifield_coll(sf_dir: str):
+    """Collection over documents with ``source`` as a secondary indexed
+    field (built once per sf_dir)."""
     from typesense_ray.collection import RayCollection
     from typesense_ray.index_build import IndexConfig, build_index
 
@@ -484,6 +492,13 @@ def q_multifield_search(sf_dir: str) -> pa.Table:
         )
         build_index(f"{sf_dir}/documents.parquet", out, cfg)
         coll = _CACHE[key] = RayCollection(out, default_sorting_field="n_chars")
+    return coll
+
+
+def q_multifield_search(sf_dir: str) -> pa.Table:
+    """query_by over two fields (text + source) with weights — built on a
+    dedicated small index with source as a secondary indexed field."""
+    coll = _multifield_coll(sf_dir)
     r = coll.search(
         "src8 data", query_by=["text", "source"], query_by_weights=[1, 2],
         per_page=50, highlight=False, drop_tokens_threshold=1,
@@ -654,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_ivf": q_ann_ivf,
         "multifield_search": q_multifield_search,
+        "multifield_ids": q_multifield_ids,
     }
 
 
@@ -805,6 +821,29 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
         "prefix_search": _TOKS_CTE
         + """
 SELECT DISTINCT doc_id FROM toks2 WHERE term LIKE 'wind%' ORDER BY doc_id
+""",
+        # typo semantics: per token, accept vocabulary terms within OSA
+        # distance <= 2 (DuckDB's damerau_levenshtein matches OSA on this
+        # vocab); a doc hits when it contains one accepted term per token.
+        "typo_search": _TOKS_CTE
+        + """
+, vocab AS (SELECT DISTINCT term FROM toks2),
+c1 AS (SELECT term FROM vocab WHERE damerau_levenshtein('strean', term) <= 2),
+c2 AS (SELECT term FROM vocab WHERE damerau_levenshtein('jion', term) <= 2)
+SELECT DISTINCT a.doc_id FROM toks2 a
+WHERE a.term IN (SELECT term FROM c1)
+  AND EXISTS (
+    SELECT 1 FROM toks2 b
+    WHERE b.doc_id = a.doc_id AND b.term IN (SELECT term FROM c2)
+  )
+ORDER BY doc_id
+""",
+        "multifield_ids": _TOKS_CTE
+        + """
+SELECT doc_id FROM documents WHERE source = 'src8'
+UNION
+SELECT doc_id FROM toks2 WHERE term = 'src8'
+ORDER BY doc_id
 """,
         "events_tumbling": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window,

@@ -432,11 +432,33 @@ class RayCollection:
         tbl = self._local.hydrate(np.array([did], dtype=np.uint64), columns)
         return None if tbl is None or tbl.num_rows == 0 else tbl.to_pylist()[0]
 
-    def matching_ids(self, q: str, filter_by: str = "") -> pa.Table:
+    def matching_ids(
+        self,
+        q: str,
+        filter_by: str = "",
+        *,
+        query_by: list[str] | None = None,
+        num_typos: int = 0,
+    ) -> pa.Table:
         """All matching doc_ids for a query+filter (no top-k cap) — the
         export / bulk-delete-resolution path (``src/core_api.cpp:880-985``
-        resolves filter matches the same way before deleting)."""
+        resolves filter matches the same way before deleting).
+
+        ``query_by`` unions conjunctive matches across fields (a doc hits
+        when SOME field contains every query token); ``num_typos`` expands
+        each token through the typo resolver first and unions all query
+        variants — the id-set view of fuzzy search."""
+        primary = self.stats["config"]["text_field"]
         include, exclude = tokenize_query(q)
+        if num_typos and include and include != ["*"]:
+            variants = [
+                v for v, _ in self.typo_resolver.expand_query(include, num_typos)
+            ]
+            if not variants:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+        else:
+            variants = [include]
+        fields = query_by or [primary]
         clauses = parse_filter(filter_by, self.field_types) if filter_by else []
         ids = []
         for si, seg in enumerate(self.segments):
@@ -445,9 +467,19 @@ class RayCollection:
                 if clauses
                 else None
             )
-            cand, _ = seg.candidates(include, exclude, mask, False)
-            if cand.size:
-                ids.append(seg.doc_ids[cand])
+            acc: np.ndarray | None = None
+            for field in fields:
+                pref = (lambda t: t) if field == primary else (
+                    lambda t, f=field: f + FIELD_SEP + t
+                )
+                pexcl = [pref(e) for e in exclude]
+                for terms in variants:
+                    pterms = terms if terms == ["*"] else [pref(t) for t in terms]
+                    cand, _ = seg.candidates(pterms, pexcl, mask, False)
+                    if cand.size:
+                        acc = cand if acc is None else np.union1d(acc, cand)
+            if acc is not None and acc.size:
+                ids.append(seg.doc_ids[acc])
         all_ids = (
             np.sort(np.concatenate(ids)) if ids else np.empty(0, np.uint64)
         )

@@ -71,38 +71,35 @@ def _i64(tbl: pa.Table, col: str) -> pa.Table:
 
 
 def q_term_df_top50(sf_dir: str) -> pa.Table:
-    """Tokenize → (term, doc) triples → pre-agg per batch → groupby(term)
-    df → top 50 by (df desc, term asc). The index-build hot path exposed
-    as a relational result."""
+    """Tokenize → per-batch partial df (combiner) → stream-merge the
+    vocab-sized partials → top 50 by (df desc, term asc). The index-build
+    hot path exposed as a relational result."""
+    import pandas as pd
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
+    from typesense_ray.agg import combiner_aggregate
     from typesense_ray.tokenizer import doc_term_positions
 
-    def triples(batch: pa.Table) -> pa.Table:
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
         terms: dict[str, int] = {}
-        for text in batch["text"].to_pylist():
+        for text in df["text"]:
             d, _ = doc_term_positions(text or "")
             for t in d:
                 terms[t] = terms.get(t, 0) + 1  # per-batch partial df
-        ks = sorted(terms)
-        return pa.table(
-            {"term": pa.array(ks, pa.string()),
-             "df_part": pa.array([terms[k] for k in ks], pa.int64())}
+        return pd.DataFrame(
+            {"term": list(terms.keys()), "df": list(terms.values())}
         )
 
-    ds = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-        .map_batches(triples, batch_format="pyarrow")
-        # partials are vocab-sized; coalesce before the shuffle so the
-        # aggregate doesn't pay wide-op overhead on tiny blocks
-        .repartition(8)
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"))
-        .sort(["df", "term"], descending=[True, False])
-        .limit(50)
+    out = combiner_aggregate(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        triples, ["term"], {"df": "sum"},
     )
-    return _i64(pa.Table.from_pandas(ds.to_pandas()), "df").select(["term", "df"])
+    out = out.sort_values(
+        ["df", "term"], ascending=[False, True], kind="stable"
+    ).head(50)
+    return _i64(
+        pa.Table.from_pandas(out.reset_index(drop=True)), "df"
+    ).select(["term", "df"])
 
 
 def q_bm25_topk(sf_dir: str) -> pa.Table:
@@ -156,35 +153,46 @@ def q_facet_lang_counts(sf_dir: str) -> pa.Table:
 
 
 def q_facet_stats_by_lang(sf_dir: str) -> pa.Table:
-    """Facet-stats machinery (min/max/sum/avg/count) as a grouped aggregate
-    (the reference's numeric facet stats, src/index.cpp:608-640)."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    """Facet-stats machinery (min/max/sum/avg/count) as a combiner
+    aggregate (the reference's numeric facet stats, src/index.cpp:608-640):
+    each batch reduces to ≤|langs| partial rows, stream-merged."""
+    import pandas as pd
+    import ray.data as rd
 
-    ds = (
-        _read(sf_dir, "documents")
-        .groupby("lang")
-        .aggregate(
-            Min("n_chars", alias_name="min_nc"),
-            Max("n_chars", alias_name="max_nc"),
-            Sum("n_chars", alias_name="sum_nc"),
-            Mean("n_chars", alias_name="avg_nc"),
-            Count(alias_name="cnt"),
+    from typesense_ray.agg import combiner_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            min_nc=("n_chars", "min"), max_nc=("n_chars", "max"),
+            sum_nc=("n_chars", "sum"), cnt=("n_chars", "size"),
         )
+
+    out = combiner_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+        ),
+        partial, ["lang"],
+        {"min_nc": "min", "max_nc": "max", "sum_nc": "sum", "cnt": "sum"},
     )
-    tbl = pa.Table.from_pandas(ds.to_pandas())
-    tbl = pa.table(
+    tbl = pa.Table.from_pandas(out.reset_index(drop=True))
+    return pa.table(
         {
             "lang": tbl["lang"],
             "min_nc": tbl["min_nc"].cast(pa.int64()),
             "max_nc": tbl["max_nc"].cast(pa.int64()),
             "sum_nc": tbl["sum_nc"].cast(pa.int64()),
             "avg_nc": pa.array(
-                [round(float(x), 6) for x in tbl["avg_nc"].to_pylist()], pa.float64()
+                [
+                    round(float(s) / int(c), 6)
+                    for s, c in zip(
+                        tbl["sum_nc"].to_pylist(), tbl["cnt"].to_pylist()
+                    )
+                ],
+                pa.float64(),
             ),
             "cnt": tbl["cnt"].cast(pa.int64()),
         }
     )
-    return tbl
 
 
 def q_sort_topk(sf_dir: str) -> pa.Table:
@@ -314,8 +322,12 @@ def _augmented_docs(sf_dir: str):
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.dedup import minhash_lsh_pairs
 
+    # 8 bands x 8 rows: the LSH S-curve midpoint (1/8)^(1/8) ~= 0.77 sits
+    # at the verify threshold, so near-threshold junk pairs don't flood the
+    # verify stage on this high-baseline-similarity synthetic corpus
     pairs = minhash_lsh_pairs(
-        _augmented_docs(sf_dir), text_col="text", id_col="doc_id", threshold=0.7
+        _augmented_docs(sf_dir), text_col="text", id_col="doc_id",
+        threshold=0.7, bands=8,
     )
     return pa.table(
         {
@@ -537,7 +549,9 @@ def q_tpch_q1ish(sf_dir: str) -> pa.Table:
     pre-aggregates to ≤|groups| rows inside map_batches, so the shuffle
     moves partials, not the 600k-row table."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+    import ray.data as rd
+
+    from typesense_ray.agg import combiner_aggregate
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
@@ -548,18 +562,18 @@ def q_tpch_q1ish(sf_dir: str) -> pa.Table:
         )
         return g
 
-    out = (
-        _read(sf_dir, "lineitem")
-        .map_batches(partial, batch_format="pandas")
-        .repartition(8)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
-        )
+    out = combiner_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount",
+            ],
+        ),
+        partial, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": "sum", "sum_disc_price": "sum", "count_order": "sum"},
     )
-    tbl = pa.Table.from_pandas(out.to_pandas())
+    tbl = pa.Table.from_pandas(out.reset_index(drop=True))
     avg = [
         s / c
         for s, c in zip(tbl["sum_qty"].to_pylist(), tbl["count_order"].to_pylist())
@@ -598,17 +612,14 @@ def q_events_tumbling(sf_dir: str) -> pa.Table:
             sum_value=("value", "sum"), cnt=("value", "size")
         )
 
-    from ray.data.aggregate import Sum
+    from typesense_ray.agg import combiner_aggregate
 
-    out = (
-        _read(sf_dir, "events")
-        .map_batches(window_partials, batch_format="pandas")
-        .repartition(8)
-        .groupby(["window", "event_type"])
-        .aggregate(Sum("sum_value", alias_name="sum_value"),
-                   Sum("cnt", alias_name="cnt"))
+    out = combiner_aggregate(
+        _read(sf_dir, "events"),
+        window_partials, ["window", "event_type"],
+        {"sum_value": "sum", "cnt": "sum"},
     )
-    tbl = pa.Table.from_pandas(out.to_pandas())
+    tbl = pa.Table.from_pandas(out.reset_index(drop=True))
     return pa.table(
         {
             "window": tbl["window"],

@@ -171,27 +171,49 @@ class SegmentWriter:
 
         t_sha = time.perf_counter()
 
-        # tokenize → flat (term, doc, tf, positions) entry arrays; grouping
-        # into per-term postings is one stable argsort over term codes (docs
-        # are processed in ascending local-id order, so within a term the
-        # doc ids stay ascending after the stable sort).
-        doclens = np.zeros(n, dtype=np.int32)
-        entry_terms: list[str] = []
-        entry_docs: list[int] = []
-        entry_tfs: list[int] = []
-        pos_flat_list: list[int] = []
-        for local_id, text in enumerate(texts):
+        # tokenize → flat occurrence stream (token, doc, slot-pos) — one
+        # translate+split per doc (C calls), then every per-token step is a
+        # numpy/pandas kernel: factorize token strings once, one lexsort by
+        # (term, doc, pos) yields the position stream already in posting
+        # order (no per-doc dicts, no per-entry gather).
+        from typesense_ray.tokenizer import _FAST_TBL, _raw_slots, normalize_token
+
+        tok_lists: list[list[str]] = []
+        for text in texts:
             if not text:
-                continue
-            d, doclen = doc_term_positions(text)
-            doclens[local_id] = doclen
-            for term, positions in d.items():
-                entry_terms.append(term)
-                entry_docs.append(local_id)
-                entry_tfs.append(len(positions))
-                pos_flat_list.extend(positions)
-        # secondary indexed fields: same entry stream, field-prefixed keys
+                tok_lists.append([])
+            elif text.isascii():
+                tok_lists.append(text.translate(_FAST_TBL).split(" "))
+            else:
+                tok_lists.append(
+                    [normalize_token(s) for s in _raw_slots(text)]
+                )
+        lens = np.fromiter(
+            (len(s) for s in tok_lists), dtype=np.int64, count=n
+        )
+        total_slots = int(lens.sum())
+        flat = np.empty(total_slots, dtype=object)
+        w = 0
+        for s in tok_lists:
+            flat[w : w + len(s)] = s
+            w += len(s)
+        nonempty = flat != ""
+        occ_tok = flat[nonempty]
+        slot_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+        occ_doc = slot_doc[nonempty]
+        slot_off = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=slot_off[1:])
+        occ_pos = (
+            np.arange(total_slots, dtype=np.int64) - np.repeat(slot_off, lens)
+        )[nonempty]
+        doclens = np.bincount(occ_doc, minlength=n).astype(np.int32)
+
+        # secondary indexed fields: same occurrence stream under
+        # field-prefixed token keys
         extra_doclens: dict[str, np.ndarray] = {}
+        sec_toks: list[str] = []
+        sec_docs: list[int] = []
+        sec_pos: list[int] = []
         for fld in cfg.indexed_fields:
             if fld == cfg.text_field or fld not in batch.column_names:
                 continue
@@ -207,40 +229,57 @@ class SegmentWriter:
                 # stand-in for the reference's per-element offset sentinel
                 # scheme, src/index.cpp:558-606)
                 elems = val if is_arr else [val]
-                agg: dict[str, list[int]] = {}
                 dl = 0
                 for k, el in enumerate(elems):
                     d, n_tok = doc_term_positions(el or "")
                     dl += n_tok
                     off = k * ARRAY_POS_STRIDE
                     for term, positions in d.items():
-                        agg.setdefault(term, []).extend(p + off for p in positions)
+                        pt = prefix + term
+                        for p in positions:
+                            sec_toks.append(pt)
+                            sec_docs.append(local_id)
+                            sec_pos.append(p + off)
                 fdl[local_id] = dl
-                for term, positions in agg.items():
-                    entry_terms.append(prefix + term)
-                    entry_docs.append(local_id)
-                    entry_tfs.append(len(positions))
-                    pos_flat_list.extend(positions)
             extra_doclens[fld] = fdl
+        if sec_toks:
+            occ_tok = np.concatenate(
+                [occ_tok, np.asarray(sec_toks, dtype=object)]
+            )
+            occ_doc = np.concatenate(
+                [occ_doc, np.asarray(sec_docs, dtype=np.int64)]
+            )
+            occ_pos = np.concatenate(
+                [occ_pos, np.asarray(sec_pos, dtype=np.int64)]
+            )
         t_tok = time.perf_counter()
 
-        n_entries = len(entry_terms)
-        if n_entries:
-            # hash-based factorize (O(E)) + sort of the ~unique terms only —
-            # much cheaper than sorting every entry string
+        n_occ = len(occ_tok)
+        if n_occ:
+            # hash-based factorize (O(occurrences)) + sort of the ~unique
+            # terms only — much cheaper than sorting every token string
             import pandas as pd
 
-            codes, uniq = pd.factorize(np.asarray(entry_terms, dtype=object))
+            codes, uniq = pd.factorize(occ_tok)
             uniq_np = np.asarray(uniq, dtype=object)
             srt = np.argsort(uniq_np)
             rank = np.empty_like(srt)
             rank[srt] = np.arange(len(srt))
             uniq_terms = uniq_np[srt]
             inv = rank[codes]
-            order = np.argsort(inv, kind="stable")
-            codes_s = inv[order]
-            docs_s = np.asarray(entry_docs, dtype=np.uint64)[order]
-            tfs_s = np.asarray(entry_tfs, dtype=np.int64)[order]
+            # one sort puts occurrences in (term, doc, pos) posting order
+            order = np.lexsort((occ_pos, occ_doc, inv))
+            inv_s = inv[order]
+            odoc_s = occ_doc[order]
+            pos_sorted = occ_pos[order].astype(np.uint64)
+            entry_bounds = np.r_[
+                True, (inv_s[1:] != inv_s[:-1]) | (odoc_s[1:] != odoc_s[:-1])
+            ]
+            entry_starts_occ = np.flatnonzero(entry_bounds).astype(np.int64)
+            n_entries = len(entry_starts_occ)
+            tfs_s = np.diff(np.append(entry_starts_occ, n_occ)).astype(np.int64)
+            codes_s = inv_s[entry_starts_occ]
+            docs_s = odoc_s[entry_starts_occ].astype(np.uint64)
             term_starts = np.flatnonzero(
                 np.r_[True, codes_s[1:] != codes_s[:-1]]
             ).astype(np.int64)
@@ -261,29 +300,13 @@ class SegmentWriter:
             buf_tfs, nb_tfs = varbyte_encode_raw(tfs_s.astype(np.uint64))
             col_tfs = slice_encoded(buf_tfs, nb_tfs, term_starts)
 
-            # positions: reorder entry chunks into term order via one gather
-            pos_flat = np.asarray(pos_flat_list, dtype=np.uint64)
-            entry_lens = np.asarray(entry_tfs, dtype=np.int64)
-            entry_offs = np.zeros(n_entries, dtype=np.int64)
-            np.cumsum(entry_lens[:-1], out=entry_offs[1:])
-            lens_o = entry_lens[order]
-            offs_o = entry_offs[order]
-            total = int(lens_o.sum())
-            out_off = np.zeros(n_entries, dtype=np.int64)
-            np.cumsum(lens_o[:-1], out=out_off[1:])
-            gather = (
-                np.repeat(offs_o, lens_o)
-                + np.arange(total, dtype=np.int64)
-                - np.repeat(out_off, lens_o)
-            )
-            pos_sorted = pos_flat[gather]
+            # positions are already in posting order from the lexsort:
             # delta with restart at each (term, doc) entry boundary
             d_pos = pos_sorted.copy()
             d_pos[1:] -= pos_sorted[:-1]
-            entry_pos_starts = out_off
-            d_pos[entry_pos_starts] = pos_sorted[entry_pos_starts]
+            d_pos[entry_starts_occ] = pos_sorted[entry_starts_occ]
             buf_pos, nb_pos = varbyte_encode_raw(d_pos)
-            col_pos = slice_encoded(buf_pos, nb_pos, out_off[term_starts])
+            col_pos = slice_encoded(buf_pos, nb_pos, entry_starts_occ[term_starts])
 
             # block-max metadata: one global reduceat over per-term blocks
             bsz = cfg.block_size

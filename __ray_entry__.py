@@ -340,6 +340,32 @@ def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_phrase_search(sf_dir: str) -> pa.Table:
+    """Positional phrase match: all docs containing 'merge group' as
+    strictly consecutive tokens (conjunctive match alone is ~4x larger)."""
+    coll = _docs_index(sf_dir)
+    return coll.phrase_ids("merge group")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-trigram Jaccard near-dup pairs over the augmented docs."""
+    from typesense_ray.functions.dedup import word_ngram_jaccard_pairs
+
+    pairs = word_ngram_jaccard_pairs(
+        _augmented_docs(sf_dir), text_col="text", id_col="doc_id",
+        n=3, threshold=0.6, df_cap=64,
+    )
+    return pa.table(
+        {
+            "a": pairs["a"],
+            "b": pairs["b"],
+            "jaccard": pa.array(
+                [round(j, 4) for j in pairs["jaccard"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def q_simhash_groups(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.dedup import simhash_groups
 
@@ -667,6 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
+        "phrase_search": q_phrase_search,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_groups": q_simhash_groups,
         "langid": q_langid,
@@ -764,6 +792,61 @@ FROM scores ORDER BY raw_score DESC, doc_id DESC LIMIT 10
 SELECT doc_id FROM toks2 WHERE term IN ('window','merge')
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
 ORDER BY doc_id
+""",
+        "phrase_search": """
+-- slot-adjacency phrase match == containment in the normalized string
+-- (tokenizer: lower, newline to space, drop non-alnum within slots)
+SELECT doc_id FROM documents
+WHERE ' ' || regexp_replace(replace(lower(text), chr(10), ' '), '[^a-z0-9 ]', '', 'g') || ' '
+      LIKE '% merge group %'
+ORDER BY doc_id
+""",
+        "ngram_jaccard_pairs": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(string_split(text, ' ')) > 3 THEN
+           array_to_string(
+             list_concat(list_concat(
+               string_split(text, ' ')[1:len(string_split(text, ' ')) // 2],
+               ['mutatedword']),
+               string_split(text, ' ')[len(string_split(text, ' ')) // 2 + 2:]),
+             ' ')
+         ELSE text END AS text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+),
+norm AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(replace(lower(text), chr(10), ' '), '[^a-z0-9 ]', '', 'g'),
+             ' '),
+           x -> x <> '') AS toks
+  FROM aug
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM norm
+),
+tri AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+  FROM idx
+),
+grp AS (SELECT sh, count(*) AS df FROM tri GROUP BY sh),
+kept AS (SELECT t.doc_id, t.sh FROM tri t JOIN grp USING (sh) WHERE grp.df <= 64),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM kept x JOIN kept y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+ORDER BY a, b
 """,
         "filter_dsl": """
 SELECT doc_id FROM documents

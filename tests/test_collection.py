@@ -150,6 +150,21 @@ def test_grouped_facet_counts_distinct_groups(coll):
     assert counts[10] == 2
 
 
+def test_phrase_ids(coll):
+    # adjacency required: "red tshirt" hits only consecutive occurrences
+    assert coll.phrase_ids("red tshirt")["doc_id"].to_pylist() == [5, 8]
+    # conjunctive match exists (doc 8: alpha ... tshirt) but not adjacent
+    assert coll.phrase_ids("alpha tshirt")["doc_id"].to_pylist() == []
+    # order matters
+    assert coll.phrase_ids("omega blue")["doc_id"].to_pylist() == [0]
+    assert coll.phrase_ids("blue omega")["doc_id"].to_pylist() == []
+    # punctuation-only words cannot anchor a phrase
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coll.phrase_ids("red !!!")
+
+
 def test_pagination(coll):
     all_ids = ids(coll.search("*", per_page=10))
     p1 = ids(coll.search("*", per_page=3, page=1))

@@ -81,6 +81,37 @@ def test_ngram_jaccard_bounds():
     assert ngram_jaccard("", "") == 1.0
 
 
+def test_word_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import word_ngram_jaccard_pairs
+
+    base = "one two three four five six seven eight nine ten " * 3
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("five", "FIVE!")},  # same after norm
+        {"doc_id": 3, "text": base.replace("five", "mutated")},  # near-dup
+        {"doc_id": 4, "text": "totally different words about other topics entirely " * 4},
+    ]
+    pairs = word_ngram_jaccard_pairs(
+        rd.from_items(rows), n=3, threshold=0.5, df_cap=64
+    )
+    jac = dict(
+        zip(
+            zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()),
+            pairs["jaccard"].to_pylist(),
+        )
+    )
+    assert jac[(1, 2)] == 1.0  # normalization makes them identical
+    assert 0.5 <= jac[(1, 3)] < 1.0
+    assert all(4 not in p for p in jac)
+    # hot-shingle cap removes everything when every shingle is too common
+    capped = word_ngram_jaccard_pairs(
+        rd.from_items(rows), n=3, threshold=0.0, df_cap=1
+    )
+    assert capped.num_rows == 0
+
+
 def test_simhash_groups(ray_session):
     import ray.data as rd
 

@@ -432,6 +432,11 @@ class RayCollection:
         tbl = self._local.hydrate(np.array([did], dtype=np.uint64), columns)
         return None if tbl is None or tbl.num_rows == 0 else tbl.to_pylist()[0]
 
+    def phrase_ids(self, phrase: str) -> pa.Table:
+        """All doc_ids containing ``phrase`` as strictly consecutive tokens
+        (positional-index phrase match), sorted ascending."""
+        return self._local.phrase_match(phrase)
+
     def matching_ids(
         self,
         q: str,

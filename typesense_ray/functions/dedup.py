@@ -222,6 +222,103 @@ def minhash_lsh_pairs(
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
+def word_ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    df_cap: int = 64,
+):
+    """Exact word-n-gram Jaccard near-dup pairs (no sketching).
+
+    Semantics: per doc, the DISTINCT set of word n-grams over the
+    normalized non-empty token stream (same normalization as the index
+    tokenizer); shingles shared by more than ``df_cap`` docs are stopword
+    shingles and are excluded from BOTH the pair candidates and the
+    per-doc set sizes (so Jaccard is exact over the kept-shingle
+    universe). Returns (a, b, jaccard) for pairs with jaccard ≥ threshold.
+
+    Distributed shape: map_batches(shingle+hash, distinct per doc) →
+    groupby(shingle_hash).map_groups emitting (a, b) co-occurrence rows
+    for groups of size ≤ df_cap — the diagonal row (d, d) carries each
+    doc's kept-shingle size contribution so ONE pair-count groupby yields
+    both sizes (diagonal) and common counts (off-diagonal) — → final
+    jaccard over the aggregated counts. The all-to-alls move only
+    (uint64, int64) rows; per-group pair fan-out is bounded by df_cap².
+    The aggregated count table is ≤ n_docs + Σ per-bucket pairs rows and
+    is reduced driver-side; at larger scale broadcast the diagonal via
+    ``ray.put`` and stream the off-diagonal rows through map_batches.
+    """
+    import pandas as pd
+
+    from typesense_ray.tokenizer import _FAST_TBL, _raw_slots, normalize_token
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_sh: list[str] = []
+        for did, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            text = text or ""
+            if text.isascii():
+                toks = [t for t in text.translate(_FAST_TBL).split(" ") if t]
+            else:
+                toks = [
+                    t
+                    for t in (normalize_token(s) for s in _raw_slots(text))
+                    if t
+                ]
+            shs = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            out_id.extend([did] * len(shs))
+            out_sh.extend(shs)
+        h = pd.util.hash_array(np.asarray(out_sh, dtype=object))
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                id_col: pa.array(out_id, pa.int64()),
+            }
+        )
+
+    def emit_cooc(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if ids.size > df_cap:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        ia, ib = np.triu_indices(ids.size, k=0)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    counts = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(emit_cooc, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .to_pandas()
+    )
+    diag = counts[counts["a"] == counts["b"]]
+    sizes = dict(zip(diag["a"], diag["count()"]))
+    pairs = counts[counts["a"] != counts["b"]]
+    if len(pairs):
+        na = pairs["a"].map(sizes).to_numpy(dtype=np.float64)
+        nb = pairs["b"].map(sizes).to_numpy(dtype=np.float64)
+        c = pairs["count()"].to_numpy(dtype=np.float64)
+        jac = c / (na + nb - c)
+        keep = jac >= threshold
+        pairs = pairs[keep].assign(jaccard=jac[keep])
+        pairs = pairs.sort_values(["a", "b"]).reset_index(drop=True)
+    else:
+        pairs = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return pa.table(
+        {
+            "a": pa.array(pairs["a"], pa.int64()),
+            "b": pa.array(pairs["b"], pa.int64()),
+            "jaccard": pa.array(pairs["jaccard"], pa.float64()),
+        }
+    )
+
+
 # -- simhash ----------------------------------------------------------------
 
 

@@ -137,6 +137,36 @@ class SegmentSearcher:
             ]
         return out
 
+    def phrase_candidates(
+        self, phrase_terms: list[str], filter_mask: np.ndarray | None = None
+    ) -> np.ndarray:
+        """Global doc_ids whose text contains ``phrase_terms`` at strictly
+        consecutive slot positions (positions are separator-slot indices, so
+        a punctuation-only or empty slot between two words breaks adjacency
+        — exactly the normalized-string containment semantics).
+
+        Beyond the reference: it stores positions (``src/index.cpp:526-545``)
+        but only consumes them for proximity scoring; phrase matching is the
+        natural positional-index extension. Evaluation: conjunctive candidate
+        intersection first, then per-candidate shifted position intersection
+        (P ∩ (pos(t_i) - i) for each i) — cost is bounded by the rarest
+        term's df, not the corpus.
+        """
+        cand, post = self.candidates(list(phrase_terms), (), filter_mask, True)
+        if cand.size == 0:
+            return np.empty(0, np.uint64)
+        posmap = self.term_positions_for(post, cand)
+        cols = [posmap[t] for t in phrase_terms]
+        keep = np.zeros(cand.size, dtype=bool)
+        for i in range(cand.size):
+            p = cols[0][i]
+            for off in range(1, len(cols)):
+                p = np.intersect1d(p, cols[off][i] - off, assume_unique=True)
+                if p.size == 0:
+                    break
+            keep[i] = p.size > 0
+        return self.doc_ids[cand[keep]]
+
     def search_bm25(
         self,
         include_terms: list[str],
@@ -438,6 +468,26 @@ class LocalIndexSearcher:
                 )
             return pa.table({"doc_id": merged[0], "s0": merged[1], "s1": merged[2]})
         raise ValueError(f"unknown mode {mode}")
+
+    def phrase_match(self, phrase: str) -> pa.Table:
+        """All doc_ids containing ``phrase`` as consecutive tokens, sorted
+        ascending. The phrase must normalize to non-empty tokens in every
+        slot (an all-punctuation word has no indexable token to anchor on)."""
+        from typesense_ray.tokenizer import normalize_token
+
+        terms = [normalize_token(s) for s in phrase.replace("\n", " ").split(" ")]
+        if not terms or any(not t for t in terms):
+            raise ValueError(
+                "phrase must normalize to a non-empty token per word: "
+                f"{phrase!r} -> {terms}"
+            )
+        parts = [seg.phrase_candidates(terms) for seg in self.segments]
+        ids = (
+            np.sort(np.concatenate(parts))
+            if any(p.size for p in parts)
+            else np.empty(0, np.uint64)
+        )
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64), pa.int64())})
 
     def hydrate(self, doc_ids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         """Fetch stored doc rows for top-k ids (the reference's per-hit

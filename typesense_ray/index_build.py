@@ -520,7 +520,21 @@ def build_index(
                 + list(cfg.meta_fields)
             )
         )
-        ds = rd.read_parquet(source, columns=cols)
+        # pass an explicit metadata-free schema: the writer's pandas metadata
+        # makes pa.Schema unhashable, which defeats Ray's block-schema
+        # deduplication (a per-task "Failed to hash the schemas" unify
+        # fallback otherwise)
+        read_kw = {}
+        try:
+            import pyarrow.dataset as pads
+
+            full = pads.dataset(source).schema
+            read_kw["schema"] = pa.schema(
+                [full.field(c) for c in cols]
+            ).remove_metadata()
+        except Exception:
+            pass
+        ds = rd.read_parquet(source, columns=cols, **read_kw)
     else:
         ds = source
 

@@ -92,7 +92,13 @@ def main() -> None:
     # EFFECTIVE core throughput (this sandbox advertises 32 CPUs but
     # delivers ~11 cores; see BASELINE.md). ~num_cpus/10 slots/task caps
     # the pool at ~10 heavy writers regardless of the advertised count.
-    writer_cpus = float(os.environ.get("GRAFT_WRITER_CPUS", max(2, NUM_CPUS // 10)))
+    # Per-task reservation = advertised/effective, so the concurrent writer
+    # count lands on the effective cores whether advertised is 2 or 32
+    # (at 8 CPUs the old //10 heuristic reserved 2 → only 4 writers on a
+    # host that can run 8).
+    writer_cpus = float(
+        os.environ.get("GRAFT_WRITER_CPUS", max(1, round(NUM_CPUS / 8)))
+    )
     cfg = IndexConfig(
         batch_docs=2048,
         meta_fields=("repo", "path", "lang"),

@@ -252,7 +252,7 @@ def word_ngram_jaccard_pairs(
     """
     import pandas as pd
 
-    from typesense_ray.tokenizer import _FAST_TBL, _raw_slots, normalize_token
+    from typesense_ray.tokenizer import normalized_slots
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         out_id: list[int] = []
@@ -260,15 +260,7 @@ def word_ngram_jaccard_pairs(
         for did, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
-            text = text or ""
-            if text.isascii():
-                toks = [t for t in text.translate(_FAST_TBL).split(" ") if t]
-            else:
-                toks = [
-                    t
-                    for t in (normalize_token(s) for s in _raw_slots(text))
-                    if t
-                ]
+            toks = [t for t in normalized_slots(text or "") if t]
             shs = {
                 " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
             }

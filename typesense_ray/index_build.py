@@ -176,18 +176,11 @@ class SegmentWriter:
         # numpy/pandas kernel: factorize token strings once, one lexsort by
         # (term, doc, pos) yields the position stream already in posting
         # order (no per-doc dicts, no per-entry gather).
-        from typesense_ray.tokenizer import _FAST_TBL, _raw_slots, normalize_token
+        from typesense_ray.tokenizer import normalized_slots
 
-        tok_lists: list[list[str]] = []
-        for text in texts:
-            if not text:
-                tok_lists.append([])
-            elif text.isascii():
-                tok_lists.append(text.translate(_FAST_TBL).split(" "))
-            else:
-                tok_lists.append(
-                    [normalize_token(s) for s in _raw_slots(text)]
-                )
+        tok_lists: list[list[str]] = [
+            normalized_slots(text) if text else [] for text in texts
+        ]
         lens = np.fromiter(
             (len(s) for s in tok_lists), dtype=np.int64, count=n
         )

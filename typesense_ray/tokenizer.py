@@ -86,6 +86,21 @@ _TRANSLIT_TABLE: dict[str, str] = {
 }
 
 
+class _NormTable(dict):
+    """Whole-string translate table: ASCII entries per ``_FAST_TBL``;
+    non-ASCII codepoints transliterated on first sight (then cached in the
+    dict, so ``str.translate`` stays one C loop with a rare Python
+    callback). Char-wise transliteration is exactly ``normalize_token``'s
+    per-char rule, so one translate+split replaces the per-token path."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        t = _translit(ch)
+        r = ch if t is None else t
+        self[cp] = r
+        return r
+
+
 @lru_cache(maxsize=65536)
 def _translit(ch: str) -> str | None:
     """Transliterate one non-ASCII codepoint to normalized (lower alnum)
@@ -98,6 +113,24 @@ def _translit(ch: str) -> str | None:
         if not mapped:
             return None
     return mapped.translate(_TOKEN_TBL)
+
+
+# module-level instance (shared cache); seeded with the ASCII table PLUS
+# explicit identity entries for the codepoints _FAST_TBL leaves implicit
+# (translate consults __missing__ for any absent key, which would
+# otherwise transliterate-and-drop space itself)
+_NORM_TBL = _NormTable(_FAST_TBL)
+for _cp in range(128):
+    if _cp not in _NORM_TBL:
+        _NORM_TBL[_cp] = _cp
+
+
+def normalized_slots(text: str) -> list[str]:
+    """One-shot ``text`` → normalized separator-slot tokens (empties kept,
+    positions = list indices). Equivalent to
+    ``[normalize_token(s) for s in _raw_slots(text)]`` but a single C-level
+    translate+split for any content (ASCII or not)."""
+    return text.translate(_NORM_TBL).split(" ")
 
 
 def normalize_token(raw: str) -> str:
@@ -186,23 +219,10 @@ def doc_term_positions(text: str) -> tuple[dict[str, list[int]], int]:
     numbering with ``keep_empty=True``, ``src/index.cpp:526-545``) and
     ``doclen`` is the number of non-empty tokens (the BM25 |d|).
     """
-    if text.isascii():
-        slots = text.translate(_FAST_TBL).split(" ")
-        d: dict[str, list[int]] = {}
-        n = 0
-        for i, tok in enumerate(slots):
-            if tok:
-                n += 1
-                try:
-                    d[tok].append(i)
-                except KeyError:
-                    d[tok] = [i]
-        return d, n
-    slots = _raw_slots(text)
-    d = {}
+    slots = text.translate(_NORM_TBL).split(" ")
+    d: dict[str, list[int]] = {}
     n = 0
-    for i, raw in enumerate(slots):
-        tok = normalize_token(raw) if not raw.isascii() else raw.translate(_TOKEN_TBL)
+    for i, tok in enumerate(slots):
         if tok:
             n += 1
             try:

@@ -1,0 +1,121 @@
+"""``ray job submit -- python -m typesense_ray <cmd> ...`` entrypoint.
+
+The production path of the rebuild (BASELINE.md "production path runs via
+``ray job submit``"; the reference's equivalent surface is the server
+binary ``src/main/typesense_server.cpp:15-66``). Subcommands:
+
+- ``build``   — corpus parquet → inverted index (resumable segments)
+- ``search``  — distributed BM25 top-k over a built index
+- ``export``  — stream stored docs back out as parquet
+- ``delete``  — filter-DSL bulk delete with segment compaction
+- ``upsert``  — upsert a delta corpus into an existing index
+
+Ray session ownership: a job-submit driver owns its session, so this
+module calls ``ray.init(address="auto" | local)`` only when no session
+exists (never from library code).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m typesense_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from a parquet corpus")
+    b.add_argument("--source", required=True, help="parquet file/dir")
+    b.add_argument("--out", required=True, help="index output dir")
+    b.add_argument("--text-field", default="content")
+    b.add_argument("--id-field", default=None,
+                   help="explicit int64 id column (default: hash of id-fields)")
+    b.add_argument("--id-fields", default="repo,path",
+                   help="comma-separated key columns hashed into doc_id")
+    b.add_argument("--meta-fields", default="",
+                   help="comma-separated stored columns")
+    b.add_argument("--sha-field", default=None,
+                   help="sha256 column to verify per row (optional)")
+    b.add_argument("--batch-docs", type=int, default=4096)
+    b.add_argument("--concurrency", type=int, default=None)
+
+    s = sub.add_parser("search", help="distributed BM25 top-k")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+
+    e = sub.add_parser("export", help="stream stored docs to parquet")
+    e.add_argument("--index", required=True)
+    e.add_argument("--out", required=True, help="output parquet dir")
+    e.add_argument("--columns", default=None, help="comma-separated subset")
+
+    d = sub.add_parser("delete", help="bulk delete by filter DSL")
+    d.add_argument("--index", required=True)
+    d.add_argument("--filter", required=True,
+                   help='filter DSL, e.g. "lang:[en,de] && n_chars:>=300"')
+
+    u = sub.add_parser("upsert", help="upsert a delta corpus")
+    u.add_argument("--index", required=True)
+    u.add_argument("--source", required=True, help="delta parquet file/dir")
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    if args.cmd == "build":
+        from typesense_ray.index_build import IndexConfig, build_index
+
+        cfg = IndexConfig(
+            text_field=args.text_field,
+            id_field=args.id_field,
+            id_fields=tuple(
+                f for f in args.id_fields.split(",") if f
+            ),
+            meta_fields=tuple(f for f in args.meta_fields.split(",") if f),
+            sha_field=args.sha_field,
+            verify_sha=bool(args.sha_field),
+            batch_docs=args.batch_docs,
+        )
+        manifest = build_index(
+            args.source, args.out, cfg, concurrency=args.concurrency
+        )
+        print(json.dumps(
+            {k: manifest[k] for k in
+             ("n_docs", "n_segments", "n_postings", "docs_per_s", "timings")}
+        ))
+    elif args.cmd == "search":
+        from typesense_ray.query import search_index
+
+        tbl = search_index(args.index, args.query, k=args.k)
+        for row in tbl.to_pylist():
+            print(json.dumps(row))
+    elif args.cmd == "export":
+        from typesense_ray.ops import export_documents
+
+        cols = args.columns.split(",") if args.columns else None
+        export_documents(args.index, columns=cols).write_parquet(args.out)
+        print(json.dumps({"exported_to": args.out}))
+    elif args.cmd == "delete":
+        from typesense_ray.ops import delete_by_filter
+
+        res = delete_by_filter(args.index, args.filter)
+        print(json.dumps(res))
+    elif args.cmd == "upsert":
+        from typesense_ray.ops import upsert_documents
+
+        res = upsert_documents(args.source, args.index)
+        print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,3 +114,45 @@ def test_normalize_token():
     assert normalize_token("Jordan:") == "jordan"
     assert normalize_token("½¥") == "12yen"
     assert normalize_token("தமிழ்") == "தமிழ்"
+
+
+# -- equivalence of the one-translate fast path ------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from typesense_ray.tokenizer import _raw_slots, normalized_slots
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters=["\x00"]
+        ),
+        max_size=200,
+    )
+)
+def test_normalized_slots_matches_per_token_path(text):
+    # the optimized whole-string translate must equal the per-slot
+    # normalize_token reference path for ANY input
+    expected = [normalize_token(s) for s in _raw_slots(text)]
+    assert normalized_slots(text) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters=["\x00"]),
+        max_size=200,
+    )
+)
+def test_doc_term_positions_matches_slot_walk(text):
+    d, n = doc_term_positions(text)
+    slots = [normalize_token(s) for s in _raw_slots(text)]
+    expected = {}
+    for i, tok in enumerate(slots):
+        if tok:
+            expected.setdefault(tok, []).append(i)
+    assert d == expected
+    assert n == sum(1 for t in slots if t)

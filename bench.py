@@ -146,6 +146,18 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # -- concurrent serving throughput (reference headline: 250 q/s on a
+    # 3-node cluster, README.md:170-173): persistent actor pool, all
+    # query fan-outs in flight at once
+    from typesense_ray.query import IndexServer
+
+    srv = IndexServer(idx_dir)  # actors = min(segments, CPUs // 2)
+    srv.warmup()
+    _, t_serve = timed(srv.search_many, queries, 10)
+    srv.shutdown()
+    results["serving_60q"] = round(t_serve, 3)
+    serving_qps = round(len(queries) / t_serve, 1)
+
     # -- operator pipelines over $GRAFT_SF_DIR ---------------------------
     import __ray_entry__ as entrymod
 
@@ -173,6 +185,7 @@ def main() -> None:
         "n_corpus_docs": stats["n_docs"],
         "docs_per_s": docs_per_s,
         "query_p50_ms": round(p50, 2),
+        "serving_qps": serving_qps,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
     ray.shutdown()

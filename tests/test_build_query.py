@@ -111,6 +111,27 @@ def test_distributed_equals_local(ray_session, index_dir):
         assert a["score"].to_pylist() == b["score"].to_pylist()
 
 
+def test_index_server_equals_local(ray_session, index_dir):
+    from typesense_ray.query import IndexServer
+
+    local = LocalIndexSearcher(index_dir, preload=True)
+    srv = IndexServer(index_dir, num_actors=2)
+    srv.warmup()
+    try:
+        for mode in ["bm25", "bm25_or"]:
+            for q in ["quasar", "pulsar redshift", "nosuchterm"]:
+                a = local.search(q, k=10, mode=mode)
+                b = srv.search(q, k=10, mode=mode)
+                assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), (mode, q)
+                assert a["score"].to_pylist() == b["score"].to_pylist(), (mode, q)
+        many = srv.search_many(["quasar", "pulsar redshift"], k=10)
+        assert many[0]["doc_id"].to_pylist() == local.search(
+            "quasar", k=10
+        )["doc_id"].to_pylist()
+    finally:
+        srv.shutdown()
+
+
 def test_resume_skips_complete_segments(ray_session, corpus, index_dir):
     import ray.data as rd
 

@@ -546,6 +546,177 @@ class SegmentScorer:
         return pa.table({"doc_id": pa.array(ids, pa.uint64()), "score": sc})
 
 
+class IndexServer:
+    """Persistent distributed serving pool: N raw Ray actors, each owning a
+    round-robin shard of segments with postings preloaded once (the
+    reference's always-in-RAM serving model, ``src/collection_manager.cpp:
+    153-232``; concurrent-throughput headline ``README.md:170-173``).
+
+    Raw actors (not a Dataset) because serving is standing state + many
+    tiny requests — the one place the Dataset API genuinely doesn't fit;
+    per-query cost is one broadcast of (terms, dfs) and a merge of
+    per-actor top-k arrays. Scale model: actors = nodes × cores_per_node;
+    each actor's shard fits its heap; query fan-out cost grows with actor
+    count, not corpus size.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_actors: int | None = None,
+        preload: bool = True,
+    ):
+        import ray
+
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        dirs = segment_dirs(index_dir)
+        if num_actors is None:
+            num_actors = max(
+                1, min(len(dirs), int(ray.cluster_resources().get("CPU", 4)) // 2)
+            )
+        shards = [dirs[i::num_actors] for i in range(num_actors)]
+        shards = [s for s in shards if s]
+        self._actor_cls = ray.remote(num_cpus=1)(_SegmentGroup)
+        self.actors = [
+            self._actor_cls.remote(index_dir, shard, preload) for shard in shards
+        ]
+        self._df_cache: dict[str, int] = (
+            load_global_df(index_dir) if preload else {}
+        )
+        self._df_all = preload
+
+    def _dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing and not self._df_all:
+            self._df_cache.update(load_global_df(self.index_dir, missing))
+        return {t: self._df_cache.get(t, 0) for t in terms}
+
+    def warmup(self) -> None:
+        """Block until every actor has loaded its shard."""
+        import ray
+
+        ray.get([a.ping.remote() for a in self.actors])
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "bm25"
+    ) -> pa.Table:
+        import ray
+
+        from typesense_ray.tokenizer import tokenize_query
+
+        include, exclude = tokenize_query(query)
+        dfs = self._dfs([t for t in include if t != "*"])
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.uint64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if mode == "bm25" and include != ["*"] and any(
+            dfs[t] == 0 for t in dfs
+        ):
+            return empty
+        futs = [
+            a.search.remote(include, exclude, k, dfs, mode) for a in self.actors
+        ]
+        parts = [p for p in ray.get(futs) if p[0].size]
+        merged = merge_topk(parts, k)
+        if merged is None:
+            return empty
+        return pa.table({"doc_id": merged[0], "score": merged[1]})
+
+    def search_many(
+        self, queries: list[str], k: int = 10, mode: str = "bm25"
+    ) -> list[pa.Table]:
+        """Pipelined batch of queries: all fan-outs in flight at once (the
+        concurrent-search-throughput shape the reference benchmarks)."""
+        import ray
+
+        from typesense_ray.tokenizer import tokenize_query
+
+        parsed = [tokenize_query(q) for q in queries]
+        all_terms = sorted(
+            {t for inc, _ in parsed for t in inc if t != "*"}
+        )
+        dfs_all = self._dfs(all_terms)
+        futs_per_q = []
+        for include, exclude in parsed:
+            dfs = {t: dfs_all[t] for t in include if t != "*"}
+            if mode == "bm25" and include != ["*"] and any(
+                dfs[t] == 0 for t in dfs
+            ):
+                futs_per_q.append(None)
+                continue
+            futs_per_q.append(
+                [a.search.remote(include, exclude, k, dfs, mode)
+                 for a in self.actors]
+            )
+        out = []
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.uint64()),
+             "score": pa.array([], pa.float64())}
+        )
+        import ray as _ray
+
+        for futs in futs_per_q:
+            if futs is None:
+                out.append(empty)
+                continue
+            parts = [p for p in _ray.get(futs) if p[0].size]
+            merged = merge_topk(parts, k)
+            out.append(
+                empty if merged is None
+                else pa.table({"doc_id": merged[0], "score": merged[1]})
+            )
+        return out
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+class _SegmentGroup:
+    """Actor body: one shard of segments, searched sequentially per query
+    (each actor is one core; parallelism comes from the actor count)."""
+
+    def __init__(self, index_dir: str, seg_dirs: list[str], preload: bool):
+        self.stats = load_stats(index_dir)
+        self.segs = [SegmentSearcher(d, preload=preload) for d in seg_dirs]
+
+    def ping(self) -> int:
+        return len(self.segs)
+
+    def search(
+        self,
+        include: list[str],
+        exclude: list[str],
+        k: int,
+        dfs: dict[str, int],
+        mode: str = "bm25",
+    ):
+        parts = []
+        for seg in self.segs:
+            if mode == "bm25":
+                ids, scores = seg.search_bm25(
+                    include, exclude, k, dfs, self.stats["n_docs"],
+                    self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+                )
+            else:
+                ids, scores = seg.search_bm25_disjunctive(
+                    include, exclude, k, dfs, self.stats["n_docs"],
+                    self.stats["avgdl"], self.stats["k1"], self.stats["b"],
+                    block_size=self.stats["config"].get("block_size"),
+                )
+            if ids.size:
+                parts.append((ids, scores))
+        merged = merge_topk(parts, k)
+        if merged is None:
+            return (np.empty(0, np.uint64), np.empty(0, np.float64))
+        return merged
+
+
 def search_index(
     index_dir: str,
     query: str,

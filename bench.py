@@ -100,10 +100,10 @@ def main() -> None:
         os.environ.get("GRAFT_WRITER_CPUS", max(1, round(NUM_CPUS / 8)))
     )
     cfg = IndexConfig(
-        # 4096-doc segments: halves the task count vs 2048 — writer tasks
-        # showed dispatch-gap idling at 8 slots — while keeping ~100 tasks
-        # at 400k docs for load balance
-        batch_docs=int(os.environ.get("GRAFT_BATCH_DOCS", "4096")),
+        # 2048-doc segments: A/B'd against 4096/8192 — the 8-CPU level
+        # (the scale story) measures best with ~200 tasks at 400k docs
+        # (finer grain → better slot balance; scaling run 0.864 vs 0.484)
+        batch_docs=int(os.environ.get("GRAFT_BATCH_DOCS", "2048")),
         meta_fields=("repo", "path", "lang"),
         writer_num_cpus=writer_cpus,
     )

@@ -572,8 +572,13 @@ class IndexServer:
         self.stats = load_stats(index_dir)
         dirs = segment_dirs(index_dir)
         if num_actors is None:
+            # fan-out budget: every query pays one RPC per actor, so more
+            # actors only help while each still owns several segments'
+            # worth of work; 8 is the single-node sweet spot (on a real
+            # cluster, size to nodes x a few actors each)
             num_actors = max(
-                1, min(len(dirs), int(ray.cluster_resources().get("CPU", 4)) // 2)
+                1,
+                min(len(dirs), int(ray.cluster_resources().get("CPU", 4)) // 2, 8),
             )
         shards = [dirs[i::num_actors] for i in range(num_actors)]
         shards = [s for s in shards if s]

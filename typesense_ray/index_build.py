@@ -181,15 +181,13 @@ class SegmentWriter:
         tok_lists: list[list[str]] = [
             normalized_slots(text) if text else [] for text in texts
         ]
-        lens = np.fromiter(
-            (len(s) for s in tok_lists), dtype=np.int64, count=n
-        )
+        from itertools import chain
+
+        lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
         total_slots = int(lens.sum())
-        flat = np.empty(total_slots, dtype=object)
-        w = 0
-        for s in tok_lists:
-            flat[w : w + len(s)] = s
-            w += len(s)
+        flat = np.fromiter(
+            chain.from_iterable(tok_lists), dtype=object, count=total_slots
+        )
         nonempty = flat != ""
         occ_tok = flat[nonempty]
         slot_doc = np.repeat(np.arange(n, dtype=np.int64), lens)

@@ -54,10 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
 
-    e = sub.add_parser("export", help="stream stored docs to parquet")
+    e = sub.add_parser("export", help="stream stored docs to parquet/jsonl")
     e.add_argument("--index", required=True)
-    e.add_argument("--out", required=True, help="output parquet dir")
+    e.add_argument("--out", required=True, help="output dir")
     e.add_argument("--columns", default=None, help="comma-separated subset")
+    e.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="jsonl mirrors the reference's export (JSON lines)")
 
     d = sub.add_parser("delete", help="bulk delete by filter DSL")
     d.add_argument("--index", required=True)
@@ -102,8 +104,12 @@ def main(argv: list[str] | None = None) -> int:
         from typesense_ray.ops import export_documents
 
         cols = args.columns.split(",") if args.columns else None
-        export_documents(args.index, columns=cols).write_parquet(args.out)
-        print(json.dumps({"exported_to": args.out}))
+        ds = export_documents(args.index, columns=cols)
+        if args.format == "jsonl":
+            ds.write_json(args.out)
+        else:
+            ds.write_parquet(args.out)
+        print(json.dumps({"exported_to": args.out, "format": args.format}))
     elif args.cmd == "delete":
         from typesense_ray.ops import delete_by_filter
 

@@ -171,24 +171,27 @@ def minhash_lsh_pairs(
              id_col: pa.array(out_id)}
         )
 
-    # bucket → candidate pairs. Bucket rows are (band, band_hash, id) —
-    # tiny — so they stream to the driver and group in one vectorized
-    # pandas pass (tens of thousands of per-group map_groups callbacks
-    # would dominate otherwise). At >10^8 band rows, switch this stage to
-    # ``groupby(["band","band_hash"]).map_groups`` so buckets never
-    # co-locate on one node.
-    bands_df = (
-        ds.map_batches(to_bands, batch_format="pyarrow").to_pandas()
+    # bucket → candidate pairs: a distributed groupby over the (band,
+    # band_hash, id) triples — the only all-to-all, and its rows are 16
+    # ints+hash per doc regardless of text size. Each bucket emits its
+    # pairs inside the group callback; the driver only ever sees the
+    # candidate-pair set (bounded by true-dup density, not corpus size).
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        ids = np.sort(g[id_col].to_numpy())
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    pair_rows = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .take_all()
     )
-    pairs: set[tuple[int, int]] = set()
-    for _, g in bands_df.groupby(["band", "band_hash"])[id_col]:
-        if len(g) > 1:
-            ids = sorted(int(x) for x in g)
-            pairs.update(
-                (ids[i], ids[j])
-                for i in range(len(ids))
-                for j in range(i + 1, len(ids))
-            )
+    pairs: set[tuple[int, int]] = {
+        (int(r["a"]), int(r["b"])) for r in pair_rows
+    }
     if not pairs:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),

@@ -156,6 +156,17 @@ def test_ivf_recall_vs_bruteforce(emb_ds):
     assert recall >= 0.5  # nprobe=4 of 8 lists
 
 
+def test_ivf_spilled_layout_matches_memory(emb_ds, tmp_path):
+    out = str(tmp_path / "ivf")
+    q = np.array(emb_ds.take(1)[0]["embedding"], dtype=np.float64)
+    spilled = IVFIndex(n_centroids=8).fit(emb_ds, out_dir=out)
+    mem = IVFIndex(n_centroids=8).fit(emb_ds)
+    r_spill = spilled.search(q, k=5, nprobe=4)
+    assert r_spill == mem.search(q, k=5, nprobe=4)
+    # reopen from disk (fresh process semantics)
+    assert IVFIndex.load(out).search(q, k=5, nprobe=4) == r_spill
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray.data as rd
 

@@ -93,9 +93,27 @@ class IVFIndex:
         self.seed = seed
         self.centroids: np.ndarray | None = None
         self.lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.out_dir: str | None = None
+        self.id_col = "vec_id"
+        self.vec_col = "embedding"
+
+    @classmethod
+    def load(cls, out_dir: str) -> "IVFIndex":
+        """Reopen a spilled index written by ``fit(out_dir=...)``."""
+        import json as _json
+        import os
+
+        with open(os.path.join(out_dir, "ivf_meta.json")) as f:
+            meta = _json.load(f)
+        idx = cls(meta["n_centroids"], meta["n_iter"], meta["seed"])
+        idx.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        idx.out_dir = out_dir
+        idx.id_col = meta["id_col"]
+        idx.vec_col = meta["vec_col"]
+        return idx
 
     def fit(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
-            sample_fraction: float = 1.0):
+            sample_fraction: float = 1.0, out_dir: str | None = None):
         import ray
 
         sample = (
@@ -129,8 +147,27 @@ class IVFIndex:
             )
 
         assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
-        # inverted lists (small at test scale; at 100 TB these stay as a
-        # centroid-partitioned parquet layout instead of driver dicts)
+        self.id_col, self.vec_col = id_col, vec_col
+        if out_dir is not None:
+            # the 100 TB layout: centroid-partitioned parquet, one
+            # directory per inverted list — queries read only the nprobe
+            # probed partitions; a failed build rerun overwrites per
+            # partition (resumable output)
+            import json as _json
+            import os
+
+            assigned.write_parquet(
+                os.path.join(out_dir, "lists"), partition_cols=["centroid"]
+            )
+            with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+                _json.dump(
+                    {"n_centroids": self.n_centroids, "n_iter": self.n_iter,
+                     "seed": self.seed, "id_col": id_col, "vec_col": vec_col,
+                     "centroids": self.centroids.tolist()}, f,
+                )
+            self.out_dir = out_dir
+            return self
+        # in-memory inverted lists (test/interactive scale)
         for r in assigned.take_all():
             self.lists.setdefault(int(r["centroid"]), ([], []))
             self.lists[int(r["centroid"])][0].append(int(r[id_col]))
@@ -142,6 +179,25 @@ class IVFIndex:
         }
         return self
 
+    def _load_list(self, c: int):
+        """Fetch one inverted list from the partitioned layout (cached)."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(
+            os.path.join(self.out_dir, "lists"), partitioning="hive"
+        ).to_table(
+            filter=pads.field("centroid") == c,
+            columns=[self.id_col, self.vec_col],
+        )
+        if t.num_rows == 0:
+            return None
+        ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
+        vecs = _normalize(np.array(t[self.vec_col].to_pylist(), np.float64))
+        self.lists[c] = (ids, vecs)
+        return self.lists[c]
+
     def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4):
         q = np.asarray(query, dtype=np.float64).ravel()
         qn = q / (np.linalg.norm(q) or 1.0)
@@ -149,7 +205,8 @@ class IVFIndex:
         best: list[tuple[float, int]] = []
         for c_ in order:
             if int(c_) not in self.lists:
-                continue
+                if self.out_dir is None or self._load_list(int(c_)) is None:
+                    continue
             ids, vecs = self.lists[int(c_)]
             sims = vecs @ qn
             for s, i in zip(sims.tolist(), ids.tolist()):

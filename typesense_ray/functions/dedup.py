@@ -154,39 +154,53 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm, seed)
 
+    n_parts = 64  # shuffle partitions for the bucket exchange
+
     def to_bands(batch: pa.Table) -> pa.Table:
-        out_band, out_hash, out_id = [], [], []
+        out_part, out_hash, out_id = [], [], []
         ids = batch[id_col].to_pylist()
         for did, text in zip(ids, batch[text_col].to_pylist()):
             sig = hasher.signature(char_shingles(text, shingle_k))
             for bnd in range(bands):
                 chunk = sig[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_band.append(bnd)
-                out_hash.append(h)
+                # band index mixed into the digest → one flat bucket key
+                h = hashlib.blake2b(
+                    bytes([bnd]) + chunk.tobytes(), digest_size=8
+                ).digest()
+                out_part.append(h[0] % n_parts)
+                out_hash.append(h.hex())
                 out_id.append(did)
         return pa.table(
-            {"band": pa.array(out_band, pa.int32()),
+            {"part": pa.array(out_part, pa.int32()),
              "band_hash": pa.array(out_hash, pa.string()),
              id_col: pa.array(out_id)}
         )
 
-    # bucket → candidate pairs: a distributed groupby over the (band,
-    # band_hash, id) triples — the only all-to-all, and its rows are 16
-    # ints+hash per doc regardless of text size. Each bucket emits its
-    # pairs inside the group callback; the driver only ever sees the
-    # candidate-pair set (bounded by true-dup density, not corpus size).
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    # bucket → candidate pairs: ONE all-to-all over the (part, band_hash,
+    # id) triples — 16 short rows per doc regardless of text size — into
+    # ≤64 coarse partitions (bounded map_groups callbacks; a per-bucket
+    # groupby would pay one callback per LSH bucket). Buckets never split
+    # across partitions (part = f(band_hash)), so the within-partition
+    # pandas groupby sees every member of each of its buckets; the driver
+    # only ever sees the candidate-pair set (bounded by true-dup density).
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("band_hash")[id_col]:
+            if len(grp) > 1:
+                ids = np.sort(grp.to_numpy())
+                ia, ib = np.triu_indices(ids.size, k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
             return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        ids = np.sort(g[id_col].to_numpy())
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
     pair_rows = (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
         .take_all()
     )
     pairs: set[tuple[int, int]] = {
@@ -198,15 +212,34 @@ def minhash_lsh_pairs(
                          "jaccard": pa.array([], pa.float64())})
 
     # verify with true n-gram Jaccard; shingle sets computed once per doc
-    # (not per pair) from a streamed pass over the candidate texts
-    need = {x for p in pairs for x in p}
-    shingles: dict[int, set[int]] = {}
-    for b in ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for did, txt in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            if did in need:
-                shingles[did] = char_shingles(txt, shingle_k)
+    # (not per pair), distributed: the candidate id-set is broadcast once
+    # (ray.put) and each task returns shingle arrays only for its
+    # candidates — the driver pulls |candidates| rows, not the corpus
+    import ray
+
+    need_ref = ray.put(frozenset(x for p in pairs for x in p))
+
+    def cand_shingles(t: pa.Table) -> pa.Table:
+        need_set = ray.get(need_ref)
+        out_id, out_sh = [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            if did in need_set:
+                out_id.append(did)
+                out_sh.append(
+                    np.fromiter(char_shingles(txt, shingle_k), dtype=np.uint64)
+                )
+        return pa.table(
+            {id_col: pa.array(out_id, pa.int64()),
+             "sh": pa.array([s.tolist() for s in out_sh],
+                            pa.list_(pa.uint64()))}
+        )
+
+    shingles: dict[int, set[int]] = {
+        r[id_col]: set(int(x) for x in r["sh"])
+        for r in ds.map_batches(
+            cand_shingles, batch_format="pyarrow"
+        ).take_all()
+    }
     out_a, out_b, out_j = [], [], []
     for a, b_ in sorted(pairs):
         sa, sb = shingles.get(a, set()), shingles.get(b_, set())

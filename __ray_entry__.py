@@ -436,7 +436,10 @@ def q_prefix_search(sf_dir: str) -> pa.Table:
     vocabulary completions, union the matching ids per completion."""
     coll = _docs_index(sf_dir)
     ids: set[int] = set()
-    for term in coll.typo_resolver.prefix("wind"):
+    # uncapped completion list: the id-set oracle (term LIKE 'wind%') has
+    # no top-N cap, so neither does this view (the top-k search path keeps
+    # the reference's 10-completion cap)
+    for term in coll.typo_resolver.prefix("wind", max_candidates=1 << 30):
         ids.update(coll.matching_ids(term)["doc_id"].to_pylist())
     return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
 
@@ -860,9 +863,13 @@ FROM documents d
 WHERE EXISTS (SELECT 1 FROM toks2 t WHERE t.doc_id = d.doc_id AND t.term = 'data')
 GROUP BY d.lang
 """,
+        # CAST sum to BIGINT (DuckDB sums ints into HUGEINT, which
+        # hash-mismatches the engine's int64) and compute avg as
+        # sum*1.0/count — the same associativity as the engine side.
         "facet_stats_by_lang": """
 SELECT lang, min(n_chars) AS min_nc, max(n_chars) AS max_nc,
-       sum(n_chars) AS sum_nc, round(avg(n_chars), 6) AS avg_nc,
+       CAST(sum(n_chars) AS BIGINT) AS sum_nc,
+       round(CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*), 6) AS avg_nc,
        count(*) AS cnt
 FROM documents GROUP BY lang
 """,

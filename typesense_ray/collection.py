@@ -37,6 +37,7 @@ from typesense_ray.filtering import (
     norm_tokens,
     parse_filter,
 )
+from typesense_ray.codec import decode_posting_ids
 from typesense_ray.index_build import FIELD_SEP
 from typesense_ray.query import LocalIndexSearcher, SegmentSearcher
 from typesense_ray.scoring import bm25_idf, bm25_term_scores, reference_match_score
@@ -450,19 +451,22 @@ class RayCollection:
         resolves filter matches the same way before deleting).
 
         ``query_by`` unions conjunctive matches across fields (a doc hits
-        when SOME field contains every query token); ``num_typos`` expands
-        each token through the typo resolver first and unions all query
-        variants — the id-set view of fuzzy search."""
+        when SOME field contains every query token); ``num_typos`` resolves
+        each token to its UNCAPPED candidate-term set (every vocabulary
+        term within bounded OSA distance) and a doc hits when it contains
+        some candidate per token — the id-set view of fuzzy search, exactly
+        the ``damerau_levenshtein`` oracle's semantics (unlike the top-k
+        path, which applies the reference's 3-candidate/10-combination
+        caps, ``src/index.cpp:1673-1755``)."""
         primary = self.stats["config"]["text_field"]
         include, exclude = tokenize_query(q)
         if num_typos and include and include != ["*"]:
-            variants = [
-                v for v, _ in self.typo_resolver.expand_query(include, num_typos)
-            ]
-            if not variants:
+            per_token = self.typo_resolver.candidates_per_token(include, num_typos)
+            if not per_token:
                 return pa.table({"doc_id": pa.array([], pa.int64())})
+            token_terms = [[t for t, _ in cands] for cands in per_token]
         else:
-            variants = [include]
+            token_terms = None  # exact terms, conjunctive
         fields = query_by or [primary]
         clauses = parse_filter(filter_by, self.field_types) if filter_by else []
         ids = []
@@ -478,11 +482,53 @@ class RayCollection:
                     lambda t, f=field: f + FIELD_SEP + t
                 )
                 pexcl = [pref(e) for e in exclude]
-                for terms in variants:
-                    pterms = terms if terms == ["*"] else [pref(t) for t in terms]
+                if token_terms is None:
+                    pterms = (
+                        include if include == ["*"] else [pref(t) for t in include]
+                    )
                     cand, _ = seg.candidates(pterms, pexcl, mask, False)
-                    if cand.size:
-                        acc = cand if acc is None else np.union1d(acc, cand)
+                else:
+                    # per token: union of candidate-term postings; across
+                    # tokens: intersection (some-candidate-per-token)
+                    cand = None
+                    for cands in token_terms:
+                        post = seg.postings([pref(t) for t in cands])
+                        if not post:
+                            cand = np.empty(0, np.int64)
+                            break
+                        tok_ids = np.unique(
+                            np.concatenate(
+                                [
+                                    decode_posting_ids(
+                                        p["ids_vb"], p["df"]
+                                    ).astype(np.int64)
+                                    for p in post.values()
+                                ]
+                            )
+                        )
+                        cand = (
+                            tok_ids
+                            if cand is None
+                            else np.intersect1d(cand, tok_ids, assume_unique=True)
+                        )
+                        if cand.size == 0:
+                            break
+                    if cand is None:
+                        cand = np.empty(0, np.int64)
+                    if cand.size and pexcl:
+                        ex = seg.postings(pexcl)
+                        for p in ex.values():
+                            cand = np.setdiff1d(
+                                cand,
+                                decode_posting_ids(p["ids_vb"], p["df"]).astype(
+                                    np.int64
+                                ),
+                                assume_unique=True,
+                            )
+                    if cand.size and mask is not None:
+                        cand = cand[mask[cand]]
+                if cand.size:
+                    acc = cand if acc is None else np.union1d(acc, cand)
             if acc is not None and acc.size:
                 ids.append(seg.doc_ids[acc])
         all_ids = (

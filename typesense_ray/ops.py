@@ -29,7 +29,7 @@ from typesense_ray.codec import (
     decode_positions,
     encode_positions,
     varbyte_decode,
-    varbyte_encode,
+    varbyte_encode_raw,
     delta_encode,
 )
 from typesense_ray.filtering import StringTokenCache, eval_filters, parse_filter
@@ -78,7 +78,8 @@ def _compact_segment(seg_dir: str, keep: np.ndarray, seg_root: str,
     doclens = new_docs["doclen"].to_numpy().astype(np.int64)
 
     cols = {c: [] for c in ["term", "df", "cf", "max_tf", "ids_vb", "tfs_vb",
-                            "pos_vb", "bm_last", "bm_max_tf", "bm_min_dl"]}
+                            "pos_vb", "bm_last", "bm_max_tf", "bm_min_dl",
+                            "bm_ids_boff", "bm_tfs_boff"]}
     n_postings = 0
     for i in range(post.num_rows):
         df = post["df"][i].as_py()
@@ -99,8 +100,10 @@ def _compact_segment(seg_dir: str, keep: np.ndarray, seg_root: str,
         cols["df"].append(len(new_ids))
         cols["cf"].append(int(new_tfs.sum()))
         cols["max_tf"].append(int(new_tfs.max()))
-        cols["ids_vb"].append(varbyte_encode(delta_encode(new_ids)))
-        cols["tfs_vb"].append(varbyte_encode(new_tfs.astype(np.uint64)))
+        ids_buf, ids_nb = varbyte_encode_raw(delta_encode(new_ids))
+        tfs_buf, tfs_nb = varbyte_encode_raw(new_tfs.astype(np.uint64))
+        cols["ids_vb"].append(ids_buf.tobytes())
+        cols["tfs_vb"].append(tfs_buf.tobytes())
         cols["pos_vb"].append(encode_positions(new_pos, new_tfs))
         last, max_tf, min_dl = block_max_meta(
             new_ids, new_tfs, doclens[new_ids.astype(np.int64)], block_size
@@ -108,6 +111,16 @@ def _compact_segment(seg_dir: str, keep: np.ndarray, seg_root: str,
         cols["bm_last"].append([int(x) for x in last])
         cols["bm_max_tf"].append([int(x) for x in max_tf])
         cols["bm_min_dl"].append([int(x) for x in min_dl])
+        # per-block byte offsets so compacted segments keep block-max WAND
+        # eligibility (the format guard falls back to dense scoring when
+        # these columns are missing)
+        blk_starts = np.arange(0, len(new_ids), block_size, dtype=np.int64)
+        ids_boff = np.zeros(len(new_ids) + 1, dtype=np.int64)
+        np.cumsum(ids_nb, out=ids_boff[1:])
+        tfs_boff = np.zeros(len(new_ids) + 1, dtype=np.int64)
+        np.cumsum(tfs_nb, out=tfs_boff[1:])
+        cols["bm_ids_boff"].append([int(x) for x in ids_boff[blk_starts]])
+        cols["bm_tfs_boff"].append([int(x) for x in tfs_boff[blk_starts]])
         n_postings += len(new_ids)
 
     new_postings = pa.table(
@@ -122,6 +135,8 @@ def _compact_segment(seg_dir: str, keep: np.ndarray, seg_root: str,
             "bm_last": pa.array(cols["bm_last"], pa.list_(pa.int32())),
             "bm_max_tf": pa.array(cols["bm_max_tf"], pa.list_(pa.int32())),
             "bm_min_dl": pa.array(cols["bm_min_dl"], pa.list_(pa.int32())),
+            "bm_ids_boff": pa.array(cols["bm_ids_boff"], pa.list_(pa.int32())),
+            "bm_tfs_boff": pa.array(cols["bm_tfs_boff"], pa.list_(pa.int32())),
         }
     )
 

@@ -330,8 +330,13 @@ class SegmentSearcher:
     def _topk(self, cand: np.ndarray, scores: np.ndarray, k: int):
         gids = self.doc_ids[cand]
         if cand.size > k * 8 and k < cand.size:
+            # argpartition on scores alone would retain an arbitrary subset
+            # of boundary-score ties; widen the selection to every doc at or
+            # above the k-th score so the final lexsort can apply the
+            # documented (score desc, doc_id desc) tie-break exactly.
             part = np.argpartition(scores, cand.size - k)[cand.size - k :]
-            gids, scores = gids[part], scores[part]
+            sel = np.flatnonzero(scores >= scores[part].min())
+            gids, scores = gids[sel], scores[sel]
         order = np.lexsort((gids, scores))[::-1][:k]
         return gids[order], scores[order]
 

@@ -203,6 +203,25 @@ class TypoResolver:
         order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))
         return [terms[i] for i in order[:max_candidates]]
 
+    def candidates_per_token(
+        self, tokens: list[str], num_typos: int = MAX_COST
+    ) -> list[list[tuple[str, int]]]:
+        """UNCAPPED (term, cost) candidates for each query token — the
+        id-set view of fuzzy search (every vocabulary term within bounded
+        OSA distance), mirrored by the DuckDB ``damerau_levenshtein``
+        oracle. Returns [] if any token has no candidates (conjunctive
+        queries can then short-circuit to empty)."""
+        out: list[list[tuple[str, int]]] = []
+        for tok in tokens:
+            if num_typos > 0:
+                cands = self.fuzzy(tok, num_typos, max_candidates=1 << 30)
+            else:
+                cands = [(tok, 0)] if tok in self._term_index else []
+            if not cands:
+                return []
+            out.append(cands)
+        return out
+
     def expand_query(
         self,
         tokens: list[str],

@@ -172,3 +172,19 @@ def test_empty_and_whitespace_docs_indexed(index_dir, corpus):
     assert total == N_DOCS  # empty docs are present (wildcard-searchable)
     wild = searcher.search("*", k=N_DOCS, mode="bm25")
     assert wild.num_rows == N_DOCS
+
+
+def test_topk_boundary_tie_break():
+    """1000 tied scores, k=10: the (score desc, doc_id desc) tie-break
+    must hold even when ties straddle the argpartition boundary."""
+    import numpy as np
+
+    from typesense_ray.query import SegmentSearcher
+
+    seg = SegmentSearcher.__new__(SegmentSearcher)
+    seg.doc_ids = np.arange(1000, dtype=np.uint64)
+    ids, scores = seg._topk(
+        np.arange(1000, dtype=np.int64), np.ones(1000), 10
+    )
+    assert ids.tolist() == list(range(999, 989, -1))
+    assert scores.tolist() == [1.0] * 10

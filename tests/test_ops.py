@@ -172,3 +172,80 @@ def test_delete_then_scores_consistent(built):
     got_pairs = [(h["document"]["docnum"], h["score"]) for h in got["hits"]]
     want_pairs = [(h["document"]["docnum"], h["score"]) for h in want["hits"]]
     assert got_pairs == want_pairs
+
+
+def test_upsert_same_ids_new_content_visible(built):
+    """Re-upserting an existing id with changed content must serve the new
+    version (segment addressing covers content, not just doc ids)."""
+    import ray.data as rd
+
+    v2 = [{"docnum": 0, "title": "alpha comet flyby", "points": 12, "lang": "en"}]
+    upsert_documents(rd.from_items(v2), built)
+    coll = RayCollection(built, default_sorting_field="points")
+    assert coll.search("comet")["found"] == 1
+    assert coll.search("launch")["found"] == 0  # v1 text gone
+    doc = coll.get_document(0)
+    assert doc["title"] == "alpha comet flyby" and doc["points"] == 12
+    # upsert v3 whose batch has the SAME doc-id set as v2's delta segment:
+    # the content hash must give it a fresh address (no stale resume-skip)
+    v3 = [{"docnum": 0, "title": "alpha comet return", "points": 13, "lang": "en"}]
+    upsert_documents(rd.from_items(v3), built)
+    coll = RayCollection(built, default_sorting_field="points")
+    assert coll.get_document(0)["title"] == "alpha comet return"
+    assert coll.search("flyby")["found"] == 0
+
+
+def test_upsert_unchanged_docs_rewrite_nothing(built):
+    """Update diffing: an upsert whose docs all match the stored sha256s
+    must leave every segment untouched (reference scrubs unchanged fields
+    to skip reindex, src/collection.cpp:219-238)."""
+    import ray.data as rd
+    from typesense_ray.query import load_stats
+
+    before = load_stats(built)["segments"]
+    delta = [
+        {"docnum": 0, "title": "alpha rocket launch", "points": 10, "lang": "en"},
+        {"docnum": 5, "title": "zeta rocket telemetry", "points": 60, "lang": "de"},
+    ]
+    stats = upsert_documents(rd.from_items(delta), built)
+    assert stats["segments"] == before  # no segment rewritten
+    assert stats["upsert_skipped_unchanged"] == 2
+    assert stats["n_docs"] == 6
+
+
+def test_delete_gcs_stale_segments(built):
+    """Committed delete removes pre-compaction segment dirs from disk."""
+    seg_root = os.path.join(built, "segments")
+    before = set(os.listdir(seg_root))
+    stats = delete_by_filter(built, filter_by="lang:fr")
+    after = set(os.listdir(seg_root))
+    live = {f"seg-{sid}" for sid in stats["segments"]}
+    assert after == live  # nothing but manifest-referenced segments remain
+    assert before - after  # and at least one stale dir was removed
+
+
+def test_compacted_segment_keeps_wand(built):
+    """Postings surgery must preserve block-max WAND eligibility: the
+    compacted segment carries per-block byte offsets and disjunctive
+    search with method='wand' matches method='dense'."""
+    import pyarrow.parquet as pq
+    from typesense_ray.query import LocalIndexSearcher, load_stats
+
+    delete_by_filter(built, doc_ids=[2])
+    stats = load_stats(built)
+    for sid in stats["segments"]:
+        t = pq.read_table(os.path.join(built, "segments", f"seg-{sid}", "postings.parquet"))
+        assert "bm_ids_boff" in t.column_names
+        assert "bm_tfs_boff" in t.column_names
+    s = LocalIndexSearcher(built)
+    dfs = {"rocket": 4, "orbit": 1}
+    parts_w, parts_d = [], []
+    for seg in s.segments:
+        for method, acc in (("wand", parts_w), ("dense", parts_d)):
+            ids, sc = seg.search_bm25_disjunctive(
+                ["rocket", "orbit"], [], 10, dfs, stats["n_docs"],
+                stats["avgdl"], stats["k1"], stats["b"], method=method,
+                block_size=stats["config"].get("block_size"),
+            )
+            acc.append((ids.tolist(), [round(x, 9) for x in sc.tolist()]))
+    assert parts_w == parts_d

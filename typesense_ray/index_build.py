@@ -82,7 +82,8 @@ class IndexConfig:
 
 # bump when the segment file layout changes — gives format-changed segments
 # new content addresses so resume never mixes layouts
-SEGMENT_FORMAT_VERSION = 2
+# (v3: segment id covers doc CONTENT, not just doc ids — see SegmentWriter)
+SEGMENT_FORMAT_VERSION = 3
 
 
 def doc_id_from_key(*parts: str) -> int:
@@ -401,16 +402,25 @@ class SegmentWriter:
                 docs_cols[f] = batch[f]
         docs = pa.table(docs_cols)
 
-        # content-addressed segment id → idempotent, resumable writes
-        seg_hash = hashlib.blake2b(digest_size=8)
-        seg_hash.update(doc_ids.tobytes())
-        seg_hash.update(self.cfg.fingerprint().encode())
-        seg_id = seg_hash.hexdigest()
-        seg_dir = os.path.join(self.seg_root, f"seg-{seg_id}")
-
         corpus_fingerprint = hashlib.blake2b(
             "".join(sorted(shas)).encode(), digest_size=16
         ).hexdigest()
+
+        # content-addressed segment id → idempotent, resumable writes.
+        # The hash covers doc ids AND row content (every docs-sidecar
+        # buffer: text sha256s, doclens, meta fields): re-upserting an
+        # existing id with changed content or metadata must produce a NEW
+        # segment address, or the resume check would silently re-register
+        # the stale segment.
+        seg_hash = hashlib.blake2b(digest_size=8)
+        seg_hash.update(doc_ids.tobytes())
+        for col in docs.combine_chunks().columns:
+            for buf in col.chunk(0).buffers():
+                if buf is not None:
+                    seg_hash.update(buf)
+        seg_hash.update(self.cfg.fingerprint().encode())
+        seg_id = seg_hash.hexdigest()
+        seg_dir = os.path.join(self.seg_root, f"seg-{seg_id}")
 
         skipped = False
         if os.path.exists(os.path.join(seg_dir, MANIFEST_FILE)):
@@ -460,6 +470,28 @@ class SegmentWriter:
                 "docs_per_s": [round(n / wall, 2)],
             }
         )
+
+
+def gc_segments(out_dir: str) -> list[str]:
+    """Remove segment dirs not referenced by the committed manifest (stale
+    pre-compaction originals, orphans from crashed builds, leftover
+    ``.tmp-*`` dirs). Safe to call only AFTER a manifest commit: anything
+    a concurrent resumable rerun still needs is, by definition, listed in
+    the manifest it would re-commit. Returns the removed dir names."""
+    import shutil
+
+    seg_root = os.path.join(out_dir, "segments")
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if not os.path.isdir(seg_root) or not os.path.exists(manifest_path):
+        return []
+    with open(manifest_path) as f:
+        keep = {f"seg-{sid}" for sid in json.load(f)["segments"]}
+    removed = []
+    for name in os.listdir(seg_root):
+        if name.startswith("seg-") and name not in keep:
+            shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def _manifest_schema_empty() -> pa.Table:
@@ -628,4 +660,5 @@ def build_index(
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(stats, f, indent=1)
+    gc_segments(out_dir)
     return stats

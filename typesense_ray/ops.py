@@ -301,6 +301,9 @@ def delete_by_filter(index_dir: str, filter_by: str = "",
         _refresh_global_df(index_dir, new_segments)
         with open(os.path.join(index_dir, "manifest.json"), "w") as f:
             json.dump(stats, f, indent=1)
+        from typesense_ray.index_build import gc_segments
+
+        gc_segments(index_dir)
     return stats
 
 
@@ -309,17 +312,21 @@ def upsert_documents(source, index_dir: str, *,
     """Upsert a delta of documents into an existing index: docs whose
     (data-derived) ``doc_id`` already exists replace the old version; new
     ids append. The reference mutates postings in place on update
-    (``src/index.cpp:2086-2191`` remove + re-add); with immutable segments
-    this becomes: compact old versions out of affected segments (parallel
-    Ray tasks), write the delta as fresh content-addressed segments, then
-    re-merge global stats and commit one manifest. Assumes the delta is
-    small relative to the index (its id set is broadcast via ``ray.put``);
-    for bulk rewrites, rebuild instead."""
+    (``src/index.cpp:2086-2191`` remove + re-add) and scrubs unchanged
+    fields to skip reindexing (``src/collection.cpp:219-238``,
+    ``src/index.cpp:354-427``); with immutable segments this becomes:
+    diff the delta against the stored per-row sha256s and DROP unchanged
+    docs from the upsert entirely (no segment is touched for them), then
+    compact old versions of the changed docs out of affected segments
+    (parallel Ray tasks), write the changed delta as fresh
+    content-addressed segments, and commit one manifest. Assumes the
+    delta is small relative to the index (its id set is broadcast via
+    ``ray.put``); for bulk rewrites, rebuild instead."""
     import ray
     import ray.data as rd
 
     from typesense_ray.index_build import SegmentWriter, compute_doc_ids
-    from typesense_ray.query import load_stats
+    from typesense_ray.query import load_stats, segment_dirs
 
     stats = load_stats(index_dir)
     cfg = IndexConfig(
@@ -335,12 +342,20 @@ def upsert_documents(source, index_dir: str, *,
     # the delta is consumed twice (id scan, then segment build): pin it
     source = source.materialize()
 
-    id_parts = [
-        compute_doc_ids(b, cfg)
-        for b in source.iter_batches(
-            batch_format="pyarrow", batch_size=cfg.batch_docs
-        )
-    ]
+    import hashlib
+
+    id_parts, sha_parts = [], []
+    for b in source.iter_batches(
+        batch_format="pyarrow", batch_size=cfg.batch_docs
+    ):
+        id_parts.append(compute_doc_ids(b, cfg))
+        if cfg.sha_field and cfg.sha_field in b.column_names:
+            sha_parts.extend(b[cfg.sha_field].to_pylist())
+        else:
+            sha_parts.extend(
+                hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                for t in b[cfg.text_field].to_pylist()
+            )
     incoming = (
         np.concatenate(id_parts) if id_parts else np.empty(0, np.uint64)
     )
@@ -351,14 +366,56 @@ def upsert_documents(source, index_dir: str, *,
             "is ambiguous under parallel segment builds) — dedup first"
         )
 
+    # phase 0: update diffing — an incoming doc whose stored sha256
+    # already matches is unchanged; drop it so no segment is rewritten
+    incoming_sha = dict(zip(incoming.tolist(), sha_parts))
+    unchanged: set[int] = set()
+    for d in segment_dirs(index_dir):
+        t = pq.read_table(
+            os.path.join(d, DOCS_FILE), columns=["doc_id", "sha256"]
+        )
+        seg_ids = t["doc_id"].to_numpy()
+        hit = np.isin(seg_ids, uniq)
+        if hit.any():
+            for did, sha in zip(
+                seg_ids[hit].tolist(),
+                t["sha256"].to_numpy(zero_copy_only=False)[hit].tolist(),
+            ):
+                if incoming_sha.get(did) == sha:
+                    unchanged.add(did)
+    if unchanged:
+        changed = np.array(
+            sorted(set(uniq.tolist()) - unchanged), dtype=np.uint64
+        )
+    else:
+        changed = uniq
+    if changed.size == 0:
+        stats["upserted_docs"] = stats.get("upserted_docs", 0)
+        stats["upsert_skipped_unchanged"] = (
+            stats.get("upsert_skipped_unchanged", 0) + int(len(unchanged))
+        )
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        return stats
+    if unchanged:
+        changed_ref = ray.put(changed)
+
+        def only_changed(b: pa.Table) -> pa.Table:
+            keep = np.isin(compute_doc_ids(b, cfg), ray.get(changed_ref))
+            return b.filter(pa.array(keep))
+
+        source = source.map_batches(
+            only_changed, batch_format="pyarrow"
+        ).materialize()
+
     # phase 1: drop old versions (uncommitted — old manifest stays valid)
-    stats = delete_by_filter(index_dir, doc_ids=uniq, _commit=False)
+    stats = delete_by_filter(index_dir, doc_ids=changed, _commit=False)
 
     # phase 2: append the delta as new segments
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
     ds = source
-    if ds.num_blocks() < concurrency and len(uniq) > cfg.batch_docs:
+    if ds.num_blocks() < concurrency and len(changed) > cfg.batch_docs:
         ds = ds.repartition(concurrency)
     manifests = ds.map_batches(
         SegmentWriter(index_dir, cfg),
@@ -376,10 +433,16 @@ def upsert_documents(source, index_dir: str, *,
         stats["doclen_sum"] / stats["n_docs"] if stats["n_docs"] else 0.0
     )
     stats["n_segments"] = len(stats["segments"])
-    stats["upserted_docs"] = stats.get("upserted_docs", 0) + int(len(uniq))
+    stats["upserted_docs"] = stats.get("upserted_docs", 0) + int(len(changed))
+    stats["upsert_skipped_unchanged"] = (
+        stats.get("upsert_skipped_unchanged", 0) + int(len(unchanged))
+    )
 
     # phase 3: commit — global df over surviving + new segments, one manifest
     _refresh_global_df(index_dir, stats["segments"])
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(stats, f, indent=1)
+    from typesense_ray.index_build import gc_segments
+
+    gc_segments(index_dir)
     return stats

@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
 
 
 def _hash64_bytes(s: str) -> int:
@@ -26,25 +28,37 @@ def _hash64_bytes(s: str) -> int:
 
 
 def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Add a stable 16-hex content hash column (for exact dedup)."""
-    hashes = [
-        hashlib.blake2b((t or "").encode("utf-8"), digest_size=8).hexdigest()
-        for t in batch[text_col].to_pylist()
-    ]
-    return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+    """Add two independent vectorized 64-bit content hashes (128 bits of
+    key together — collision-negligible at 10^12 docs, where a single
+    64-bit key would birthday-collide)."""
+    import pandas as pd
+
+    s = np.asarray(
+        pd.Series(batch[text_col].to_pylist()).fillna(""), dtype=object
+    )
+    h1 = pd.util.hash_array(s)
+    h2 = pd.util.hash_array(s, hash_key="1b2e3d4c5a6f7081")
+    out = batch.append_column("text_hash", pa.array(h1, pa.uint64()))
+    return out.append_column("text_hash2", pa.array(h2, pa.uint64()))
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact dedup: content-hash each row, pick the min-id winner per hash
-    with a two-stage aggregate (per-batch pandas partial → global
-    ``groupby(hash).min``), then semi-join the winners back. Returns the
+    """Exact dedup: content-hash each row (vectorized, 128-bit key), pick
+    the min-id winner per hash with a two-stage aggregate (per-batch
+    pandas partial → distributed ``groupby(hash).aggregate(Min)``), then
+    semi-join the winners back via a ``ray.put`` broadcast of the sorted
+    winner-id array and a vectorized ``pc.is_in`` filter. Returns the
     surviving rows.
 
     Reference role: Topster kv_map per-key dedup (``include/topster.h:
-    168-213``) generalized to corpus dedup. The winner aggregate moves
-    only (hash, id) pairs; the per-group work is vectorized pandas, not
-    one callback per group."""
+    168-213``) generalized to corpus dedup. The winner aggregate is a
+    distributed groupby over (hash, id) partials — one row per distinct
+    text per batch — so no stage materializes the corpus or a
+    distinct-text map on the driver; the driver holds only the winner-id
+    int64 array (== output row count), broadcast once."""
     import pandas as pd
+    import ray
+    from ray.data.aggregate import Min
 
     hashed = ds.map_batches(
         lambda b: text_hash_batch(b, text_col), batch_format="pyarrow"
@@ -52,32 +66,32 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     def partial_min(df: pd.DataFrame) -> pd.DataFrame:
         return (
-            df[["text_hash", id_col]]
-            .groupby("text_hash", as_index=False)[id_col]
+            df[["text_hash", "text_hash2", id_col]]
+            .groupby(["text_hash", "text_hash2"], as_index=False)[id_col]
             .min()
         )
 
-    # final reduce over the (hash, min_id) partials: they are tiny (one row
-    # per distinct text per batch), so stream them to the driver; at
-    # distinct-text counts beyond driver RAM switch this to
-    # groupby("text_hash").aggregate(Min) — the partials are unchanged.
-    win_by_hash: dict[str, int] = {}
-    for b in hashed.map_batches(partial_min, batch_format="pandas").iter_batches(
-        batch_format="pandas"
-    ):
-        for h, i in zip(b["text_hash"], b[id_col]):
-            cur = win_by_hash.get(h)
-            if cur is None or i < cur:
-                win_by_hash[h] = i
-    win_ids = set(win_by_hash.values())
+    winners = (
+        hashed.map_batches(partial_min, batch_format="pandas")
+        .groupby(["text_hash", "text_hash2"])
+        .aggregate(Min(id_col, alias_name="win"))
+    )
+    win_parts = [
+        b["win"].to_numpy()
+        for b in winners.iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    win = (
+        np.sort(np.concatenate(win_parts))
+        if win_parts
+        else np.empty(0, np.int64)
+    )
+    win_ref = ray.put(pa.array(win, pa.int64()))
 
     def keep_winners(b: pa.Table) -> pa.Table:
-        import numpy as np
+        import pyarrow.compute as pc
 
-        m = np.fromiter(
-            (x in win_ids for x in b[id_col].to_pylist()), bool, b.num_rows
-        )
-        return b.filter(pa.array(m))
+        m = pc.is_in(b[id_col].cast(pa.int64()), value_set=ray.get(win_ref))
+        return b.filter(m).drop_columns(["text_hash", "text_hash2"])
 
     return hashed.map_batches(keep_winners, batch_format="pyarrow")
 
@@ -85,26 +99,31 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 # -- shingles / jaccard ------------------------------------------------------
 
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
-    """Stable hashed character k-grams (crc32-based — stable across runs
-    and processes, unlike builtin hash())."""
-    from zlib import crc32
-
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Distinct byte-level k-grams over the whitespace-normalized lowered
+    utf-8 stream, packed losslessly into uint64 (k ≤ 8 — no hash, no
+    collisions) via one vectorized sliding-window pass. Returns a sorted
+    unique uint64 array."""
     t = " ".join((text or "").lower().split())
-    if len(t) < k:
-        return {crc32(t.encode())} if t else set()
-    b = t.encode("utf-8")
-    # byte-level k-grams over the utf-8 stream (ascii-dominated corpora:
-    # identical to char k-grams)
-    return {crc32(b[i : i + k]) for i in range(len(b) - k + 1)}
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, np.uint64)
+    if b.size < k:
+        v = 0
+        for x in b.tolist():
+            v = (v << 8) | x
+        return np.array([v], np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    mult = np.uint64(1) << (np.uint64(8) * np.arange(k - 1, -1, -1, dtype=np.uint64))
+    return np.unique(w @ mult)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     sa, sb = char_shingles(a, k), char_shingles(b, k)
-    if not sa and not sb:
+    if not sa.size and not sb.size:
         return 1.0
-    inter = len(sa & sb)
-    union = len(sa) + len(sb) - inter
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
     return inter / union if union else 0.0
 
 
@@ -117,15 +136,18 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, shingle_hashes: set[int]) -> np.ndarray:
-        if not shingle_hashes:
+    def signature(self, shingle_ids: np.ndarray) -> np.ndarray:
+        if shingle_ids.size == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
+        x = shingle_ids.astype(np.uint64, copy=False)
         # (a*x + b) mod p per permutation, computed in uint64 with natural
         # mod-2^64 wraparound (a deterministic universal-ish hash family —
         # the exact function only needs to be a consistent hash, same trick
         # as datasketch's vectorized minhash)
-        ax = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        with np.errstate(over="ignore"):
+            ax = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(
+                _MERSENNE
+            )
         return ax.min(axis=1)
 
 
@@ -157,32 +179,36 @@ def minhash_lsh_pairs(
     n_parts = 64  # shuffle partitions for the bucket exchange
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        out_part, out_hash, out_id = [], [], []
-        ids = batch[id_col].to_pylist()
-        for did, text in zip(ids, batch[text_col].to_pylist()):
-            sig = hasher.signature(char_shingles(text, shingle_k))
-            for bnd in range(bands):
-                chunk = sig[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-                # band index mixed into the digest → one flat bucket key
-                h = hashlib.blake2b(
-                    bytes([bnd]) + chunk.tobytes(), digest_size=8
-                ).digest()
-                out_part.append(h[0] % n_parts)
-                out_hash.append(h.hex())
-                out_id.append(did)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        n = ids.size
+        sigs = np.empty((n, hasher.num_perm), dtype=np.uint64)
+        for i, text in enumerate(batch[text_col].to_pylist()):
+            sigs[i] = hasher.signature(char_shingles(text, shingle_k))
+        # band mixing: FNV-style fold of each band's rows + the band index
+        # — all lanes at once (no per-doc/per-band hashlib calls)
+        sig3 = sigs.reshape(n, bands, rows_per_band)
+        h = np.broadcast_to(
+            _FNV_OFFSET ^ np.arange(bands, dtype=np.uint64), (n, bands)
+        ).copy()
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                h = (h ^ sig3[:, :, r]) * _FNV_PRIME
         return pa.table(
-            {"part": pa.array(out_part, pa.int32()),
-             "band_hash": pa.array(out_hash, pa.string()),
-             id_col: pa.array(out_id)}
+            {
+                "part": pa.array((h % np.uint64(n_parts)).ravel().astype(np.int32)),
+                "band_hash": pa.array(h.ravel(), pa.uint64()),
+                id_col: pa.array(np.repeat(ids, bands)),
+            }
         )
 
     # bucket → candidate pairs: ONE all-to-all over the (part, band_hash,
-    # id) triples — 16 short rows per doc regardless of text size — into
-    # ≤64 coarse partitions (bounded map_groups callbacks; a per-bucket
-    # groupby would pay one callback per LSH bucket). Buckets never split
-    # across partitions (part = f(band_hash)), so the within-partition
-    # pandas groupby sees every member of each of its buckets; the driver
-    # only ever sees the candidate-pair set (bounded by true-dup density).
+    # id) triples — `bands` short rows per doc regardless of text size —
+    # into ≤64 coarse partitions (bounded map_groups callbacks; a
+    # per-bucket groupby would pay one callback per LSH bucket). Buckets
+    # never split across partitions (part = f(band_hash)), so the
+    # within-partition pandas groupby sees every member of each of its
+    # buckets; the driver only ever sees the candidate-pair set (bounded
+    # by true-dup density).
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
         for _, grp in g.groupby("band_hash")[id_col]:
@@ -225,29 +251,29 @@ def minhash_lsh_pairs(
         for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
             if did in need_set:
                 out_id.append(did)
-                out_sh.append(
-                    np.fromiter(char_shingles(txt, shingle_k), dtype=np.uint64)
-                )
+                out_sh.append(char_shingles(txt, shingle_k))
         return pa.table(
             {id_col: pa.array(out_id, pa.int64()),
              "sh": pa.array([s.tolist() for s in out_sh],
                             pa.list_(pa.uint64()))}
         )
 
-    shingles: dict[int, set[int]] = {
-        r[id_col]: set(int(x) for x in r["sh"])
+    shingles: dict[int, np.ndarray] = {
+        r[id_col]: np.asarray(r["sh"], dtype=np.uint64)
         for r in ds.map_batches(
             cand_shingles, batch_format="pyarrow"
         ).take_all()
     }
+    empty = np.empty(0, np.uint64)
     out_a, out_b, out_j = [], [], []
     for a, b_ in sorted(pairs):
-        sa, sb = shingles.get(a, set()), shingles.get(b_, set())
-        if not sa and not sb:
+        sa = shingles.get(a, empty)
+        sb = shingles.get(b_, empty)
+        if not sa.size and not sb.size:
             j = 1.0
         else:
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
             j = inter / union if union else 0.0
         if j >= threshold:
             out_a.append(a)
@@ -351,22 +377,43 @@ def word_ngram_jaccard_pairs(
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
-    from collections import Counter
+    """64-bit SimHash over whitespace tokens (term-frequency weighted) —
+    scalar reference; the batch kernel is :func:`simhash_batch`."""
+    out = simhash_batch([text])
+    return int(out[0])
 
-    toks = Counter((text or "").lower().split())
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, w in toks.items():
-        h = _hash64_bytes(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), w, -w)
-    return int(
-        np.bitwise_or.reduce(
-            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        )
+
+def simhash_batch(texts: list[str | None]) -> np.ndarray:
+    """Vectorized SimHash for a whole batch: factorize all tokens once,
+    hash only the DISTINCT tokens, then one scatter-add of ±1 bit lanes
+    per occurrence (``np.add.at``) and one bit-pack per doc."""
+    import pandas as pd
+
+    n = len(texts)
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
+    if lens.sum() == 0:
+        return np.zeros(n, dtype=np.uint64)
+    from itertools import chain
+
+    flat = np.fromiter(
+        chain.from_iterable(tok_lists), dtype=object, count=int(lens.sum())
     )
+    doc_ix = np.repeat(np.arange(n, dtype=np.int64), lens)
+    codes, uniq = pd.factorize(flat)
+    tok_h = np.fromiter(
+        (_hash64_bytes(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    lanes = np.arange(64, dtype=np.uint64)
+    sign = (
+        ((tok_h[:, None] >> lanes[None, :]) & np.uint64(1)).astype(np.int64)
+        * 2
+        - 1
+    )  # (U, 64) of ±1
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, doc_ix, sign[codes])
+    bits = (acc > 0).astype(np.uint64) << lanes[None, :]
+    return np.bitwise_or.reduce(bits, axis=1)
 
 
 def simhash_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -377,7 +424,7 @@ def simhash_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     import pandas as pd
 
     def add_sim(batch: pa.Table) -> pa.Table:
-        sims = [simhash64(t) for t in batch[text_col].to_pylist()]
+        sims = simhash_batch(batch[text_col].to_pylist())
         return pa.table(
             {id_col: batch[id_col], "simhash": pa.array(sims, pa.uint64())}
         )
@@ -408,14 +455,17 @@ def embedding_dup_pairs(
     seed: int = 7,
 ):
     """Embedding-cosine near-dup: random-hyperplane LSH bucket (groupby
-    signature) → within-bucket exact pairwise cosine → pairs ≥ threshold.
+    signature) → within-bucket exact pairwise cosine (one matmul + a
+    vectorized upper-triangle threshold scan) → pairs ≥ threshold.
     Two vectors with cosine ≥ 0.95 collide in all n_planes bits with
     probability (1 - θ/π)^n ≈ 0.5 for n=8; run with 2-3 plane seeds for
     recall at scale (union of pairs)."""
     import pandas as pd
 
+    from typesense_ray.functions.similarity import vecs_to_numpy
+
     def add_sig(batch: pa.Table, plane_seed: int) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vecs_to_numpy(batch[vec_col])
         rng = np.random.default_rng(plane_seed)
         planes = rng.standard_normal((vecs.shape[1], n_planes))
         sig = (vecs @ planes > 0).astype(np.uint8)
@@ -435,15 +485,12 @@ def embedding_dup_pairs(
         norm[norm == 0] = 1.0
         vn = v / norm
         sim = vn @ vn.T
-        out_a, out_b, out_c = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sim[i, j] >= threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_c.append(float(sim[i, j]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        vals = sim[iu, ju]
+        keep = vals >= threshold
+        return pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "cosine": vals[keep]}
+        )
 
     return (
         ds.map_batches(lambda b: add_sig(b, seed), batch_format="pyarrow")

@@ -4,9 +4,10 @@
   broadcast once (``ray.put``), each ``map_batches`` task computes a
   vectorized partial top-k (numpy matmul), and the driver merges the tiny
   per-block top-k's. No shuffle.
-- :func:`knn_ivf` — the scale path: coarse k-means centroids from a
-  sample, inverted lists per centroid (a one-column groupby), query probes
-  only ``nprobe`` nearest lists.
+- :class:`IVFIndex` — the scale path: coarse k-means centroids from a
+  size-capped sample, centroid-partitioned Parquet inverted lists (the
+  ONLY layout — nothing materializes the dataset on the driver), queries
+  probe only ``nprobe`` lists with lazy per-list loads.
 """
 
 from __future__ import annotations
@@ -19,6 +20,20 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def vecs_to_numpy(col) -> np.ndarray:
+    """Zero-copy-ish decode of an Arrow ``list<float>`` /
+    ``fixed_size_list<float>`` column into an (n, dim) float64 matrix:
+    flatten the child values buffer and reshape — no per-row Python
+    lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 
 def knn_bruteforce(
@@ -42,22 +57,18 @@ def knn_bruteforce(
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)  # zero-copy read from the object store
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vecs_to_numpy(batch[vec_col])
         vn = _normalize(v) if metric == "cosine" else v
         sims = vn @ qm.T  # (batch, nq)
+        nq = qm.shape[0]
         kk = min(k, len(ids))
-        out_q, out_id, out_s = [], [], []
-        for qi in range(qm.shape[0]):
-            col = sims[:, qi]
-            part = np.argpartition(col, len(col) - kk)[len(col) - kk :]
-            for j in part:
-                out_q.append(qi)
-                out_id.append(int(ids[j]))
-                out_s.append(float(col[j]))
+        part = np.argpartition(sims, len(ids) - kk, axis=0)[len(ids) - kk :]
+        rows = part.T.ravel()  # per query, its kk rows
+        qids = np.repeat(np.arange(nq, dtype=np.int32), kk)
         return pa.table(
-            {"query_id": pa.array(out_q, pa.int32()),
-             id_col: pa.array(out_id, pa.int64()),
-             "score": pa.array(out_s, pa.float64())}
+            {"query_id": pa.array(qids, pa.int32()),
+             id_col: pa.array(ids[rows], pa.int64()),
+             "score": pa.array(sims[rows, qids], pa.float64())}
         )
 
     parts = ds.map_batches(
@@ -83,9 +94,10 @@ def knn_bruteforce(
 
 
 class IVFIndex:
-    """Coarse-quantized ANN: sample → k-means (few Lloyd iterations) →
-    per-centroid inverted lists. Centroids are broadcast; assignment is a
-    stateless map_batches; each query scans only nprobe lists."""
+    """Coarse-quantized ANN: size-capped sample → k-means (few Lloyd
+    iterations) → centroid-partitioned Parquet inverted lists. Centroids
+    are broadcast; assignment is a stateless map_batches; each query scans
+    only nprobe lists, loaded lazily from their partitions and cached."""
 
     def __init__(self, n_centroids: int = 16, n_iter: int = 5, seed: int = 3):
         self.n_centroids = n_centroids
@@ -99,7 +111,7 @@ class IVFIndex:
 
     @classmethod
     def load(cls, out_dir: str) -> "IVFIndex":
-        """Reopen a spilled index written by ``fit(out_dir=...)``."""
+        """Reopen a spilled index written by ``fit``."""
         import json as _json
         import os
 
@@ -113,16 +125,36 @@ class IVFIndex:
         return idx
 
     def fit(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
-            sample_fraction: float = 1.0, out_dir: str | None = None):
+            sample_fraction: float | None = None, out_dir: str | None = None,
+            max_train: int = 65536):
+        """Train centroids on a driver sample capped at ``max_train``
+        vectors (``sample_fraction`` overrides the auto cap) and write the
+        centroid-partitioned list layout — the 100 TB path: queries read
+        only probed partitions, a failed build rerun overwrites per
+        partition, and NOTHING materializes the full dataset anywhere."""
+        import json as _json
+        import os
+        import tempfile
+
         import ray
 
+        if out_dir is None:
+            out_dir = tempfile.mkdtemp(prefix="tsray-ivf-")
+        if sample_fraction is None:
+            n_total = ds.count()
+            sample_fraction = min(1.0, max_train / max(n_total, 1))
         sample = (
-            ds if sample_fraction >= 1.0 else ds.random_sample(sample_fraction, seed=self.seed)
+            ds
+            if sample_fraction >= 1.0
+            else ds.random_sample(sample_fraction, seed=self.seed)
         )
-        sm = np.array(
-            [r[vec_col] for r in sample.take_all()], dtype=np.float64
-        )
-        sm = _normalize(sm)
+        sm_parts = [
+            vecs_to_numpy(b[vec_col])
+            for b in sample.iter_batches(
+                batch_format="pyarrow", batch_size=8192
+            )
+        ]
+        sm = _normalize(np.concatenate(sm_parts))
         rng = np.random.default_rng(self.seed)
         c = sm[rng.choice(len(sm), min(self.n_centroids, len(sm)), replace=False)]
         for _ in range(self.n_iter):
@@ -139,44 +171,24 @@ class IVFIndex:
 
         def assign_batch(batch: pa.Table) -> pa.Table:
             cm = ray.get(c_ref)
-            v = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            v = _normalize(vecs_to_numpy(batch[vec_col]))
             a = np.argmax(v @ cm.T, axis=1).astype(np.int32)
             return pa.table(
                 {id_col: batch[id_col], vec_col: batch[vec_col],
                  "centroid": pa.array(a)}
             )
 
-        assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
         self.id_col, self.vec_col = id_col, vec_col
-        if out_dir is not None:
-            # the 100 TB layout: centroid-partitioned parquet, one
-            # directory per inverted list — queries read only the nprobe
-            # probed partitions; a failed build rerun overwrites per
-            # partition (resumable output)
-            import json as _json
-            import os
-
-            assigned.write_parquet(
-                os.path.join(out_dir, "lists"), partition_cols=["centroid"]
+        ds.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "lists"), partition_cols=["centroid"]
+        )
+        with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+            _json.dump(
+                {"n_centroids": self.n_centroids, "n_iter": self.n_iter,
+                 "seed": self.seed, "id_col": id_col, "vec_col": vec_col,
+                 "centroids": self.centroids.tolist()}, f,
             )
-            with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
-                _json.dump(
-                    {"n_centroids": self.n_centroids, "n_iter": self.n_iter,
-                     "seed": self.seed, "id_col": id_col, "vec_col": vec_col,
-                     "centroids": self.centroids.tolist()}, f,
-                )
-            self.out_dir = out_dir
-            return self
-        # in-memory inverted lists (test/interactive scale)
-        for r in assigned.take_all():
-            self.lists.setdefault(int(r["centroid"]), ([], []))
-            self.lists[int(r["centroid"])][0].append(int(r[id_col]))
-            self.lists[int(r["centroid"])][1].append(r[vec_col])
-        self.lists = {
-            c_: (np.asarray(ids, np.int64),
-                 _normalize(np.asarray(vecs, np.float64)))
-            for c_, (ids, vecs) in self.lists.items()
-        }
+        self.out_dir = out_dir
         return self
 
     def _load_list(self, c: int):
@@ -193,8 +205,8 @@ class IVFIndex:
         )
         if t.num_rows == 0:
             return None
-        ids = np.asarray(t[self.id_col].to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.array(t[self.vec_col].to_pylist(), np.float64))
+        ids = np.asarray(t[self.id_col].to_numpy(), dtype=np.int64)
+        vecs = _normalize(vecs_to_numpy(t[self.vec_col]))
         self.lists[c] = (ids, vecs)
         return self.lists[c]
 

@@ -1,6 +1,11 @@
 """Text analysis operators: language-ID, quality scoring, token counting,
 document fingerprinting — vectorized ``map_batches`` stages over the
-``documents`` table shape (doc_id, text, ...)."""
+``documents`` table shape (doc_id, text, ...).
+
+Every kernel here is regex/numpy-vectorized over the whole batch (no
+per-row Python loops in the hot path): at 100 TB these per-doc functions
+ARE the bill, so each one is a handful of C-level passes per batch.
+"""
 
 from __future__ import annotations
 
@@ -9,7 +14,6 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # n-gram/stopword profiles for the language-ID heuristic
 _LANG_PROFILES = {
@@ -25,78 +29,106 @@ _BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 _STOP_EN = _LANG_PROFILES["en"]
 
 
+def _texts(batch: pa.Table, text_col: str) -> pd.Series:
+    return pd.Series(batch[text_col].to_pylist()).fillna("")
+
+
 class LangId:
     """Actor-pool stage: stopword-profile language ID with confidence.
-    Profiles compiled once per actor (``__init__``)."""
+
+    Vectorized: one compiled token-boundary regex count per language over
+    the whole batch (token == maximal [a-z0-9]+ run; a profile word hits
+    only when it equals a full token). Patterns compiled once per actor
+    (``__init__``). Tie-break on equal scores picks the lexicographically
+    largest language (``max(scores, key=lambda l: (scores[l], l))``
+    semantics), mirrored by iterating languages in descending name order.
+    """
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs_desc = sorted(_LANG_PROFILES, reverse=True)
+        self.patterns = {
+            lang: re.compile(
+                r"(?:^|(?<=[^a-z0-9]))(?:"
+                + "|".join(sorted(words))
+                + r")(?=[^a-z0-9]|$)"
+            )
+            for lang, words in _LANG_PROFILES.items()
+        }
+        self.tok_re = re.compile(r"[a-z0-9]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs, confs = [], []
-        for text in batch["text"].to_pylist():
-            toks = _WORD_RE.findall((text or "").lower())
-            if not toks:
-                langs.append("und")
-                confs.append(0.0)
-                continue
-            scores = {
-                lang: sum(1 for t in toks if t in prof) / len(toks)
-                for lang, prof in self.profiles.items()
-            }
-            best = max(scores, key=lambda l: (scores[l], l))
-            langs.append(best if scores[best] > 0 else "und")
-            confs.append(round(scores[best], 6))
+        s = _texts(batch, "text").str.lower()
+        n_toks = s.str.count(self.tok_re).to_numpy(dtype=np.float64)
+        safe_n = np.where(n_toks > 0, n_toks, 1.0)
+        scores = np.stack(
+            [
+                s.str.count(self.patterns[lang]).to_numpy(np.float64) / safe_n
+                for lang in self.langs_desc
+            ]
+        )  # (n_langs, n_docs), langs in DESC name order
+        best_idx = np.argmax(scores, axis=0)  # first max == largest name
+        best = scores[best_idx, np.arange(scores.shape[1])]
+        langs_arr = np.array(self.langs_desc, dtype=object)
+        preds = np.where((best > 0) & (n_toks > 0), langs_arr[best_idx], "und")
+        confs = np.where(n_toks > 0, np.round(best, 6), 0.0)
         return batch.append_column(
-            "lang_pred", pa.array(langs, pa.string())
+            "lang_pred", pa.array(preds.tolist(), pa.string())
         ).append_column("lang_conf", pa.array(confs, pa.float64()))
+
+
+_TOKEN_CHARS = r"[^ \n]"
+_STOP_PAT = re.compile(
+    r"(?:^|(?<=[ \n]))(?:" + "|".join(sorted(_STOP_EN)) + r")(?=[ \n]|$)",
+    re.IGNORECASE,
+)
 
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality-signal columns: n_tokens, mean token length, digit ratio,
     punctuation ratio, stopword ratio, and a composite [0,1] score.
-    Pure-SQL-expressible components are kept bit-identical to the oracle
-    (see __ray_entry__.oracle_sql)."""
-    n_tokens, mean_len, digit_r, punct_r, stop_r = [], [], [], [], []
-    for text in batch[text_col].to_pylist():
-        t = text or ""
-        toks = [x for x in t.replace("\n", " ").split(" ") if x]
-        n = len(toks)
-        n_tokens.append(n)
-        mean_len.append(round(sum(len(x) for x in toks) / n, 6) if n else 0.0)
-        nc = len(t)
-        digit_r.append(round(sum(c.isdigit() for c in t) / nc, 6) if nc else 0.0)
-        punct_r.append(
-            round(sum(not c.isalnum() and not c.isspace() for c in t) / nc, 6)
-            if nc else 0.0
-        )
-        stop_r.append(
-            round(sum(1 for x in toks if x.lower() in _STOP_EN) / n, 6) if n else 0.0
-        )
+    All columns come from vectorized regex counts (pandas ``str.count``
+    with compiled patterns); pure-SQL-expressible components are kept
+    bit-identical to the oracle (see __ray_entry__.oracle_sql)."""
+    s = _texts(batch, text_col)
+    n_tokens = s.str.count(_TOKEN_CHARS + "+").to_numpy(np.int64)
+    tok_chars = s.str.count(_TOKEN_CHARS).to_numpy(np.float64)
+    n_chars = s.str.len().to_numpy(np.float64)
+    digits = s.str.count(r"[0-9]").to_numpy(np.float64)
+    punct = s.str.count(r"[^a-zA-Z0-9\s]").to_numpy(np.float64)
+    stops = s.str.count(_STOP_PAT).to_numpy(np.float64)
+
+    safe_nt = np.where(n_tokens > 0, n_tokens, 1).astype(np.float64)
+    safe_nc = np.where(n_chars > 0, n_chars, 1.0)
+    mean_len = np.where(n_tokens > 0, np.round(tok_chars / safe_nt, 6), 0.0)
+    digit_r = np.where(n_chars > 0, np.round(digits / safe_nc, 6), 0.0)
+    punct_r = np.where(n_chars > 0, np.round(punct / safe_nc, 6), 0.0)
+    stop_r = np.where(n_tokens > 0, np.round(stops / safe_nt, 6), 0.0)
+    score = np.round(
+        np.clip(
+            0.4 * np.minimum(1.0, n_tokens / 100.0)
+            + 0.3 * (1.0 - digit_r)
+            + 0.3 * (1.0 - punct_r),
+            0.0,
+            1.0,
+        ),
+        6,
+    )
     out = batch.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
     out = out.append_column("mean_token_len", pa.array(mean_len, pa.float64()))
     out = out.append_column("digit_ratio", pa.array(digit_r, pa.float64()))
     out = out.append_column("punct_ratio", pa.array(punct_r, pa.float64()))
     out = out.append_column("stopword_ratio", pa.array(stop_r, pa.float64()))
-    score = [
-        round(
-            max(0.0, min(1.0,
-                0.4 * min(1.0, n / 100.0) + 0.3 * (1.0 - d) + 0.3 * (1.0 - p))),
-            6,
-        )
-        for n, d, p in zip(n_tokens, digit_r, punct_r)
-    ]
     return out.append_column("quality", pa.array(score, pa.float64()))
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count + BPE-ish subword count (compiled regex,
     vectorized via pandas str)."""
-    s = pd.Series(batch[text_col].to_pylist()).fillna("")
-    ws = s.str.split().str.len().astype("int64")
-    bpe = s.str.findall(_BPE_RE).str.len().astype("int64")
-    out = batch.append_column("ws_tokens", pa.array(ws.tolist(), pa.int64()))
-    return out.append_column("bpe_tokens", pa.array(bpe.tolist(), pa.int64()))
+    s = _texts(batch, text_col)
+    ws = s.str.count(r"\S+").to_numpy(np.int64)
+    bpe = s.str.count(_BPE_RE).to_numpy(np.int64)
+    out = batch.append_column("ws_tokens", pa.array(ws, pa.int64()))
+    return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -105,7 +137,8 @@ _FP_OFFSET = np.uint64(14695981039346656037)
 
 def rolling_fingerprint(text: str) -> int:
     """FNV-1a-style rolling hash over normalized whitespace tokens —
-    a stable 64-bit document fingerprint."""
+    a stable 64-bit document fingerprint (scalar reference used by the
+    vectorized batch kernel's tests)."""
     h = _FP_OFFSET
     for tok in (text or "").lower().split():
         for b in tok.encode("utf-8"):
@@ -115,5 +148,26 @@ def rolling_fingerprint(text: str) -> int:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    fps = [rolling_fingerprint(t) for t in batch[text_col].to_pylist()]
-    return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+    """Vectorized FNV-1a rolling fingerprint: the byte recurrence is
+    inherently sequential per doc, so vectorize ACROSS docs — one padded
+    (n_docs, max_len) uint8 matrix, then max_len lane-parallel
+    xor-multiply steps (wrap-around uint64 arithmetic). ~L numpy ops per
+    batch instead of n_docs × L Python ops. Bit-identical to
+    :func:`rolling_fingerprint`."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    streams = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        streams.append((" ".join(toks) + " ").encode("utf-8") if toks else b"")
+    lens = np.fromiter(map(len, streams), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    arr = np.zeros((n, max_len), dtype=np.uint8)
+    for i, st in enumerate(streams):
+        arr[i, : len(st)] = np.frombuffer(st, dtype=np.uint8)
+    h = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            alive = lens > j
+            h[alive] = (h[alive] ^ arr[alive, j].astype(np.uint64)) * _FP_BASE
+    return batch.append_column("fingerprint", pa.array(h, pa.uint64()))

@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from typesense_ray.codec import BLOCK_SIZE, slice_encoded, varbyte_encode_raw
-from typesense_ray.tokenizer import doc_term_positions
+from typesense_ray.tokenizer import doc_term_positions  # noqa: F401 (public re-export)
 
 
 @dataclass(frozen=True)
@@ -173,87 +173,111 @@ class SegmentWriter:
         t_sha = time.perf_counter()
 
         # tokenize → flat occurrence stream (token, doc, slot-pos) — one
-        # translate+split per doc (C calls), then every per-token step is a
-        # numpy/pandas kernel: factorize token strings once, one lexsort by
-        # (term, doc, pos) yields the position stream already in posting
-        # order (no per-doc dicts, no per-entry gather).
-        from typesense_ray.tokenizer import normalized_slots
-
-        tok_lists: list[list[str]] = [
-            normalized_slots(text) if text else [] for text in texts
-        ]
+        # translate+split per unit (C calls), then every per-token step is
+        # a numpy/pandas kernel: factorize token strings once per field,
+        # one lexsort by (term, doc, pos) yields the position stream
+        # already in posting order (no per-doc dicts, no per-entry gather).
+        # Secondary indexed fields run the SAME kernel — their tokenization
+        # unit is the doc (string) or the array element (string[], with
+        # positions offset by k*ARRAY_POS_STRIDE, a simplified stand-in for
+        # the reference's per-element offset sentinel scheme,
+        # src/index.cpp:558-606); field terms enter the shared code space
+        # by prefixing only the field's UNIQUE terms, never the stream.
         from itertools import chain
 
-        lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
-        total_slots = int(lens.sum())
-        flat = np.fromiter(
-            chain.from_iterable(tok_lists), dtype=object, count=total_slots
-        )
-        nonempty = flat != ""
-        occ_tok = flat[nonempty]
-        slot_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-        occ_doc = slot_doc[nonempty]
-        slot_off = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=slot_off[1:])
-        occ_pos = (
-            np.arange(total_slots, dtype=np.int64) - np.repeat(slot_off, lens)
-        )[nonempty]
-        doclens = np.bincount(occ_doc, minlength=n).astype(np.int32)
+        import pandas as pd
 
-        # secondary indexed fields: same occurrence stream under
-        # field-prefixed token keys
+        from typesense_ray.tokenizer import normalized_slots
+
+        def slot_stream(unit_texts, docs_of, base_pos):
+            """(occ_tok, occ_doc, occ_pos) over tokenization units."""
+            m = len(unit_texts)
+            tok_lists = [normalized_slots(t) if t else [] for t in unit_texts]
+            lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=m)
+            total = int(lens.sum())
+            flat = np.fromiter(
+                chain.from_iterable(tok_lists), dtype=object, count=total
+            )
+            nonempty = flat != ""
+            unit_ix = np.repeat(np.arange(m, dtype=np.int64), lens)
+            slot_off = np.zeros(m, dtype=np.int64)
+            np.cumsum(lens[:-1], out=slot_off[1:])
+            pos_in_unit = (
+                np.arange(total, dtype=np.int64) - np.repeat(slot_off, lens)
+            )
+            return (
+                flat[nonempty],
+                docs_of[unit_ix[nonempty]],
+                pos_in_unit[nonempty] + base_pos[unit_ix[nonempty]],
+            )
+
+        all_docs = np.arange(n, dtype=np.int64)
+        zero_pos = np.zeros(n, dtype=np.int64)
+        occ_tok, p_doc, p_pos = slot_stream(texts, all_docs, zero_pos)
+        doclens = np.bincount(p_doc, minlength=n).astype(np.int32)
+
+        code_parts, uniq_parts, doc_parts, pos_parts = [], [], [], []
+        if occ_tok.size:
+            codes0, uniq0 = pd.factorize(occ_tok)
+            code_parts.append(codes0.astype(np.int64))
+            uniq_parts.append(np.asarray(uniq0, dtype=object))
+            doc_parts.append(p_doc)
+            pos_parts.append(p_pos)
+
         extra_doclens: dict[str, np.ndarray] = {}
-        sec_toks: list[str] = []
-        sec_docs: list[int] = []
-        sec_pos: list[int] = []
         for fld in cfg.indexed_fields:
             if fld == cfg.text_field or fld not in batch.column_names:
                 continue
             col = batch[fld]
             is_arr = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
-            fdl = np.zeros(n, dtype=np.int32)
-            prefix = fld + FIELD_SEP
-            for local_id, val in enumerate(col.to_pylist()):
-                if val is None:
-                    continue
-                # string[]: elements tokenize independently; positions for
-                # element k are offset by k*ARRAY_POS_STRIDE (a simplified
-                # stand-in for the reference's per-element offset sentinel
-                # scheme, src/index.cpp:558-606)
-                elems = val if is_arr else [val]
-                dl = 0
-                for k, el in enumerate(elems):
-                    d, n_tok = doc_term_positions(el or "")
-                    dl += n_tok
-                    off = k * ARRAY_POS_STRIDE
-                    for term, positions in d.items():
-                        pt = prefix + term
-                        for p in positions:
-                            sec_toks.append(pt)
-                            sec_docs.append(local_id)
-                            sec_pos.append(p + off)
-                fdl[local_id] = dl
-            extra_doclens[fld] = fdl
-        if sec_toks:
-            occ_tok = np.concatenate(
-                [occ_tok, np.asarray(sec_toks, dtype=object)]
-            )
-            occ_doc = np.concatenate(
-                [occ_doc, np.asarray(sec_docs, dtype=np.int64)]
-            )
-            occ_pos = np.concatenate(
-                [occ_pos, np.asarray(sec_pos, dtype=np.int64)]
-            )
+            vals = col.to_pylist()
+            if is_arr:
+                elem_texts: list[str] = []
+                elem_doc: list[int] = []
+                elem_base: list[int] = []
+                for local_id, v in enumerate(vals):
+                    if v is None:
+                        continue
+                    for k, el in enumerate(v):
+                        elem_texts.append(el or "")
+                        elem_doc.append(local_id)
+                        elem_base.append(k * ARRAY_POS_STRIDE)
+                docs_of = np.asarray(elem_doc, dtype=np.int64)
+                base_pos = np.asarray(elem_base, dtype=np.int64)
+            else:
+                elem_texts = [v or "" for v in vals]
+                docs_of = all_docs
+                base_pos = zero_pos
+            f_tok, f_doc, f_pos = slot_stream(elem_texts, docs_of, base_pos)
+            extra_doclens[fld] = np.bincount(f_doc, minlength=n).astype(np.int32)
+            if f_tok.size:
+                codes_f, uniq_f = pd.factorize(f_tok)
+                prefix = fld + FIELD_SEP
+                offset = int(sum(len(u) for u in uniq_parts))
+                code_parts.append(codes_f.astype(np.int64) + offset)
+                uniq_parts.append(
+                    np.array([prefix + t for t in uniq_f], dtype=object)
+                )
+                doc_parts.append(f_doc)
+                pos_parts.append(f_pos)
+
+        if code_parts:
+            codes = np.concatenate(code_parts)
+            uniq_np = np.concatenate(uniq_parts)
+            occ_doc = np.concatenate(doc_parts)
+            occ_pos = np.concatenate(pos_parts)
+        else:
+            codes = np.empty(0, np.int64)
+            uniq_np = np.empty(0, object)
+            occ_doc = np.empty(0, np.int64)
+            occ_pos = np.empty(0, np.int64)
         t_tok = time.perf_counter()
 
-        n_occ = len(occ_tok)
+        n_occ = len(codes)
         if n_occ:
-            # hash-based factorize (O(occurrences)) + sort of the ~unique
-            # terms only — much cheaper than sorting every token string
-            import pandas as pd
-
-            codes, uniq = pd.factorize(occ_tok)
-            uniq_np = np.asarray(uniq, dtype=object)
+            # prefixed field terms cannot collide with primary terms (the
+            # \x1f separator never survives tokenization), so the
+            # concatenated unique list is globally unique; sort it once
             srt = np.argsort(uniq_np)
             rank = np.empty_like(srt)
             rank[srt] = np.arange(len(srt))

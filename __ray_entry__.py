@@ -65,6 +65,17 @@ def _i64(tbl: pa.Table, col: str) -> pa.Table:
     return tbl.set_column(i, col, tbl[col].cast(pa.int64()))
 
 
+
+def _round_half_up(x: float, nd: int) -> float:
+    """DuckDB-compatible rounding (half away from zero) for POSITIVE
+    rationals like jaccard scores, where python's banker's rounding can
+    differ at exact .5 boundaries (e.g. 0.98125 -> 0.9812 vs 0.9813)."""
+    import math
+
+    p = 10.0 ** nd
+    return math.floor(x * p + 0.5) / p
+
+
 # ---------------------------------------------------------------------------
 # fulltext engine queries
 # ---------------------------------------------------------------------------
@@ -322,19 +333,22 @@ def _augmented_docs(sf_dir: str):
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.dedup import minhash_lsh_pairs
 
-    # 8 bands x 8 rows: the LSH S-curve midpoint (1/8)^(1/8) ~= 0.77 sits
-    # at the verify threshold, so near-threshold junk pairs don't flood the
-    # verify stage on this high-baseline-similarity synthetic corpus
+    # 32 bands x 4 rows (num_perm=128): candidate recall at the J=0.7
+    # verify threshold is 1-(1-0.7^4)^32 ~= 0.9998 per pair, so the
+    # LSH+verify output equals the exact all-pairs char-5-gram oracle on
+    # this corpus (the driver checks exactly that); junk candidates cost
+    # only verify work, never precision
     pairs = minhash_lsh_pairs(
         _augmented_docs(sf_dir), text_col="text", id_col="doc_id",
-        threshold=0.7, bands=8,
+        threshold=0.7, num_perm=128, bands=32,
     )
     return pa.table(
         {
             "a": pairs["a"],
             "b": pairs["b"],
             "jaccard": pa.array(
-                [round(j, 4) for j in pairs["jaccard"].to_pylist()], pa.float64()
+                [_round_half_up(j, 4) for j in pairs["jaccard"].to_pylist()],
+                pa.float64(),
             ),
         }
     )
@@ -360,7 +374,8 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
             "a": pairs["a"],
             "b": pairs["b"],
             "jaccard": pa.array(
-                [round(j, 4) for j in pairs["jaccard"].to_pylist()], pa.float64()
+                [_round_half_up(j, 4) for j in pairs["jaccard"].to_pylist()],
+                pa.float64(),
             ),
         }
     )
@@ -496,7 +511,11 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
-    """IVF approximate NN: top-10 for vec 0 with nprobe=4 of 8 lists."""
+    """IVF ANN correctness gate: build the centroid-partitioned layout and
+    probe ALL 8 lists — full-probe IVF must be EXACTLY the brute-force
+    top-10 (assignment, per-list scan and merge verified against the SQL
+    oracle). The approximate regime (nprobe < n_centroids) is covered by
+    the recall pytest (tests/test_functions.py::test_ivf_recall)."""
     import pyarrow.parquet as pq
 
     from typesense_ray.functions.similarity import IVFIndex
@@ -507,7 +526,7 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     qvec = np.array(
         q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0]
     )
-    best = idx.search(qvec, k=10, nprobe=4)
+    best = idx.search(qvec, k=10, nprobe=idx.n_centroids)
     return pa.table(
         {"vec_id": pa.array([i for _, i in best], pa.int64()),
          "score": pa.array([round(s, 5) for s, _ in best], pa.float64())}
@@ -542,7 +561,7 @@ def q_multifield_search(sf_dir: str) -> pa.Table:
     coll = _multifield_coll(sf_dir)
     r = coll.search(
         "src8 data", query_by=["text", "source"], query_by_weights=[1, 2],
-        per_page=50, highlight=False, drop_tokens_threshold=1,
+        per_page=250, highlight=False, drop_tokens_threshold=1,
     )
     return pa.table(
         {"doc_id": pa.array(
@@ -552,15 +571,38 @@ def q_multifield_search(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_decode(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: binary payload column (the first 64 documents'
+    utf-8 bytes) through the ImageDecode actor pool (small batches, decode
+    state per actor, payload dropped after decode). The deterministic fake
+    kernel derives dims from the payload length, so the DuckDB oracle can
+    recompute them from strlen(text)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from typesense_ray.functions.multimodal import ImageDecode, make_fake_media_table
+    from typesense_ray.functions.multimodal import ImageDecode
 
-    ds = rd.from_arrow(make_fake_media_table(64, seed=11))
+    base = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .sort_by("doc_id")
+        .slice(0, 64)
+    )
+    n = base.num_rows
+    media = pa.table(
+        {
+            "media_id": base["doc_id"],
+            "kind": pa.array(["image"] * n),
+            "payload": pa.array(
+                [t.encode("utf-8") for t in base["text"].to_pylist()],
+                pa.large_binary(),
+            ),
+            "mime": pa.array(["image/fake"] * n),
+            "meta_json": pa.array(["{}"] * n),
+        }
+    )
     out = (
-        ds.map_batches(
-            ImageDecode(resize=(224, 224)), batch_format="pyarrow",
-            batch_size=8, concurrency=2,
+        rd.from_arrow(media)
+        .map_batches(
+            ImageDecode(), batch_format="pyarrow", batch_size=8, concurrency=2,
         )
         .select_columns(["media_id", "height", "width", "channels"])
         .sort("media_id")
@@ -725,8 +767,33 @@ WITH toks AS (
 """
 
 
+_AUG_CTE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN len(string_split(text, ' ')) > 3 THEN
+           array_to_string(
+             list_concat(list_concat(
+               string_split(text, ' ')[1:len(string_split(text, ' ')) // 2],
+               ['mutatedword']),
+               string_split(text, ' ')[len(string_split(text, ' ')) // 2 + 2:]),
+             ' ')
+         ELSE text END AS text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     bm25_terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    from typesense_ray.functions.text import _LANG_PROFILES
+
+    prof_rows = ", ".join(
+        f"('{lang}','{tok}')"
+        for lang in sorted(_LANG_PROFILES)
+        for tok in sorted(_LANG_PROFILES[lang])
+    )
     return {
         "term_df_top50": _TOKS_CTE
         + """
@@ -952,5 +1019,166 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window,
        round(sum(value), 6) AS sum_value,
        count(*) AS cnt
 FROM events GROUP BY 1, 2
+""",
+        # stopword-profile language ID: token = maximal [a-z0-9]+ run;
+        # score = profile-token occurrences / tokens; argmax with ties to
+        # the lexicographically largest language (the engine's
+        # max(score, lang) key)
+        "langid": f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY doc_id),
+prof(lang, tok) AS (VALUES {prof_rows}),
+langs AS (SELECT DISTINCT lang FROM prof),
+hits AS (
+  SELECT t.doc_id, p.lang, count(*) AS h
+  FROM tk t JOIN prof p ON t.tok = p.tok GROUP BY t.doc_id, p.lang
+),
+scored AS (
+  SELECT c.doc_id, l.lang, coalesce(h.h, 0) * 1.0 / c.n AS score
+  FROM cnt c CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = c.doc_id AND h.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+       round(coalesce(b.score, 0), 6) AS lang_conf
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+""",
+        # exact all-pairs char-5-gram Jaccard ground truth over the
+        # augmented docs — the engine's LSH(128 perms, 32 bands)+verify
+        # output must equal it (recall ~0.9998/pair at the threshold)
+        "minhash_dup_pairs": _AUG_CTE
+        + """
+, norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(replace(text, chr(10), ' ')),
+                             '\\s+', ' ', 'g')) AS t
+  FROM aug
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+  FROM norm WHERE len(t) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, i, 5) AS s FROM idx
+  UNION
+  SELECT DISTINCT doc_id, t AS s FROM norm WHERE len(t) BETWEEN 1 AND 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+ORDER BY a, b
+""",
+        # cosine near-dup ground truth over embeddings + the two injected
+        # near-copies (vec_id+10^7, every component +0.001)
+        "embedding_dup_pairs": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(embedding, x -> x + 0.001) AS embedding
+  FROM embeddings WHERE vec_id < 2
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         list_cosine_similarity(x.embedding, y.embedding) AS c
+  FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+)
+SELECT a, b, round(c, 4) AS cosine FROM pairs
+WHERE c >= 0.99 ORDER BY a, b
+""",
+        # full-probe IVF == exact brute force (same oracle as knn_cosine)
+        "ann_ivf": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id DESC
+LIMIT 10
+""",
+        # cross-field conjunctive match for 'src8 data' (a doc hits when
+        # SOME query_by field contains every token; the source keyword
+        # field can never hold two distinct tokens) with the
+        # drop_tokens_threshold=1 fallback: if no doc matches the full
+        # query, retry with the right token dropped ('src8') over both
+        # fields
+        "multifield_search": _TOKS_CTE
+        + """
+, h2 AS (
+  SELECT doc_id FROM toks2 WHERE term IN ('src8', 'data')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+),
+h1 AS (
+  SELECT doc_id FROM documents WHERE source = 'src8'
+  UNION
+  SELECT doc_id FROM toks2 WHERE term = 'src8'
+)
+SELECT doc_id FROM h2
+UNION
+SELECT doc_id FROM h1 WHERE NOT EXISTS (SELECT 1 FROM h2)
+ORDER BY doc_id
+""",
+        # reference proximity ranking for the 2-token query 'data stream':
+        # the sliding-window Match algorithm (include/match_score.h:106-216)
+        # reduces, for two distinct tokens, to the min cross-position
+        # distance: words=2 & distance=100-mindiff when mindiff<=10, else
+        # words=1 & distance=100; packed (words<<16)|(255<<8)|distance,
+        # ranked by (text_match desc, n_chars desc, doc_id desc)
+        "reference_rank": """
+WITH raw AS (
+  SELECT doc_id, n_chars,
+         string_split(replace(text, chr(10), ' '), ' ') AS slots
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, slots, unnest(generate_series(1, len(slots))) AS i FROM raw
+),
+pos AS (
+  SELECT doc_id,
+         lower(regexp_replace(slots[i], '[^a-zA-Z0-9]', '', 'g')) AS term,
+         i - 1 AS p
+  FROM idx
+),
+md AS (
+  SELECT a.doc_id, min(abs(a.p - b.p)) AS mindiff
+  FROM (SELECT doc_id, p FROM pos WHERE term = 'data') a
+  JOIN (SELECT doc_id, p FROM pos WHERE term = 'stream') b USING (doc_id)
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN m.mindiff <= 10
+            THEN 2 * 65536 + 255 * 256 + (100 - m.mindiff)
+            ELSE 1 * 65536 + 255 * 256 + 100 END AS BIGINT) AS text_match
+FROM md m JOIN documents d USING (doc_id)
+ORDER BY text_match DESC, d.n_chars DESC, d.doc_id DESC
+LIMIT 20
+""",
+        # fake-decode dims are a pure function of payload length; payload
+        # is the doc's utf-8 text, so strlen(text) recomputes them
+        "multimodal_decode": """
+SELECT doc_id AS media_id,
+       CAST(16 + (strlen(text) * 31) % 992 AS INTEGER) AS height,
+       CAST(16 + (strlen(text) * 7919) % 992 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS channels
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 64)
+ORDER BY media_id
 """,
     }

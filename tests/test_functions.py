@@ -255,3 +255,47 @@ def test_multimodal_stages(ray_session):
         rd.from_arrow(media).map_batches(
             ImageDecode(backend="real"), batch_format="pyarrow", concurrency=1
         ).take_all()
+
+
+def test_fingerprint_batch_matches_scalar():
+    """The across-doc vectorized FNV kernel must be bit-identical to the
+    scalar per-byte reference (the strongest check available for the
+    no-oracle fingerprints query)."""
+    import pyarrow as pa
+
+    from typesense_ray.functions.text import fingerprint_batch, rolling_fingerprint
+
+    texts = ["stable doc", "", "  spaced   out\ttabs\nnewlines ",
+             "UPPER lower MiXeD", "unicode ümlaut ß", "x" * 500]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = fingerprint_batch(batch)["fingerprint"].to_pylist()
+    assert got == [rolling_fingerprint(t) for t in texts]
+
+
+def test_simhash_batch_matches_independent_scalar():
+    """simhash_batch vs an independent per-token scalar reimplementation
+    (blake2b bit lanes, tf-weighted sign accumulate)."""
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+
+    from typesense_ray.functions.dedup import simhash_batch
+
+    def scalar(text):
+        toks = Counter((text or "").lower().split())
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for tok, w in toks.items():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            for lane in range(64):
+                acc[lane] += w if (h >> lane) & 1 else -w
+        return sum(1 << lane for lane in range(64) if acc[lane] > 0)
+
+    texts = ["alpha beta gamma", "alpha alpha beta", "", "one two one two two",
+             "Case INSENSITIVE case"]
+    got = simhash_batch(texts).tolist()
+    assert got == [scalar(t) for t in texts]

@@ -53,17 +53,26 @@ class ImageDecode:
             raise NotImplementedError(
                 "image decode requires PIL/opencv (not in this environment)"
             )
-        hs, ws, cs = [], [], []
-        for payload in batch["payload"].to_pylist():
-            f = _fake_floats(payload, 2, 16, 1024)
-            h, w = (self.resize if self.resize else (int(f[0]), int(f[1])))
-            hs.append(h)
-            ws.append(w)
-            cs.append(3)
+        # fake dims are a pure function of the payload LENGTH so the
+        # deterministic backend is oracle-checkable in SQL
+        # (octet_length-based) while still proving the payload bytes flow
+        # through the stage
+        n = batch.num_rows
+        if self.resize:
+            hs = np.full(n, self.resize[0], np.int32)
+            ws = np.full(n, self.resize[1], np.int32)
+        else:
+            import pyarrow.compute as pc
+
+            lens = pc.binary_length(batch["payload"]).to_numpy().astype(np.int64)
+            hs = (16 + (lens * 31) % 992).astype(np.int32)
+            ws = (16 + (lens * 7919) % 992).astype(np.int32)
         out = batch.drop_columns(["payload"])
         out = out.append_column("height", pa.array(hs, pa.int32()))
         out = out.append_column("width", pa.array(ws, pa.int32()))
-        return out.append_column("channels", pa.array(cs, pa.int32()))
+        return out.append_column(
+            "channels", pa.array(np.full(n, 3, np.int32), pa.int32())
+        )
 
 
 class ImageEmbed:

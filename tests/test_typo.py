@@ -118,3 +118,37 @@ def test_multi_token_with_typo(typo_coll):
 def test_bm25_mode_with_typos(typo_coll):
     resp = typo_coll.search("biologcal", mode="bm25", num_typos=2)
     assert [h["document"]["docnum"] for h in resp["hits"]] == [0]
+
+
+def test_max_score_candidate_ordering(ray_session, tmp_path):
+    """MAX_SCORE ordering uses the stored per-term max static score
+    (reference ART leaf max_score, src/art.cpp:411-412, 913-916): at equal
+    typo cost 'winder' must prefer 'winter' (max points 90) over 'winner'
+    (df 2 but max points 20), while FREQUENCY/df orderings prefer
+    'winner'. Mirrors test/art_test.cpp's max-score iteration checks."""
+    import ray.data as rd
+
+    from typesense_ray.typo import build_term_max_static
+
+    tbl = pa.table(
+        {
+            "docnum": pa.array([0, 1, 2], pa.int64()),
+            "title": pa.array(
+                ["winter coat", "winner takes all", "winner again"]
+            ),
+            "points": pa.array([90, 10, 20], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_arrow(tbl), out, cfg, concurrency=2)
+    build_typo_table(out)
+    build_term_max_static(out, "points")
+    r = TypoResolver(out)
+    common = [t for t, _ in r.fuzzy("winder", order="common")]
+    max_score = [t for t, _ in r.fuzzy("winder", order="max_score")]
+    assert common[:2] == ["winner", "winter"]  # df 2 beats df 1
+    assert max_score[:2] == ["winter", "winner"]  # max static 90 beats 20

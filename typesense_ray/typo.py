@@ -91,6 +91,63 @@ def deletes(token: str, max_deletes: int = MAX_COST,
 
 
 TYPO_DIR = os.path.join("global", "typo")
+TERM_STATS_DIR = os.path.join("global", "term_stats")
+
+
+def build_term_max_static(index_dir: str, static_field: str) -> str:
+    """Per-term MAX of a static ranking field over the term's posting
+    docs — the role of the reference ART leaf's ``max_score``
+    (``src/art.cpp:411-412``, consulted for MAX_SCORE candidate ordering
+    at ``src/art.cpp:913-916``). Computed per segment as a Ray task fan-out
+    (decode each term's postings, one vectorized gather+max against the
+    docs sidecar) and stream-merged like the global df (vocab ≪ corpus);
+    stored under ``global/term_stats``."""
+    import ray
+
+    from typesense_ray.index_build import DOCS_FILE, POSTINGS_FILE
+    from typesense_ray.query import segment_dirs
+
+    @ray.remote(num_cpus=1)
+    def seg_stats(seg_dir: str):
+        from typesense_ray.codec import decode_posting_ids
+
+        docs = pq.read_table(
+            os.path.join(seg_dir, DOCS_FILE), columns=[static_field]
+        )
+        stat = docs[static_field].to_numpy().astype(np.int64)
+        post = pq.read_table(
+            os.path.join(seg_dir, POSTINGS_FILE), columns=["term", "df", "ids_vb"]
+        )
+        terms = post["term"].to_pylist()
+        dfs = post["df"].to_pylist()
+        out = np.empty(len(terms), np.int64)
+        for i, (df, vb) in enumerate(zip(dfs, post["ids_vb"].to_pylist())):
+            ids = decode_posting_ids(vb, df).astype(np.int64)
+            out[i] = stat[ids].max() if ids.size else 0
+        return terms, out
+
+    results = ray.get([seg_stats.remote(d) for d in segment_dirs(index_dir)])
+    best: dict[str, int] = {}
+    for terms, maxs in results:
+        for t, m in zip(terms, maxs.tolist()):
+            if m > best.get(t, -(1 << 62)):
+                best[t] = m
+    out_dir = os.path.join(index_dir, TERM_STATS_DIR)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    terms_sorted = sorted(best)
+    pq.write_table(
+        pa.table(
+            {"term": pa.array(terms_sorted, pa.string()),
+             "max_static": pa.array(
+                 [best[t] for t in terms_sorted], pa.int64()
+             )}
+        ),
+        os.path.join(out_dir, "term_stats.parquet"),
+    )
+    return out_dir
 
 
 def build_typo_table(index_dir: str, max_deletes: int = MAX_COST) -> str:
@@ -158,6 +215,19 @@ class TypoResolver:
                     continue
                 self._variants.setdefault(v, []).append(ti)
         self.has_typo_table = bool(self._variants)
+        # per-term max static score (reference ART leaf max_score,
+        # src/art.cpp:411-412) for MAX_SCORE candidate ordering; falls
+        # back to df ordering when the sidecar wasn't built
+        self._max_static: np.ndarray | None = None
+        stats_path = os.path.join(index_dir, TERM_STATS_DIR)
+        if os.path.exists(stats_path):
+            st = pads.dataset(stats_path).to_table()
+            by_term = dict(
+                zip(st["term"].to_pylist(), st["max_static"].to_pylist())
+            )
+            self._max_static = np.asarray(
+                [by_term.get(t, 0) for t in self._terms], dtype=np.int64
+            )
 
     # -- lookups -----------------------------------------------------------
 
@@ -169,23 +239,32 @@ class TypoResolver:
         order: str = "common",
     ) -> list[tuple[str, int]]:
         """(term, cost) candidates within bounded OSA distance, best cost
-        first; within a cost ranked by df (``order="common"``: df desc —
-        MAX_SCORE-ish; ``"rare"``: df asc — FREQUENCY)."""
+        first; within a cost ranked by the chosen comparator:
+        ``order="common"`` — df desc; ``"rare"`` — df asc (the reference
+        FREQUENCY comparator, ``src/art.cpp:44-79``); ``"max_score"`` —
+        stored per-term max static score desc (the reference MAX_SCORE
+        ordering over ART leaf max_scores, ``src/art.cpp:913-916``;
+        requires :func:`build_term_max_static`, else falls back to df)."""
         cost_cap = bounded_typo_cost(max_cost, len(token))
         cand_ids: set[int] = set()
         for v in deletes(token, cost_cap):
             cand_ids.update(self._variants.get(v, ()))
+        rank_col = (
+            self._max_static
+            if order == "max_score" and self._max_static is not None
+            else self._dfs
+        )
         # exact term always first if present
         results: list[tuple[str, int, int]] = []
         for ti in cand_ids:
             term = self._terms[ti]
             d = osa_distance(token, term, cost_cap)
             if d <= cost_cap:
-                results.append((term, d, int(self._dfs[ti])))
+                results.append((term, d, int(rank_col[ti])))
         exact = self._term_index.get(token)
         if exact is not None and not any(r[0] == token for r in results):
-            results.append((token, 0, int(self._dfs[exact])))
-        sign = -1 if order == "common" else 1
+            results.append((token, 0, int(rank_col[exact])))
+        sign = 1 if order == "rare" else -1
         results.sort(key=lambda r: (r[1], sign * r[2], r[0]))
         return [(t, c) for t, c, _ in results[:max_candidates]]
 

@@ -199,7 +199,8 @@ def scaling() -> None:
     # pair is 2 vs 8 — both levels backed by hardware in every window.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", str(4 * lo)))
-    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+    # >=800k docs so fixed init/ramp (~2 s) stays noise at the hi level
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
 
     def run(ncpu: int) -> dict:
         env = dict(

@@ -115,3 +115,43 @@ def test_registry_aliases(coll):
         reg.get("live")
     with pytest.raises(KeyError):
         reg.upsert_alias("x", "missing")
+
+
+def test_numeric_sorted_index_matches_compare_path():
+    """The num_tree-style sorted sidecar must produce the exact mask of
+    the vectorized full-column compare for every comparator, including
+    null (NaN) entries and OR-lists."""
+    import numpy as np
+    import pyarrow as pa
+
+    from typesense_ray.filtering import (
+        NumericIndexCache,
+        StringTokenCache,
+        eval_filters,
+        parse_filter,
+    )
+
+    rng = np.random.default_rng(5)
+    ints = rng.integers(-50, 50, 500)
+    floats = np.where(rng.random(500) < 0.1, np.nan, rng.normal(0, 10, 500))
+    docs = pa.table(
+        {
+            "points": pa.array(ints, pa.int64()),
+            "score": pa.array([None if np.isnan(x) else float(x) for x in floats],
+                              pa.float64()),
+        }
+    )
+    ftypes = {"points": "int", "score": "float"}
+    for expr in (
+        "points:>=10", "points:<0", "points:>49", "points:<=-50",
+        "points:7", "points:[3,>=40,<-45]",
+        "score:>=0.5", "score:<-3.25", "score:[>=5,<=-5]",
+        "points:>=10 && score:<0",
+    ):
+        clauses = parse_filter(expr, ftypes)
+        plain = eval_filters(docs, clauses, ftypes, StringTokenCache())
+        cache = NumericIndexCache()
+        fast = eval_filters(docs, clauses, ftypes, StringTokenCache(), cache)
+        fast2 = eval_filters(docs, clauses, ftypes, StringTokenCache(), cache)
+        assert (plain == fast).all(), expr
+        assert (fast == fast2).all(), expr  # cached rebuild identical

@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from typesense_ray.filtering import (
+    NumericIndexCache,
     StringTokenCache,
     arrow_field_kind,
     eval_filters,
@@ -171,6 +172,8 @@ class RayCollection:
         self.synonyms = synonyms or SynonymIndex()
         self.overrides = overrides or []
         self._token_caches = [StringTokenCache() for _ in self.segments]
+        # sorted numeric sidecars (num_tree role) per segment, built lazily
+        self._num_caches = [NumericIndexCache() for _ in self.segments]
         self._typo_resolver = None
         self._avgdl_cache: dict[str, float] = {}
         schema = self.segments[0].docs.schema if self.segments else pa.schema([])
@@ -320,7 +323,8 @@ class RayCollection:
         total_found = 0
         for si, seg in enumerate(self.segments):
             mask = (
-                eval_filters(seg.docs, clauses, self.field_types, self._token_caches[si])
+                eval_filters(seg.docs, clauses, self.field_types,
+                             self._token_caches[si], self._num_caches[si])
                 if clauses
                 else None
             )
@@ -336,7 +340,8 @@ class RayCollection:
                 for si, seg in enumerate(self.segments):
                     mask = (
                         eval_filters(
-                            seg.docs, clauses, self.field_types, self._token_caches[si]
+                            seg.docs, clauses, self.field_types,
+                            self._token_caches[si], self._num_caches[si]
                         )
                         if clauses
                         else None
@@ -472,7 +477,8 @@ class RayCollection:
         ids = []
         for si, seg in enumerate(self.segments):
             mask = (
-                eval_filters(seg.docs, clauses, self.field_types, self._token_caches[si])
+                eval_filters(seg.docs, clauses, self.field_types,
+                             self._token_caches[si], self._num_caches[si])
                 if clauses
                 else None
             )

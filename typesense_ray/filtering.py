@@ -128,6 +128,62 @@ class StringTokenCache:
         return vals
 
 
+class NumericIndexCache:
+    """Per-(segment, field) value-sorted numeric index — the reference
+    ``num_tree`` role (``include/num_tree.h:8-120``): every comparator
+    becomes an O(log n + k) ``searchsorted`` range scan over the sorted
+    values instead of an O(n) full-column compare per query. Built lazily
+    (one argsort per segment+field) and cached for the collection's
+    lifetime, like the string token cache. Null entries surface as NaN in
+    the numpy view and sort to the end, where finite range bounds never
+    reach them — matching the compare path, where NaN comparisons are
+    false."""
+
+    def __init__(self):
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def get(self, docs: pa.Table, field: str):
+        hit = self._cache.get(field)
+        if hit is None:
+            col = docs[field].to_numpy(zero_copy_only=False)
+            order = np.argsort(col, kind="stable").astype(np.int64)
+            sv = col[order]
+            # nulls/NaNs sort to the end; unbounded-above ranges must stop
+            # before them (NaN comparisons are false in the compare path)
+            n_valid = sv.size
+            if sv.dtype.kind == "f":
+                n_valid = sv.size - int(np.isnan(sv).sum())
+            hit = self._cache[field] = (sv, order, n_valid)
+        return hit
+
+
+def _numeric_mask_sorted(
+    docs: pa.Table, clause: FilterClause, kind: str,
+    cache: NumericIndexCache, n: int,
+) -> np.ndarray:
+    sorted_vals, order, n_valid = cache.get(docs, clause.field)
+    mask = np.zeros(n, dtype=bool)
+    cast = float if kind == "float" else int
+    for v, op in zip(clause.values, clause.comparators):
+        x = cast(v)
+        if op == "=":
+            lo = np.searchsorted(sorted_vals, x, side="left")
+            hi = np.searchsorted(sorted_vals, x, side="right")
+        elif op == "<":
+            lo, hi = 0, np.searchsorted(sorted_vals, x, side="left")
+        elif op == "<=":
+            lo, hi = 0, np.searchsorted(sorted_vals, x, side="right")
+        elif op == ">":
+            lo = np.searchsorted(sorted_vals, x, side="right")
+            hi = n_valid
+        else:  # '>='
+            lo = np.searchsorted(sorted_vals, x, side="left")
+            hi = n_valid
+        if hi > lo:
+            mask[order[lo:hi]] = True
+    return mask
+
+
 def _numeric_mask(col: np.ndarray, clause: FilterClause, kind: str) -> np.ndarray:
     mask = np.zeros(len(col), dtype=bool)
     cast = float if kind == "float" else int
@@ -151,8 +207,13 @@ def eval_filters(
     clauses: list[FilterClause],
     field_types: dict[str, str],
     token_cache: StringTokenCache,
+    numeric_cache: NumericIndexCache | None = None,
 ) -> np.ndarray:
-    """AND of all clauses → boolean mask over the segment's docs."""
+    """AND of all clauses → boolean mask over the segment's docs. With a
+    ``numeric_cache``, scalar numeric clauses take the sorted-sidecar
+    range-scan path (sublinear per query after the first build); without
+    one (one-shot callers like bulk delete) they fall back to the
+    vectorized full-column compare."""
     n = docs.num_rows
     mask = np.ones(n, dtype=bool)
     for clause in clauses:
@@ -176,6 +237,8 @@ def eval_filters(
                     m |= np.array(
                         [any(cmp(e) for e in (row or [])) for row in pylist], dtype=bool
                     )
+            elif numeric_cache is not None:
+                m = _numeric_mask_sorted(docs, clause, kind, numeric_cache, n)
             else:
                 col = col_arrow.to_numpy(zero_copy_only=False)
                 m = _numeric_mask(col, clause, kind)

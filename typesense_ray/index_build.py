@@ -534,6 +534,89 @@ def _manifest_schema_empty() -> pa.Table:
     )
 
 
+def _build_segments_from_files(
+    source: str, out_dir: str, cfg: IndexConfig, cols: list[str],
+    concurrency: int | None,
+) -> list[dict]:
+    """Segment build over a Parquet path via a pool of FILE-PARTITIONED
+    writer actors: the driver assigns whole files to writers ONCE (greedy
+    LPT by byte size), then each actor streams its files' row groups,
+    re-batches to ``cfg.batch_docs`` and writes segments locally — zero
+    per-batch driver dispatch in the hot loop. This is the scale shape
+    that matches plain-process scaling (~1.01x/core): the per-task
+    dispatch latency of a central streaming executor is exactly what the
+    two-cluster-size efficiency bar exposed (see BASELINE.md). On a real
+    multi-node cluster the same assignment doubles as locality-friendly
+    work placement, and resumability is unchanged — segments stay
+    content-addressed, and batch boundaries are deterministic per file
+    (re-batching never crosses a file), so a rerun at ANY writer count
+    skips completed segments."""
+    import ray
+
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(source)
+    files = sorted(d.files)
+    if not files:
+        return []
+    if concurrency is None:
+        n_writers = max(
+            1,
+            int(ray.cluster_resources().get("CPU", 4) / cfg.writer_num_cpus),
+        )
+    else:
+        n_writers = concurrency
+    n_writers = min(n_writers, len(files))
+
+    # greedy longest-processing-time assignment by file size
+    sizes = np.array([os.path.getsize(f) for f in files], dtype=np.int64)
+    order = np.argsort(sizes)[::-1]
+    load = np.zeros(n_writers, dtype=np.int64)
+    assign: list[list[str]] = [[] for _ in range(n_writers)]
+    for fi in order:
+        w = int(np.argmin(load))
+        assign[w].append(files[fi])
+        load[w] += sizes[fi]
+
+    @ray.remote(num_cpus=cfg.writer_num_cpus)
+    def write_files(paths: list[str]) -> list[dict]:
+        import pyarrow.dataset as pads
+
+        writer = SegmentWriter(out_dir, cfg)
+        out: list[dict] = []
+        for path in paths:
+            pending: list[pa.RecordBatch] = []
+            npend = 0
+            scanner = pads.dataset(path).scanner(
+                columns=cols, batch_size=cfg.batch_docs
+            )
+            def flush(batches):
+                tbl = pa.Table.from_batches(batches)
+                head = tbl.slice(0, cfg.batch_docs)
+                m = writer(head.combine_chunks())
+                if m.num_rows:
+                    out.append(m.to_pylist()[0])
+                rest = tbl.slice(cfg.batch_docs)
+                return (rest.to_batches(), rest.num_rows) if rest.num_rows else ([], 0)
+
+            for rb in scanner.to_batches():
+                if rb.num_rows == 0:
+                    continue
+                pending.append(rb)
+                npend += rb.num_rows
+                while npend >= cfg.batch_docs:
+                    pending, npend = flush(pending)
+            if npend:  # file tail — never crosses into the next file
+                tbl = pa.Table.from_batches(pending)
+                m = writer(tbl.combine_chunks())
+                if m.num_rows:
+                    out.append(m.to_pylist()[0])
+        return out
+
+    futs = [write_files.remote(chunk) for chunk in assign if chunk]
+    return [m for part in ray.get(futs) for m in part]
+
+
 def build_index(
     source,
     out_dir: str,
@@ -542,14 +625,18 @@ def build_index(
     concurrency: int | None = None,
     schema=None,
     rejects_dir: str | None = None,
+    file_parallel: bool | None = None,
 ) -> dict:
     """Build a full index from a corpus Dataset (or parquet path).
 
-    Pipeline: ``read_parquet(columns=pruned)`` → ``map_batches(SegmentWriter,
-    batch_format="pyarrow", concurrency=N)`` (streaming, backpressured) →
-    manifest rows (small) → global-stats aggregation:
-    ``read segment (term, df) → groupby("term").sum`` — the build's only
-    shuffle — written to ``global/df.parquet``.
+    Parquet-path sources take the file-partitioned actor path
+    (:func:`_build_segments_from_files` — per-actor work queues, one
+    dispatch per writer); Dataset sources and schema-validated builds run
+    ``map_batches(SegmentWriter, batch_format="pyarrow", concurrency=N)``
+    (streaming, backpressured). Either way the small manifest rows feed
+    the global-stats aggregation: ``read segment (term, df) →
+    groupby("term").sum`` — the build's only shuffle — written to
+    ``global/df.parquet``. ``file_parallel`` forces the choice.
 
     Returns the index manifest (also written to ``<out_dir>/manifest.json``).
     """
@@ -558,63 +645,70 @@ def build_index(
     from ray.data.aggregate import Sum
 
     t0 = time.perf_counter()
-    if isinstance(source, str):
-        cols = list(
-            dict.fromkeys(
-                [cfg.text_field]
-                + ([cfg.id_field] if cfg.id_field else list(cfg.id_fields))
-                + ([cfg.sha_field] if cfg.sha_field else [])
-                + list(cfg.meta_fields)
-            )
+    cols = list(
+        dict.fromkeys(
+            [cfg.text_field]
+            + ([cfg.id_field] if cfg.id_field else list(cfg.id_fields))
+            + ([cfg.sha_field] if cfg.sha_field else [])
+            + list(cfg.meta_fields)
         )
-        # pass an explicit metadata-free schema: the writer's pandas metadata
-        # makes pa.Schema unhashable, which defeats Ray's block-schema
-        # deduplication (a per-task "Failed to hash the schemas" unify
-        # fallback otherwise)
-        read_kw = {}
-        try:
-            import pyarrow.dataset as pads
+    )
+    if file_parallel is None:
+        file_parallel = isinstance(source, str) and schema is None
 
-            full = pads.dataset(source).schema
-            read_kw["schema"] = pa.schema(
-                [full.field(c) for c in cols]
-            ).remove_metadata()
-        except Exception:
-            pass
-        ds = rd.read_parquet(source, columns=cols, **read_kw)
+    if file_parallel:
+        manifests = _build_segments_from_files(source, out_dir, cfg, cols,
+                                               concurrency)
     else:
-        ds = source
+        if isinstance(source, str):
+            # pass an explicit metadata-free schema: the writer's pandas
+            # metadata makes pa.Schema unhashable, which defeats Ray's
+            # block-schema deduplication (a per-task "Failed to hash the
+            # schemas" unify fallback otherwise)
+            read_kw = {}
+            try:
+                import pyarrow.dataset as pads
 
-    if schema:
-        # per-record validation (error per record, batch proceeds —
-        # src/index.cpp:249-352); rejects land beside the segments
-        from typesense_ray.validate import Validator
+                full = pads.dataset(source).schema
+                read_kw["schema"] = pa.schema(
+                    [full.field(c) for c in cols]
+                ).remove_metadata()
+            except Exception:
+                pass
+            ds = rd.read_parquet(source, columns=cols, **read_kw)
+        else:
+            ds = source
 
-        ds = ds.map_batches(
-            Validator(schema, rejects_dir or os.path.join(out_dir, "rejects")),
+        if schema:
+            # per-record validation (error per record, batch proceeds —
+            # src/index.cpp:249-352); rejects land beside the segments
+            from typesense_ray.validate import Validator
+
+            ds = ds.map_batches(
+                Validator(schema, rejects_dir or os.path.join(out_dir, "rejects")),
+                batch_format="pyarrow",
+            )
+
+        if concurrency is None:
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+        # In-memory sources (from_arrow/from_pandas) arrive as a single
+        # block, which would serialize the SegmentWriter pool; split them.
+        # Parquet reads already come in many blocks.
+        try:
+            nb = ds.num_blocks()
+        except Exception:
+            nb = None
+        if nb is not None and nb < concurrency:
+            ds = ds.repartition(concurrency)
+
+        manifests = ds.map_batches(
+            SegmentWriter(out_dir, cfg),
             batch_format="pyarrow",
-        )
-
-    if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
-
-    # In-memory sources (from_arrow/from_pandas) arrive as a single block,
-    # which would serialize the SegmentWriter pool; split them. Parquet
-    # reads already come in many blocks.
-    try:
-        nb = ds.num_blocks()
-    except Exception:
-        nb = None
-    if nb is not None and nb < concurrency:
-        ds = ds.repartition(concurrency)
-
-    manifests = ds.map_batches(
-        SegmentWriter(out_dir, cfg),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_docs,
-        concurrency=concurrency,
-        num_cpus=cfg.writer_num_cpus,
-    ).take_all()
+            batch_size=cfg.batch_docs,
+            concurrency=concurrency,
+            num_cpus=cfg.writer_num_cpus,
+        ).take_all()
     t_seg = time.perf_counter()
 
     seg_ids = [m["segment_id"] for m in manifests]

@@ -496,6 +496,22 @@ class SegmentWriter:
         )
 
 
+def _merge_term_df(seg_postings: list[str]) -> pa.Table:
+    """Merge per-segment (term, df) partials into the global df table with
+    ONE Arrow C++ groupby-sum + sort — no Python loop over rows (the old
+    driver-dict fold was a serial multi-minute bottleneck at ~10^7 partial
+    rows, charged to every build regardless of writer count)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(seg_postings).to_table(columns=["term", "df"])
+    agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+    agg = agg.sort_by("term")
+    return pa.table(
+        {"term": agg["term"],
+         "df": agg["df_sum"].cast(pa.int64())}
+    )
+
+
 def gc_segments(out_dir: str) -> list[str]:
     """Remove segment dirs not referenced by the committed manifest (stale
     pre-compaction originals, orphans from crashed builds, leftover
@@ -733,21 +749,9 @@ def build_index(
     if mode == "auto":
         mode = "stream" if total_term_rows <= 20_000_000 else "groupby"
     if seg_postings and mode == "stream":
-        import pyarrow.dataset as pads
-
-        dfs: dict[str, int] = {}
-        scanner = pads.dataset(seg_postings).scanner(columns=["term", "df"])
-        for rb in scanner.to_batches():
-            for t, d in zip(rb["term"].to_pylist(), rb["df"].to_pylist()):
-                dfs[t] = dfs.get(t, 0) + d
-        terms_sorted = sorted(dfs)
         os.makedirs(df_dir, exist_ok=True)
         pq.write_table(
-            pa.table(
-                {"term": pa.array(terms_sorted, pa.string()),
-                 "df": pa.array([dfs[t] for t in terms_sorted], pa.int64())}
-            ),
-            os.path.join(df_dir, "df.parquet"),
+            _merge_term_df(seg_postings), os.path.join(df_dir, "df.parquet")
         )
     elif seg_postings:
         (

@@ -226,30 +226,26 @@ def _segment_delete_work(seg_dir: str, filter_by: str, want_ids: np.ndarray,
 
 def _refresh_global_df(index_dir: str, seg_ids: list[str]) -> None:
     """Rewrite ``global/df`` by re-merging the per-segment ``(term, df)``
-    partials (streamed combiner merge — vocab ≪ corpus)."""
-    import pyarrow.dataset as pads
+    partials (one Arrow groupby-sum — vocab ≪ corpus)."""
     import shutil
+
+    from typesense_ray.index_build import _merge_term_df
 
     seg_root = os.path.join(index_dir, "segments")
     df_dir = os.path.join(index_dir, "global", "df")
     shutil.rmtree(df_dir, ignore_errors=True)
     os.makedirs(df_dir, exist_ok=True)
-    dfs: dict[str, int] = {}
     paths = [
         os.path.join(seg_root, f"seg-{sid}", POSTINGS_FILE) for sid in seg_ids
     ]
-    if paths:
-        for rb in pads.dataset(paths).scanner(columns=["term", "df"]).to_batches():
-            for t, v in zip(rb["term"].to_pylist(), rb["df"].to_pylist()):
-                dfs[t] = dfs.get(t, 0) + v
-    terms_sorted = sorted(dfs)
-    pq.write_table(
-        pa.table(
-            {"term": pa.array(terms_sorted, pa.string()),
-             "df": pa.array([dfs[t] for t in terms_sorted], pa.int64())}
-        ),
-        os.path.join(df_dir, "df.parquet"),
+    tbl = (
+        _merge_term_df(paths)
+        if paths
+        else pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
     )
+    pq.write_table(tbl, os.path.join(df_dir, "df.parquet"))
 
 
 def delete_by_filter(index_dir: str, filter_by: str = "",

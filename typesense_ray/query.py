@@ -54,12 +54,13 @@ class SegmentSearcher:
         self._postings_path = os.path.join(seg_dir, POSTINGS_FILE)
         self._cache: dict[str, dict] | None = None
         if preload:
-            self._cache = {}
             t = pq.read_table(self._postings_path)
-            for i in range(t.num_rows):
-                self._cache[t["term"][i].as_py()] = {
-                    c: t[c][i].as_py() for c in t.column_names if c != "term"
-                }
+            names = [c for c in t.column_names if c != "term"]
+            cols = {c: t[c].to_pylist() for c in names}  # one C pass per col
+            self._cache = {
+                term: {c: cols[c][i] for c in names}
+                for i, term in enumerate(t["term"].to_pylist())
+            }
 
     def postings(self, terms: list[str]) -> dict[str, dict]:
         """term → raw posting row (encoded); absent terms omitted."""

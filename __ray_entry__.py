@@ -669,6 +669,80 @@ def q_tpch_q1ish(sf_dir: str) -> pa.Table:
     )
 
 
+def q_join_priority(sf_dir: str) -> pa.Table:
+    """Broadcast hash join, the 100 TB join shape for a small build side:
+    filtered customer keys are ray.put once, probed vectorized inside
+    map_batches over orders (no shuffle of the big side; c_custkey is
+    unique so the semi-join IS the inner join), then a combiner
+    aggregate."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from typesense_ray.agg import combiner_aggregate
+    from typesense_ray.functions.relational import broadcast_semi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].to_numpy()
+    joined = broadcast_semi_join(_read(sf_dir, "orders"), keys, "o_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), sum_total=("o_totalprice", "sum")
+        )
+
+    out = combiner_aggregate(
+        joined, partial, ["o_orderpriority"],
+        {"n_orders": "sum", "sum_total": "sum"},
+    )
+    tbl = pa.Table.from_pandas(out.reset_index(drop=True))
+    return pa.table(
+        {
+            "o_orderpriority": tbl["o_orderpriority"],
+            "n_orders": tbl["n_orders"].cast(pa.int64()),
+            "sum_total": pa.array(
+                [round(float(x), 2) for x in tbl["sum_total"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30 min) per user over events — one
+    groupby(user_id) exchange, vectorized per-group session splitting."""
+    import pandas as pd
+
+    from typesense_ray.functions.relational import sessionize
+
+    out = sessionize(
+        _read(sf_dir, "events"), key_col="user_id", ts_col="ts", gap_s=1800.0
+    ).to_pandas()
+    out = out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_idx": pa.array(out["session_idx"], pa.int64()),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "start_ts": pa.array(
+                pd.to_datetime(out["start_ts"]).dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                pa.string(),
+            ),
+            "end_ts": pa.array(
+                pd.to_datetime(out["end_ts"]).dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                pa.string(),
+            ),
+            "sum_value": pa.array(
+                [round(float(x), 6) for x in out["sum_value"]], pa.float64()
+            ),
+        }
+    )
+
+
 def q_events_tumbling(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour windows per event_type (count + sum(value)) —
     the streaming-shaped aggregate expressed as groupby over an
@@ -746,6 +820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "tpch_q1ish": q_tpch_q1ish,
+        "join_priority": q_join_priority,
+        "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
         "typo_search": q_typo_search,
         "prefix_search": q_prefix_search,
@@ -1012,6 +1088,36 @@ SELECT doc_id FROM documents WHERE source = 'src8'
 UNION
 SELECT doc_id FROM toks2 WHERE term = 'src8'
 ORDER BY doc_id
+""",
+        "join_priority": """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
 """,
         "events_tumbling": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window,

@@ -299,3 +299,34 @@ def test_simhash_batch_matches_independent_scalar():
              "Case INSENSITIVE case"]
     got = simhash_batch(texts).tolist()
     assert got == [scalar(t) for t in texts]
+
+
+def test_broadcast_semi_join(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import broadcast_semi_join
+
+    big = rd.from_items([{"k": i, "v": i * 10} for i in range(100)])
+    out = broadcast_semi_join(big, np.array([3, 7, 7, 42]), "k").take_all()
+    assert sorted(r["k"] for r in out) == [3, 7, 42]
+
+
+def test_sessionize_gap_splits(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 3 events in one session, then a 2h gap, then 1 event
+    for m in (0, 10, 20, 150):
+        rows.append({"user_id": 1, "ts": t0 + dt.timedelta(minutes=m), "value": 1.0})
+    # user 2: single event
+    rows.append({"user_id": 2, "ts": t0, "value": 5.0})
+    out = sessionize(rd.from_items(rows), gap_s=1800.0).to_pandas()
+    out = out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [3, 1, 1]
+    assert out["session_idx"].tolist() == [0, 1, 0]
+    assert out["sum_value"].tolist() == [3.0, 1.0, 5.0]

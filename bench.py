@@ -84,7 +84,7 @@ def main() -> None:
     # warm the page cache so both scaling levels measure compute+shuffle
     import pyarrow.dataset as pads
 
-    pads.dataset(corpus_dir).to_table(columns=["sha256"])
+    pads.dataset(corpus_dir).to_table(columns=["content", "sha256"])
 
     idx_dir = f"/tmp/tsray_bench/idx-{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -110,6 +110,24 @@ def main() -> None:
     stats, t_build = timed(build_index, corpus_dir, idx_dir, cfg)
     results["corpus_index_build"] = round(t_build, 3)
     docs_per_s = round(stats["n_docs"] / t_build, 1)
+
+    if os.environ.get("GRAFT_BENCH_SKIP_QUERY"):
+        # scaling protocol: the efficiency metric is build docs/s only —
+        # skip the query phases so each level is one clean measurement
+        out = {
+            "metric": "corpus_index_build_sec",
+            "value": results["corpus_index_build"],
+            "unit": "sec",
+            "queries": results,
+            "sf": _sf_tag(),
+            "num_cpus": NUM_CPUS,
+            "n_corpus_docs": stats["n_docs"],
+            "docs_per_s": docs_per_s,
+        }
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        ray.shutdown()
+        print(json.dumps(out))
+        return
 
     # -- query latency over the built index ------------------------------
     searcher = LocalIndexSearcher(idx_dir, preload=True)
@@ -168,8 +186,18 @@ def main() -> None:
         "facet_stats_by_lang",
         "exact_dedup",
         "minhash_dup_pairs",
+        "ngram_jaccard_pairs",
+        "simhash_groups",
+        "embedding_dup_pairs",
         "knn_cosine",
+        "ann_ivf",
+        "langid",
+        "quality",
+        "token_counts",
+        "fingerprints",
         "tpch_q1ish",
+        "join_priority",
+        "sessionize",
         "events_tumbling",
     ]:
         _, dt = timed(qs[name], SF_DIR)
@@ -197,8 +225,14 @@ def scaling() -> None:
     # two-cluster-size criterion). This host's effective cores fluctuate
     # (~11 to ~16 of 32 advertised; see BASELINE.md), so the honest 4x
     # pair is 2 vs 8 — both levels backed by hardware in every window.
+    # Host CPU delivery is ±20-35% run-to-run (co-tenant hypervisor), and
+    # almost all of the noise lands on the hi level, so each level is
+    # measured GRAFT_SCALING_REPS times in ALTERNATING order (hi,lo ×
+    # reps) and the efficiency is computed over per-level medians — one
+    # --scaling invocation is then a robust measurement on its own.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", str(4 * lo)))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     # >=800k docs so fixed init/ramp (~2 s) stays noise at the hi level
     n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
 
@@ -207,6 +241,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_BUILD_ONLY="1",
+            GRAFT_BENCH_SKIP_QUERY="1",
             GRAFT_CORPUS_DOCS=str(n_docs),
         )
         out = subprocess.run(
@@ -215,18 +250,28 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_hi = run(hi)  # first: generates/warms the shared corpus at higher parallelism
-    r_lo = run(lo)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    dps_lo, dps_hi = r_lo["docs_per_s"], r_hi["docs_per_s"]
+    hi_runs, lo_runs = [], []
+    for _ in range(reps):
+        hi_runs.append(run(hi))  # hi first also generates/warms the corpus
+        lo_runs.append(run(lo))
+    dps_hi = statistics.median(r["docs_per_s"] for r in hi_runs)
+    dps_lo = statistics.median(r["docs_per_s"] for r in lo_runs)
     eff = (dps_hi / dps_lo) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "cpus": [lo, hi],
-                "build_sec": [t_lo, t_hi],
+                "build_sec": [
+                    statistics.median(r["value"] for r in lo_runs),
+                    statistics.median(r["value"] for r in hi_runs),
+                ],
                 "docs_per_s": [dps_lo, dps_hi],
+                "docs_per_s_all": {
+                    "lo": [r["docs_per_s"] for r in lo_runs],
+                    "hi": [r["docs_per_s"] for r in hi_runs],
+                },
+                "reps_per_level": reps,
                 "scaling_efficiency": round(eff, 3),
                 "sf": _sf_tag(),
             }

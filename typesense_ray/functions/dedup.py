@@ -210,40 +210,49 @@ def minhash_lsh_pairs(
     # buckets; the driver only ever sees the candidate-pair set (bounded
     # by true-dup density).
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # drop singleton buckets FIRST (one vectorized duplicated() pass):
+        # almost every bucket has one member, and iterating them through a
+        # pandas groupby costs ~300µs each
+        g = g[g.duplicated("band_hash", keep=False)]
         out_a, out_b = [], []
         for _, grp in g.groupby("band_hash")[id_col]:
-            if len(grp) > 1:
-                ids = np.sort(grp.to_numpy())
-                ia, ib = np.triu_indices(ids.size, k=1)
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
+            ids = np.sort(grp.to_numpy())
+            ia, ib = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
         if not out_a:
             return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
         return pd.DataFrame(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    pair_rows = (
+    pairs_df = (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
-        .take_all()
+        .to_pandas()
     )
-    pairs: set[tuple[int, int]] = {
-        (int(r["a"]), int(r["b"])) for r in pair_rows
-    }
-    if not pairs:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    empty_out = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+    if len(pairs_df) == 0:
+        return empty_out
+    # cross-band dedup: vectorized drop_duplicates, not a python set
+    pairs_df = pairs_df.drop_duplicates(ignore_index=True).astype(np.int64)
 
-    # verify with true n-gram Jaccard; shingle sets computed once per doc
-    # (not per pair), distributed: the candidate id-set is broadcast once
-    # (ray.put) and each task returns shingle arrays only for its
-    # candidates — the driver pulls |candidates| rows, not the corpus
+    # verify with true n-gram Jaccard, DISTRIBUTED: shingle sets computed
+    # once per candidate doc (broadcast id-set, each task returns arrays
+    # only for its candidates), then the candidate-pair table fans back
+    # out through map_batches with the shingle dict broadcast once —
+    # permissive LSH configs can surface 10^6+ candidates, far too many
+    # for a driver loop. The driver holds the candidate table and the
+    # candidate shingle dict (both bounded by candidate count, not corpus).
     import ray
+    import ray.data as rd
 
-    need_ref = ray.put(frozenset(x for p in pairs for x in p))
+    need_ref = ray.put(
+        frozenset(pairs_df["a"].tolist()) | frozenset(pairs_df["b"].tolist())
+    )
 
     def cand_shingles(t: pa.Table) -> pa.Table:
         need_set = ray.get(need_ref)
@@ -264,24 +273,39 @@ def minhash_lsh_pairs(
             cand_shingles, batch_format="pyarrow"
         ).take_all()
     }
-    empty = np.empty(0, np.uint64)
-    out_a, out_b, out_j = [], [], []
-    for a, b_ in sorted(pairs):
-        sa = shingles.get(a, empty)
-        sb = shingles.get(b_, empty)
-        if not sa.size and not sb.size:
-            j = 1.0
-        else:
+    sh_ref = ray.put(shingles)
+    no_sh = np.empty(0, np.uint64)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        aa = batch["a"].to_numpy()
+        bb = batch["b"].to_numpy()
+        jac = np.empty(len(aa), np.float64)
+        for i in range(len(aa)):
+            sa = sh.get(int(aa[i]), no_sh)
+            sb = sh.get(int(bb[i]), no_sh)
+            if not sa.size and not sb.size:
+                jac[i] = 1.0
+                continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            j = inter / union if union else 0.0
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b_)
-            out_j.append(j)
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(aa[keep]), "b": pa.array(bb[keep]),
+                         "jaccard": pa.array(jac[keep], pa.float64())})
+
+    verified = (
+        rd.from_pandas(pairs_df)
+        .repartition(max(1, min(64, len(pairs_df) // 20_000 + 1)))
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(verified) == 0:
+        return empty_out
+    verified = verified.sort_values(["a", "b"], ignore_index=True)
+    return pa.table({"a": pa.array(verified["a"], pa.int64()),
+                     "b": pa.array(verified["b"], pa.int64()),
+                     "jaccard": pa.array(verified["jaccard"], pa.float64())})
 
 
 def word_ngram_jaccard_pairs(

@@ -598,6 +598,12 @@ def _build_segments_from_files(
     def write_files(paths: list[str]) -> list[dict]:
         import pyarrow.dataset as pads
 
+        # keep each writer inside its CPU reservation: Arrow's default
+        # thread pool is sized to the HOST (32), so N writers would spawn
+        # N*32 decode/compute threads and thrash each other
+        pa.set_cpu_count(max(1, int(cfg.writer_num_cpus)))
+        pa.set_io_thread_count(2)
+
         writer = SegmentWriter(out_dir, cfg)
         out: list[dict] = []
         for path in paths:

@@ -42,20 +42,25 @@ def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("text_hash2", pa.array(h2, pa.uint64()))
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                reduce: str = "auto"):
     """Exact dedup: content-hash each row (vectorized, 128-bit key), pick
     the min-id winner per hash with a two-stage aggregate (per-batch
-    pandas partial → distributed ``groupby(hash).aggregate(Min)``), then
-    semi-join the winners back via a ``ray.put`` broadcast of the sorted
-    winner-id array and a vectorized ``pc.is_in`` filter. Returns the
-    surviving rows.
+    pandas partial → winner merge), then semi-join the winners back via a
+    ``ray.put`` broadcast of the sorted winner-id array and a vectorized
+    ``pc.is_in`` filter over the RAW dataset. Returns the surviving rows.
+
+    Winner merge, mirroring ``IndexConfig.df_mode``: ``"stream"`` folds
+    the (hash, min_id) partials with one vectorized pandas groupby on the
+    driver (right when distinct texts fit one node — no all-to-all);
+    ``"groupby"`` is the distributed ``groupby(hash).aggregate(Min)``
+    all-to-all for corpora whose distinct-text count exceeds driver RAM;
+    ``"auto"`` picks by ``ds.count()`` (parquet metadata — row count
+    bounds the distinct count).
 
     Reference role: Topster kv_map per-key dedup (``include/topster.h:
-    168-213``) generalized to corpus dedup. The winner aggregate is a
-    distributed groupby over (hash, id) partials — one row per distinct
-    text per batch — so no stage materializes the corpus or a
-    distinct-text map on the driver; the driver holds only the winner-id
-    int64 array (== output row count), broadcast once."""
+    168-213``) generalized to corpus dedup. Either way the driver holds
+    only winner-sized state (the output ids), broadcast once."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Min
@@ -71,29 +76,51 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             .min()
         )
 
-    winners = (
-        hashed.map_batches(partial_min, batch_format="pandas")
-        .groupby(["text_hash", "text_hash2"])
-        .aggregate(Min(id_col, alias_name="win"))
-    )
-    win_parts = [
-        b["win"].to_numpy()
-        for b in winners.iter_batches(batch_format="pyarrow", batch_size=65536)
-    ]
-    win = (
-        np.sort(np.concatenate(win_parts))
-        if win_parts
-        else np.empty(0, np.int64)
-    )
+    partials = hashed.map_batches(partial_min, batch_format="pandas")
+    if reduce == "auto":
+        try:
+            n_rows = ds.count()
+        except Exception:
+            n_rows = None
+        reduce = "stream" if n_rows is not None and n_rows <= 5_000_000 else "groupby"
+    if reduce == "stream":
+        parts = list(partials.iter_batches(batch_format="pandas", batch_size=None))
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            win = np.sort(
+                allp.groupby(["text_hash", "text_hash2"])[id_col]
+                .min()
+                .to_numpy()
+            )
+        else:
+            win = np.empty(0, np.int64)
+    else:
+        winners = partials.groupby(["text_hash", "text_hash2"]).aggregate(
+            Min(id_col, alias_name="win")
+        )
+        win_parts = [
+            b["win"].to_numpy()
+            for b in winners.iter_batches(
+                batch_format="pyarrow", batch_size=65536
+            )
+        ]
+        win = (
+            np.sort(np.concatenate(win_parts))
+            if win_parts
+            else np.empty(0, np.int64)
+        )
     win_ref = ray.put(pa.array(win, pa.int64()))
 
     def keep_winners(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        m = pc.is_in(b[id_col].cast(pa.int64()), value_set=ray.get(win_ref))
-        return b.filter(m).drop_columns(["text_hash", "text_hash2"])
+        return b.filter(
+            pc.is_in(b[id_col].cast(pa.int64()), value_set=ray.get(win_ref))
+        )
 
-    return hashed.map_batches(keep_winners, batch_format="pyarrow")
+    # winner ids are globally unique (one min id per hash group), so the
+    # keep pass filters the RAW dataset by id — no second hashing pass
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 # -- shingles / jaccard ------------------------------------------------------
@@ -326,19 +353,24 @@ def word_ngram_jaccard_pairs(
     universe). Returns (a, b, jaccard) for pairs with jaccard ≥ threshold.
 
     Distributed shape: map_batches(shingle+hash, distinct per doc) →
-    groupby(shingle_hash).map_groups emitting (a, b) co-occurrence rows
-    for groups of size ≤ df_cap — the diagonal row (d, d) carries each
-    doc's kept-shingle size contribution so ONE pair-count groupby yields
-    both sizes (diagonal) and common counts (off-diagonal) — → final
-    jaccard over the aggregated counts. The all-to-alls move only
-    (uint64, int64) rows; per-group pair fan-out is bounded by df_cap².
-    The aggregated count table is ≤ n_docs + Σ per-bucket pairs rows and
-    is reduced driver-side; at larger scale broadcast the diagonal via
-    ``ray.put`` and stream the off-diagonal rows through map_batches.
+    COARSE-partitioned shingle exchange (``part = h % 64`` → ≤64
+    ``map_groups`` callbacks; a per-shingle groupby would pay one Python
+    callback per distinct shingle — 10^5+ of them) emitting (a, b)
+    co-occurrence rows for shingle groups of size ≤ df_cap — the diagonal
+    row (d, d) carries each doc's kept-shingle size contribution so ONE
+    pair-count groupby yields both sizes (diagonal) and common counts
+    (off-diagonal) — → final jaccard over the aggregated counts. The
+    all-to-alls move only (uint64, int64) rows; per-group pair fan-out is
+    bounded by df_cap². The aggregated count table is ≤ n_docs + Σ
+    per-bucket pairs rows and is reduced driver-side; at larger scale
+    broadcast the diagonal via ``ray.put`` and stream the off-diagonal
+    rows through map_batches.
     """
     import pandas as pd
 
     from typesense_ray.tokenizer import normalized_slots
+
+    n_parts = 64
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         out_id: list[int] = []
@@ -355,26 +387,61 @@ def word_ngram_jaccard_pairs(
         h = pd.util.hash_array(np.asarray(out_sh, dtype=object))
         return pa.table(
             {
+                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
                 "h": pa.array(h, pa.uint64()),
                 id_col: pa.array(out_id, pa.int64()),
             }
         )
 
-    def emit_cooc(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if ids.size > df_cap:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        ia, ib = np.triu_indices(ids.size, k=0)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+    def part_cooc(g: pd.DataFrame) -> pd.DataFrame:
+        # shingles never split across partitions (part = f(h)), so group
+        # sizes within the partition are global df counts
+        sizes = g.groupby("h")["h"].transform("size")
+        kept = g[sizes <= df_cap]
+        # diagonal (d, d): one row per kept (shingle, doc) — vectorized
+        diag_ids = kept[id_col].to_numpy()
+        out_a = [diag_ids]
+        out_b = [diag_ids]
+        dup = kept[kept.duplicated("h", keep=False)]
+        for _, grp in dup.groupby("h")[id_col]:
+            ids = np.sort(grp.to_numpy())
+            ia, ib = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        # COMBINE inside the partition: the same (a, b) pair recurs across
+        # many shingles, so shipping raw co-occurrence rows to the global
+        # pair-count groupby explodes the shuffle (10^7-10^8 rows at a few
+        # thousand docs of repetitive text) — one vectorized value_counts
+        # reduces each partition to its distinct pairs with partial counts
+        raw = pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+        return raw.groupby(["a", "b"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
 
-    counts = (
+    # final pair-count merge: the partition partials are already combined
+    # (distinct pairs + partial counts), so fold them with ONE vectorized
+    # pandas groupby-sum on the driver — Ray's sort-based multi-key
+    # aggregate pays per-group cost over 10^6 (a, b) groups (~60x slower
+    # measured). Driver state is bounded by the distinct-pair count; at
+    # pair densities beyond one node, swap this fold for
+    # groupby(["a","b"]).aggregate(Sum) — the partials are unchanged.
+    cooc = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(emit_cooc, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .to_pandas()
+        .groupby("part")
+        .map_groups(part_cooc, batch_format="pandas")
     )
+    parts = list(cooc.iter_batches(batch_format="pandas", batch_size=None))
+    if parts:
+        allp = pd.concat(parts, ignore_index=True)
+        counts = (
+            allp.groupby(["a", "b"], as_index=False)["c"]
+            .sum()
+            .rename(columns={"c": "count()"})
+        )
+    else:
+        counts = pd.DataFrame({"a": [], "b": [], "count()": []})
     diag = counts[counts["a"] == counts["b"]]
     sizes = dict(zip(diag["a"], diag["count()"]))
     pairs = counts[counts["a"] != counts["b"]]

@@ -188,3 +188,53 @@ def test_topk_boundary_tie_break():
     )
     assert ids.tolist() == list(range(999, 989, -1))
     assert scores.tolist() == [1.0] * 10
+
+
+def test_file_parallel_build_matches_dataset_path(ray_session, tmp_path):
+    """The file-partitioned actor build must produce search-identical
+    indexes to the Dataset map_batches path, and a rerun must skip every
+    completed segment at ANY writer count (per-file batch boundaries)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from typesense_ray.index_build import IndexConfig, build_index
+    from typesense_ray.query import LocalIndexSearcher
+
+    rng = np.random.default_rng(3)
+    words = ["quark", "lepton", "boson", "gluon", "photon", "hadron"]
+    src = tmp_path / "src"
+    src.mkdir()
+    did = 0
+    for f in range(4):  # 4 files x 130 docs
+        rows = {"doc_id": [], "text": []}
+        for _ in range(130):
+            rows["doc_id"].append(did)
+            rows["text"].append(
+                " ".join(rng.choice(words, rng.integers(5, 20)))
+            )
+            did += 1
+        pq.write_table(pa.table(
+            {"doc_id": pa.array(rows["doc_id"], pa.int64()),
+             "text": pa.array(rows["text"])}
+        ), src / f"part-{f}.parquet")
+
+    cfg = IndexConfig(text_field="text", id_field="doc_id", sha_field=None,
+                      batch_docs=100, meta_fields=("doc_id", "text"),
+                      writer_num_cpus=1.0)
+    out_f = str(tmp_path / "idx_files")
+    out_d = str(tmp_path / "idx_ds")
+    stats_f = build_index(str(src), out_f, cfg, file_parallel=True)
+    stats_d = build_index(str(src), out_d, cfg, file_parallel=False,
+                          concurrency=2)
+    assert stats_f["n_docs"] == stats_d["n_docs"] == 520
+    a, b = LocalIndexSearcher(out_f), LocalIndexSearcher(out_d)
+    for q in ("quark", "boson photon", "gluon hadron lepton"):
+        ra, rb = a.search(q, k=20), b.search(q, k=20)
+        assert ra["doc_id"].to_pylist() == rb["doc_id"].to_pylist(), q
+        assert ra["score"].to_pylist() == rb["score"].to_pylist(), q
+    # resume at a different writer count: all segments skipped
+    stats2 = build_index(str(src), out_f, cfg, file_parallel=True,
+                         concurrency=1)
+    assert stats2["segments_skipped"] == stats2["n_segments"]
+    assert sorted(stats2["segments"]) == sorted(stats_f["segments"])

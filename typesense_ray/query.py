@@ -638,8 +638,11 @@ class IndexServer:
     def search_many(
         self, queries: list[str], k: int = 10, mode: str = "bm25"
     ) -> list[pa.Table]:
-        """Pipelined batch of queries: all fan-outs in flight at once (the
-        concurrent-search-throughput shape the reference benchmarks)."""
+        """Batched query fan-out: ONE RPC per actor carrying every query
+        (the actor loops its shard locally and returns per-query top-k's),
+        so a 60-query burst costs n_actors RPCs instead of
+        n_queries × n_actors — the concurrent-search-throughput shape the
+        reference benchmarks (README.md:170-173)."""
         import ray
 
         from typesense_ray.tokenizer import tokenize_query
@@ -649,35 +652,34 @@ class IndexServer:
             {t for inc, _ in parsed for t in inc if t != "*"}
         )
         dfs_all = self._dfs(all_terms)
-        futs_per_q = []
-        for include, exclude in parsed:
-            dfs = {t: dfs_all[t] for t in include if t != "*"}
-            if mode == "bm25" and include != ["*"] and any(
-                dfs[t] == 0 for t in dfs
-            ):
-                futs_per_q.append(None)
-                continue
-            futs_per_q.append(
-                [a.search.remote(include, exclude, k, dfs, mode)
-                 for a in self.actors]
-            )
-        out = []
+        reqs = []  # (query_index, include, exclude, dfs)
         empty = pa.table(
             {"doc_id": pa.array([], pa.uint64()),
              "score": pa.array([], pa.float64())}
         )
-        import ray as _ray
-
-        for futs in futs_per_q:
-            if futs is None:
-                out.append(empty)
+        out: list[pa.Table | None] = [None] * len(queries)
+        for qi, (include, exclude) in enumerate(parsed):
+            dfs = {t: dfs_all[t] for t in include if t != "*"}
+            if mode == "bm25" and include != ["*"] and any(
+                dfs[t] == 0 for t in dfs
+            ):
+                out[qi] = empty
                 continue
-            parts = [p for p in _ray.get(futs) if p[0].size]
-            merged = merge_topk(parts, k)
-            out.append(
-                empty if merged is None
-                else pa.table({"doc_id": merged[0], "score": merged[1]})
+            reqs.append((qi, include, exclude, dfs))
+        if reqs:
+            batch = [(inc, exc, k, dfs, mode) for _, inc, exc, dfs in reqs]
+            per_actor = ray.get(
+                [a.search_batch.remote(batch) for a in self.actors]
             )
+            for ri, (qi, *_rest) in enumerate(reqs):
+                parts = [
+                    pa_res[ri] for pa_res in per_actor if pa_res[ri][0].size
+                ]
+                merged = merge_topk(parts, k)
+                out[qi] = (
+                    empty if merged is None
+                    else pa.table({"doc_id": merged[0], "score": merged[1]})
+                )
         return out
 
     def shutdown(self) -> None:
@@ -726,6 +728,15 @@ class _SegmentGroup:
         if merged is None:
             return (np.empty(0, np.uint64), np.empty(0, np.float64))
         return merged
+
+    def search_batch(self, requests: list[tuple]):
+        """One RPC, many queries: evaluate each (include, exclude, k, dfs,
+        mode) request against this shard sequentially and return the list
+        of per-query (doc_ids, scores)."""
+        return [
+            self.search(inc, exc, k, dfs, mode)
+            for inc, exc, k, dfs, mode in requests
+        ]
 
 
 def search_index(

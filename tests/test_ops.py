@@ -249,3 +249,54 @@ def test_compacted_segment_keeps_wand(built):
             )
             acc.append((ids.tolist(), [round(x, 9) for x in sc.tolist()]))
     assert parts_w == parts_d
+
+
+def test_merge_segments_search_identical(built):
+    """Segment merging (postings surgery, no re-tokenization) must be
+    search-identical to the unmerged index, keep WAND eligibility, leave
+    global stats invariant, and GC its inputs."""
+    from typesense_ray.ops import merge_segments
+    from typesense_ray.query import LocalIndexSearcher, load_stats
+
+    before = load_stats(built)
+    coll_before = RayCollection(built, default_sorting_field="points")
+    want = {
+        q: [(h["document"]["docnum"], h["score"])
+            for h in coll_before.search(q)["hits"]]
+        for q in ("rocket", "orbit", "satellite ground")
+    }
+    assert before["n_segments"] == 3  # batch_docs=2 over 6 docs
+
+    stats = merge_segments(built, target_docs=100)
+    assert stats["n_segments"] == 1
+    assert stats["n_docs"] == before["n_docs"]
+    assert stats["doclen_sum"] == before["doclen_sum"]
+    seg_root = os.path.join(built, "segments")
+    assert set(os.listdir(seg_root)) == {f"seg-{stats['segments'][0]}"}
+
+    coll = RayCollection(built, default_sorting_field="points")
+    for q, expected in want.items():
+        got = [(h["document"]["docnum"], h["score"])
+               for h in coll.search(q)["hits"]]
+        assert got == expected, q
+    # WAND metadata present and consistent
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(
+        seg_root, f"seg-{stats['segments'][0]}", "postings.parquet"))
+    assert "bm_ids_boff" in t.column_names
+    s = LocalIndexSearcher(built)
+    dfs = {"rocket": 4, "orbit": 2}
+    seg = s.segments[0]
+    for method in ("wand", "dense"):
+        ids, sc = seg.search_bm25_disjunctive(
+            ["rocket", "orbit"], [], 10, dfs, stats["n_docs"],
+            stats["avgdl"], stats["k1"], stats["b"], method=method,
+            block_size=stats["config"].get("block_size"),
+        )
+        if method == "wand":
+            wand_out = (ids.tolist(), sc.tolist())
+        else:
+            assert (ids.tolist(), sc.tolist()) == wand_out
+    # idempotent: re-merge is a no-op (same content address)
+    stats2 = merge_segments(built, target_docs=100)
+    assert stats2["segments"] == stats["segments"]

@@ -9,6 +9,7 @@ binary ``src/main/typesense_server.cpp:15-66``). Subcommands:
 - ``export``  — stream stored docs back out as parquet
 - ``delete``  — filter-DSL bulk delete with segment compaction
 - ``upsert``  — upsert a delta corpus into an existing index
+- ``merge``   — compact small segments (Lucene merge-policy role)
 
 Ray session ownership: a job-submit driver owns its session, so this
 module calls ``ray.init(address="auto" | local)`` only when no session
@@ -70,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--index", required=True)
     u.add_argument("--source", required=True, help="delta parquet file/dir")
 
+    m = sub.add_parser("merge", help="compact small segments")
+    m.add_argument("--index", required=True)
+    m.add_argument("--target-docs", type=int, default=65536)
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -120,6 +125,13 @@ def main(argv: list[str] | None = None) -> int:
 
         res = upsert_documents(args.source, args.index)
         print(json.dumps(res))
+    elif args.cmd == "merge":
+        from typesense_ray.ops import merge_segments
+
+        res = merge_segments(args.index, target_docs=args.target_docs)
+        print(json.dumps(
+            {k: res[k] for k in ("n_docs", "n_segments", "merges")}
+        ))
     return 0
 
 

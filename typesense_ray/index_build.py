@@ -109,6 +109,159 @@ def compute_doc_ids(batch: pa.Table, cfg: "IndexConfig") -> np.ndarray:
     )
 
 
+def encode_postings_from_occurrences(
+    uniq_terms: np.ndarray,
+    inv: np.ndarray,
+    occ_doc: np.ndarray,
+    occ_pos: np.ndarray,
+    doclens: np.ndarray,
+    block_size: int,
+) -> tuple[pa.Table, int, int]:
+    """Encode a flat occurrence stream into the segment postings table
+    (delta+varbyte streams, per-block block-max skip metadata + byte
+    offsets). ``uniq_terms`` must be sorted; ``inv`` holds each
+    occurrence's term rank; ``occ_pos`` must be in ascending order within
+    each (term, doc). Shared by :class:`SegmentWriter` and
+    :func:`typesense_ray.ops.merge_segments`, so merged segments are
+    byte-format-identical to freshly built ones. Returns
+    ``(postings_table, n_terms, n_postings)``."""
+    from typesense_ray.codec import slice_encoded as _slice
+    from typesense_ray.codec import varbyte_encode_raw as _vb
+
+    n_occ = len(inv)
+    if n_occ:
+        # one sort puts occurrences in (term, doc, pos) posting order
+        order = np.lexsort((occ_pos, occ_doc, inv))
+        inv_s = inv[order]
+        odoc_s = occ_doc[order]
+        pos_sorted = occ_pos[order].astype(np.uint64)
+        entry_bounds = np.r_[
+            True, (inv_s[1:] != inv_s[:-1]) | (odoc_s[1:] != odoc_s[:-1])
+        ]
+        entry_starts_occ = np.flatnonzero(entry_bounds).astype(np.int64)
+        n_entries = len(entry_starts_occ)
+        tfs_s = np.diff(np.append(entry_starts_occ, n_occ)).astype(np.int64)
+        codes_s = inv_s[entry_starts_occ]
+        docs_s = odoc_s[entry_starts_occ].astype(np.uint64)
+        term_starts = np.flatnonzero(
+            np.r_[True, codes_s[1:] != codes_s[:-1]]
+        ).astype(np.int64)
+        n_terms = len(uniq_terms)
+
+        # per-term stats (vectorized segmented reductions)
+        col_df = np.diff(np.append(term_starts, n_entries)).astype(np.int32)
+        col_cf = np.add.reduceat(tfs_s, term_starts)
+        col_maxtf = np.maximum.reduceat(tfs_s, term_starts).astype(np.int32)
+
+        # doc-id stream: delta with restart at each term boundary
+        d_ids = docs_s.copy()
+        d_ids[1:] -= docs_s[:-1]
+        d_ids[term_starts] = docs_s[term_starts]
+        buf_ids, nb_ids = _vb(d_ids)
+        col_ids = _slice(buf_ids, nb_ids, term_starts)
+
+        buf_tfs, nb_tfs = _vb(tfs_s.astype(np.uint64))
+        col_tfs = _slice(buf_tfs, nb_tfs, term_starts)
+
+        # positions are already in posting order from the lexsort:
+        # delta with restart at each (term, doc) entry boundary
+        d_pos = pos_sorted.copy()
+        d_pos[1:] -= pos_sorted[:-1]
+        d_pos[entry_starts_occ] = pos_sorted[entry_starts_occ]
+        buf_pos, nb_pos = _vb(d_pos)
+        col_pos = _slice(buf_pos, nb_pos, entry_starts_occ[term_starts])
+
+        # block-max metadata: one global reduceat over per-term blocks
+        bsz = block_size
+        blocks_per_term = (col_df.astype(np.int64) + bsz - 1) // bsz
+        bm_term_starts = np.zeros(n_terms, dtype=np.int64)
+        np.cumsum(blocks_per_term[:-1], out=bm_term_starts[1:])
+        n_blocks = int(blocks_per_term.sum())
+        blk_idx = np.arange(n_blocks, dtype=np.int64) - np.repeat(
+            bm_term_starts, blocks_per_term
+        )
+        blk_starts = np.repeat(term_starts, blocks_per_term) + blk_idx * bsz
+        term_ends = np.append(term_starts[1:], n_entries)
+        blk_ends = np.minimum(
+            blk_starts + bsz, np.repeat(term_ends, blocks_per_term)
+        )
+        dls_s = doclens[docs_s.astype(np.int64)].astype(np.int64)
+        bm_maxtf_flat = np.maximum.reduceat(tfs_s, blk_starts)
+        bm_mindl_flat = np.minimum.reduceat(dls_s, blk_starts)
+        bm_last_flat = docs_s[blk_ends - 1].astype(np.int64)
+        bm_offsets = np.append(bm_term_starts, n_blocks)
+        col_bm_last = pa.ListArray.from_arrays(
+            pa.array(bm_offsets, pa.int32()),
+            pa.array(bm_last_flat.astype(np.int32)),
+        )
+        col_bm_maxtf = pa.ListArray.from_arrays(
+            pa.array(bm_offsets, pa.int32()),
+            pa.array(bm_maxtf_flat.astype(np.int32)),
+        )
+        col_bm_mindl = pa.ListArray.from_arrays(
+            pa.array(bm_offsets, pa.int32()),
+            pa.array(bm_mindl_flat.astype(np.int32)),
+        )
+        # per-block byte offsets into the term's ids_vb/tfs_vb slices so
+        # block-max WAND can decode one block without its predecessors
+        # (delta restarts via the previous block's bm_last as base)
+        byte_off_ids = np.zeros(n_entries + 1, dtype=np.int64)
+        np.cumsum(nb_ids, out=byte_off_ids[1:])
+        byte_off_tfs = np.zeros(n_entries + 1, dtype=np.int64)
+        np.cumsum(nb_tfs, out=byte_off_tfs[1:])
+        term_byte_base_ids = byte_off_ids[
+            np.repeat(term_starts, blocks_per_term)
+        ]
+        term_byte_base_tfs = byte_off_tfs[
+            np.repeat(term_starts, blocks_per_term)
+        ]
+        col_bm_ids_boff = pa.ListArray.from_arrays(
+            pa.array(bm_offsets, pa.int32()),
+            pa.array(
+                (byte_off_ids[blk_starts] - term_byte_base_ids).astype(np.int32)
+            ),
+        )
+        col_bm_tfs_boff = pa.ListArray.from_arrays(
+            pa.array(bm_offsets, pa.int32()),
+            pa.array(
+                (byte_off_tfs[blk_starts] - term_byte_base_tfs).astype(np.int32)
+            ),
+        )
+        col_term = [str(t) for t in uniq_terms]
+        n_postings = n_entries
+    else:
+        n_terms = 0
+        n_postings = 0
+        col_term = []
+        col_df = np.empty(0, np.int32)
+        col_cf = np.empty(0, np.int64)
+        col_maxtf = np.empty(0, np.int32)
+        col_ids = col_tfs = col_pos = []
+        empty_list = pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array([], pa.int32())
+        ).slice(0, 0)
+        col_bm_last = col_bm_maxtf = col_bm_mindl = empty_list
+        col_bm_ids_boff = col_bm_tfs_boff = empty_list
+
+    postings = pa.table(
+        {
+            "term": pa.array(col_term, pa.string()),
+            "df": pa.array(col_df),
+            "cf": pa.array(col_cf),
+            "max_tf": pa.array(col_maxtf),
+            "ids_vb": pa.array(col_ids, pa.binary()),
+            "tfs_vb": pa.array(col_tfs, pa.binary()),
+            "pos_vb": pa.array(col_pos, pa.binary()),
+            "bm_last": col_bm_last,
+            "bm_max_tf": col_bm_maxtf,
+            "bm_min_dl": col_bm_mindl,
+            "bm_ids_boff": col_bm_ids_boff,
+            "bm_tfs_boff": col_bm_tfs_boff,
+        }
+    )
+    return postings, n_terms, n_postings
+
+
 FIELD_SEP = "\x1f"  # joins field name + term in secondary-field keys
 ARRAY_POS_STRIDE = 1 << 16  # position offset between string[] elements
 
@@ -273,8 +426,7 @@ class SegmentWriter:
             occ_pos = np.empty(0, np.int64)
         t_tok = time.perf_counter()
 
-        n_occ = len(codes)
-        if n_occ:
+        if len(codes):
             # prefixed field terms cannot collide with primary terms (the
             # \x1f separator never survives tokenization), so the
             # concatenated unique list is globally unique; sort it once
@@ -283,136 +435,13 @@ class SegmentWriter:
             rank[srt] = np.arange(len(srt))
             uniq_terms = uniq_np[srt]
             inv = rank[codes]
-            # one sort puts occurrences in (term, doc, pos) posting order
-            order = np.lexsort((occ_pos, occ_doc, inv))
-            inv_s = inv[order]
-            odoc_s = occ_doc[order]
-            pos_sorted = occ_pos[order].astype(np.uint64)
-            entry_bounds = np.r_[
-                True, (inv_s[1:] != inv_s[:-1]) | (odoc_s[1:] != odoc_s[:-1])
-            ]
-            entry_starts_occ = np.flatnonzero(entry_bounds).astype(np.int64)
-            n_entries = len(entry_starts_occ)
-            tfs_s = np.diff(np.append(entry_starts_occ, n_occ)).astype(np.int64)
-            codes_s = inv_s[entry_starts_occ]
-            docs_s = odoc_s[entry_starts_occ].astype(np.uint64)
-            term_starts = np.flatnonzero(
-                np.r_[True, codes_s[1:] != codes_s[:-1]]
-            ).astype(np.int64)
-            n_terms = len(uniq_terms)
-
-            # per-term stats (vectorized segmented reductions)
-            col_df = np.diff(np.append(term_starts, n_entries)).astype(np.int32)
-            col_cf = np.add.reduceat(tfs_s, term_starts)
-            col_maxtf = np.maximum.reduceat(tfs_s, term_starts).astype(np.int32)
-
-            # doc-id stream: delta with restart at each term boundary
-            d_ids = docs_s.copy()
-            d_ids[1:] -= docs_s[:-1]
-            d_ids[term_starts] = docs_s[term_starts]
-            buf_ids, nb_ids = varbyte_encode_raw(d_ids)
-            col_ids = slice_encoded(buf_ids, nb_ids, term_starts)
-
-            buf_tfs, nb_tfs = varbyte_encode_raw(tfs_s.astype(np.uint64))
-            col_tfs = slice_encoded(buf_tfs, nb_tfs, term_starts)
-
-            # positions are already in posting order from the lexsort:
-            # delta with restart at each (term, doc) entry boundary
-            d_pos = pos_sorted.copy()
-            d_pos[1:] -= pos_sorted[:-1]
-            d_pos[entry_starts_occ] = pos_sorted[entry_starts_occ]
-            buf_pos, nb_pos = varbyte_encode_raw(d_pos)
-            col_pos = slice_encoded(buf_pos, nb_pos, entry_starts_occ[term_starts])
-
-            # block-max metadata: one global reduceat over per-term blocks
-            bsz = cfg.block_size
-            blocks_per_term = (col_df.astype(np.int64) + bsz - 1) // bsz
-            bm_term_starts = np.zeros(n_terms, dtype=np.int64)
-            np.cumsum(blocks_per_term[:-1], out=bm_term_starts[1:])
-            n_blocks = int(blocks_per_term.sum())
-            blk_idx = np.arange(n_blocks, dtype=np.int64) - np.repeat(
-                bm_term_starts, blocks_per_term
-            )
-            blk_starts = np.repeat(term_starts, blocks_per_term) + blk_idx * bsz
-            term_ends = np.append(term_starts[1:], n_entries)
-            blk_ends = np.minimum(
-                blk_starts + bsz, np.repeat(term_ends, blocks_per_term)
-            )
-            dls_s = doclens[docs_s.astype(np.int64)].astype(np.int64)
-            bm_maxtf_flat = np.maximum.reduceat(tfs_s, blk_starts)
-            bm_mindl_flat = np.minimum.reduceat(dls_s, blk_starts)
-            bm_last_flat = docs_s[blk_ends - 1].astype(np.int64)
-            bm_offsets = np.append(bm_term_starts, n_blocks)
-            col_bm_last = pa.ListArray.from_arrays(
-                pa.array(bm_offsets, pa.int32()),
-                pa.array(bm_last_flat.astype(np.int32)),
-            )
-            col_bm_maxtf = pa.ListArray.from_arrays(
-                pa.array(bm_offsets, pa.int32()),
-                pa.array(bm_maxtf_flat.astype(np.int32)),
-            )
-            col_bm_mindl = pa.ListArray.from_arrays(
-                pa.array(bm_offsets, pa.int32()),
-                pa.array(bm_mindl_flat.astype(np.int32)),
-            )
-            # per-block byte offsets into the term's ids_vb/tfs_vb slices so
-            # block-max WAND can decode one block without its predecessors
-            # (delta restarts via the previous block's bm_last as base)
-            byte_off_ids = np.zeros(n_entries + 1, dtype=np.int64)
-            np.cumsum(nb_ids, out=byte_off_ids[1:])
-            byte_off_tfs = np.zeros(n_entries + 1, dtype=np.int64)
-            np.cumsum(nb_tfs, out=byte_off_tfs[1:])
-            term_byte_base_ids = byte_off_ids[
-                np.repeat(term_starts, blocks_per_term)
-            ]
-            term_byte_base_tfs = byte_off_tfs[
-                np.repeat(term_starts, blocks_per_term)
-            ]
-            col_bm_ids_boff = pa.ListArray.from_arrays(
-                pa.array(bm_offsets, pa.int32()),
-                pa.array(
-                    (byte_off_ids[blk_starts] - term_byte_base_ids).astype(np.int32)
-                ),
-            )
-            col_bm_tfs_boff = pa.ListArray.from_arrays(
-                pa.array(bm_offsets, pa.int32()),
-                pa.array(
-                    (byte_off_tfs[blk_starts] - term_byte_base_tfs).astype(np.int32)
-                ),
-            )
-            col_term = [str(t) for t in uniq_terms]
-            n_postings = n_entries
         else:
-            n_terms = 0
-            n_postings = 0
-            col_term = []
-            col_df = np.empty(0, np.int32)
-            col_cf = np.empty(0, np.int64)
-            col_maxtf = np.empty(0, np.int32)
-            col_ids = col_tfs = col_pos = []
-            empty_list = pa.ListArray.from_arrays(
-                pa.array([0], pa.int32()), pa.array([], pa.int32())
-            ).slice(0, 0)
-            col_bm_last = col_bm_maxtf = col_bm_mindl = empty_list
-            col_bm_ids_boff = col_bm_tfs_boff = empty_list
-        t_enc = time.perf_counter()
-
-        postings = pa.table(
-            {
-                "term": pa.array(col_term, pa.string()),
-                "df": pa.array(col_df),
-                "cf": pa.array(col_cf),
-                "max_tf": pa.array(col_maxtf),
-                "ids_vb": pa.array(col_ids, pa.binary()),
-                "tfs_vb": pa.array(col_tfs, pa.binary()),
-                "pos_vb": pa.array(col_pos, pa.binary()),
-                "bm_last": col_bm_last,
-                "bm_max_tf": col_bm_maxtf,
-                "bm_min_dl": col_bm_mindl,
-                "bm_ids_boff": col_bm_ids_boff,
-                "bm_tfs_boff": col_bm_tfs_boff,
-            }
+            uniq_terms = np.empty(0, object)
+            inv = np.empty(0, np.int64)
+        postings, n_terms, n_postings = encode_postings_from_occurrences(
+            uniq_terms, inv, occ_doc, occ_pos, doclens, cfg.block_size
         )
+        t_enc = time.perf_counter()
 
         docs_cols: dict[str, pa.Array] = {
             "doc_id": pa.array(doc_ids, pa.uint64()),

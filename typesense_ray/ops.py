@@ -248,6 +248,173 @@ def _refresh_global_df(index_dir: str, seg_ids: list[str]) -> None:
     pq.write_table(tbl, os.path.join(df_dir, "df.parquet"))
 
 
+def _merge_group(seg_dirs: list[str], seg_root: str, cfg_fp: str,
+                 block_size: int) -> dict:
+    """Merge several segments into one via direct postings surgery — no
+    re-tokenization, no access to the original text: decode each term's
+    postings, remap local ids into the merged doc order, rebuild the
+    occurrence stream and re-encode with the exact builder kernel
+    (:func:`encode_postings_from_occurrences`), so a merged segment is
+    byte-format-identical to a freshly built one."""
+    import hashlib
+
+    from typesense_ray.index_build import encode_postings_from_occurrences
+
+    docs_tables = [pq.read_table(os.path.join(d, DOCS_FILE)) for d in seg_dirs]
+    posts = [pq.read_table(os.path.join(d, POSTINGS_FILE)) for d in seg_dirs]
+    all_ids = np.concatenate([t["doc_id"].to_numpy() for t in docs_tables])
+    order = np.argsort(all_ids)
+    sorted_ids = all_ids[order]
+    if (sorted_ids[1:] == sorted_ids[:-1]).any():
+        raise ValueError("duplicate doc_id across segments being merged")
+    merged_docs = pa.concat_tables(docs_tables).take(pa.array(order))
+    doclens = merged_docs["doclen"].to_numpy().astype(np.int64)
+
+    union_terms = np.unique(
+        np.concatenate(
+            [np.asarray(p["term"].to_pylist(), dtype=object) for p in posts]
+        )
+    )
+    inv_parts, doc_parts, pos_parts = [], [], []
+    for docs_t, post_t in zip(docs_tables, posts):
+        newmap = np.searchsorted(sorted_ids, docs_t["doc_id"].to_numpy())
+        dfs = post_t["df"].to_numpy().astype(np.int64)
+        if not dfs.size:
+            continue
+        # whole-column decode: one varbyte pass per stream (the per-term
+        # loop paid numpy call overhead per vocabulary row — ~60x slower)
+        term_starts = np.zeros(dfs.size, np.int64)
+        np.cumsum(dfs[:-1], out=term_starts[1:])
+        d_ids = varbyte_decode(b"".join(post_t["ids_vb"].to_pylist()))
+        # delta restart at each term's first posting → segmented cumsum
+        ids_abs = np.cumsum(d_ids, dtype=np.uint64)
+        if term_starts.size > 1:
+            bases = np.concatenate(
+                ([np.uint64(0)], ids_abs[term_starts[1:] - 1])
+            )
+            ids_abs = ids_abs - np.repeat(bases, dfs)
+        tfs_all = varbyte_decode(
+            b"".join(post_t["tfs_vb"].to_pylist())
+        ).astype(np.int64)
+        pos_all = decode_positions(
+            b"".join(post_t["pos_vb"].to_pylist()), tfs_all
+        )
+        term_rank = np.searchsorted(union_terms, post_t["term"].to_pylist())
+        entry_rank = np.repeat(term_rank, dfs)
+        inv_parts.append(np.repeat(entry_rank, tfs_all))
+        entry_doc = newmap[ids_abs.astype(np.int64)]
+        doc_parts.append(np.repeat(entry_doc, tfs_all))
+        pos_parts.append(pos_all.astype(np.int64))
+    inv = np.concatenate(inv_parts) if inv_parts else np.empty(0, np.int64)
+    occ_doc = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
+    occ_pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int64)
+    postings, n_terms, n_postings = encode_postings_from_occurrences(
+        np.asarray(union_terms, dtype=object), inv, occ_doc, occ_pos,
+        doclens, block_size,
+    )
+
+    # same content-addressing scheme as SegmentWriter: doc ids + every
+    # docs-sidecar buffer + config fingerprint
+    seg_hash = hashlib.blake2b(digest_size=8)
+    seg_hash.update(sorted_ids.astype(np.uint64).tobytes())
+    for col in merged_docs.combine_chunks().columns:
+        for buf in col.chunk(0).buffers():
+            if buf is not None:
+                seg_hash.update(buf)
+    seg_hash.update(cfg_fp.encode())
+    seg_id = seg_hash.hexdigest()
+    new_dir = os.path.join(seg_root, f"seg-{seg_id}")
+    if not os.path.exists(os.path.join(new_dir, MANIFEST_FILE)):
+        tmp = f"{new_dir}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(postings, os.path.join(tmp, POSTINGS_FILE))
+        pq.write_table(merged_docs, os.path.join(tmp, DOCS_FILE))
+        manifest = {
+            "segment_id": seg_id,
+            "n_docs": int(merged_docs.num_rows),
+            "n_terms": int(n_terms),
+            "n_postings": int(n_postings),
+            "doclen_sum": int(doclens.sum()),
+            "merged_from": [os.path.basename(d) for d in seg_dirs],
+            "files": [POSTINGS_FILE, DOCS_FILE],
+            "metrics": {},
+        }
+        with open(os.path.join(tmp, MANIFEST_FILE), "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.rename(tmp, new_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "segment_id": seg_id,
+        "n_docs": int(merged_docs.num_rows),
+        "doclen_sum": int(doclens.sum()),
+        "n_postings": int(n_postings),
+    }
+
+
+def merge_segments(index_dir: str, target_docs: int = 65536) -> dict:
+    """Compact small segments into ~``target_docs``-doc merged segments —
+    the Lucene merge-policy role the always-in-RAM reference doesn't
+    need. Per-query cost is linear in segment count (every query probes
+    every segment), so builds that produced many small segments (fine
+    write grain, per-file tails, upsert deltas) pay until merged.
+
+    Groups are packed greedily in manifest order; each multi-segment
+    group merges in a parallel Ray task (postings surgery, no original
+    text needed). Global stats (n_docs, df sums, avgdl) are invariant
+    under merging, so only the segment list and the manifest change;
+    stale inputs are GC'd after commit."""
+    import ray
+
+    from typesense_ray.index_build import gc_segments
+    from typesense_ray.query import load_stats, segment_dirs
+
+    stats = load_stats(index_dir)
+    cfg_fp = IndexConfig(
+        **{k: (tuple(v) if isinstance(v, list) else v)
+           for k, v in stats["config"].items()}
+    ).fingerprint()
+    block_size = stats["config"].get("block_size", 128)
+    seg_root = os.path.join(index_dir, "segments")
+    dirs = segment_dirs(index_dir)
+    n_docs_per = []
+    for d in dirs:
+        with open(os.path.join(d, MANIFEST_FILE)) as f:
+            n_docs_per.append(json.load(f)["n_docs"])
+
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_docs = 0
+    for d, nd in zip(dirs, n_docs_per):
+        if cur and cur_docs + nd > target_docs:
+            groups.append(cur)
+            cur, cur_docs = [], 0
+        cur.append(d)
+        cur_docs += nd
+    if cur:
+        groups.append(cur)
+
+    task = ray.remote(num_cpus=1)(_merge_group)
+    futs, new_ids = {}, []
+    for gi, g in enumerate(groups):
+        if len(g) == 1:  # nothing to merge
+            new_ids.append((gi, os.path.basename(g[0])[len("seg-"):]))
+        else:
+            futs[gi] = task.remote(g, seg_root, cfg_fp, block_size)
+    for gi, fut in futs.items():
+        new_ids.append((gi, ray.get(fut)["segment_id"]))
+    stats["segments"] = [sid for _, sid in sorted(new_ids)]
+    stats["n_segments"] = len(stats["segments"])
+    stats["merges"] = stats.get("merges", 0) + len(futs)
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    gc_segments(index_dir)
+    return stats
+
+
 def delete_by_filter(index_dir: str, filter_by: str = "",
                      doc_ids=None, *, _commit: bool = True) -> dict:
     """Delete docs matching a ``filter_by`` expression (and/or an explicit

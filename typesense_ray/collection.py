@@ -42,7 +42,7 @@ from typesense_ray.codec import decode_posting_ids
 from typesense_ray.index_build import FIELD_SEP
 from typesense_ray.query import LocalIndexSearcher, SegmentSearcher
 from typesense_ray.scoring import bm25_idf, bm25_term_scores, reference_match_score
-from typesense_ray.tokenizer import tokenize, tokenize_query
+from typesense_ray.tokenizer import tokenize_query
 
 SNIPPET_THRESHOLD = 30
 HIGHLIGHT_AFFIX = 4

@@ -743,6 +743,52 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     )
 
 
+def q_events_hopping(sf_dir: str) -> pa.Table:
+    """Hopping windows (1 h size, 30 min hop): each event contributes to
+    exactly two windows — the window fan-out happens inside the combiner
+    partial (vectorized, two grid points per event), so the merge still
+    moves ≤ |windows × types| partial rows."""
+    import numpy as np
+    import pandas as pd
+
+    from typesense_ray.agg import combiner_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        epoch_s = df["ts"].values.astype("datetime64[s]").astype(np.int64)
+        w0 = (epoch_s // 1800) * 1800
+        frames = [
+            pd.DataFrame(
+                {"wstart": w0 - off, "event_type": df["event_type"],
+                 "value": df["value"]}
+            )
+            for off in (0, 1800)
+        ]
+        allf = pd.concat(frames, ignore_index=True)
+        return allf.groupby(["wstart", "event_type"], as_index=False).agg(
+            sum_value=("value", "sum"), cnt=("value", "size")
+        )
+
+    out = combiner_aggregate(
+        _read(sf_dir, "events"), partial, ["wstart", "event_type"],
+        {"sum_value": "sum", "cnt": "sum"},
+    )
+    return pa.table(
+        {
+            "window": pa.array(
+                pd.to_datetime(out["wstart"], unit="s").dt.strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                pa.string(),
+            ),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "sum_value": pa.array(
+                [round(float(x), 6) for x in out["sum_value"]], pa.float64()
+            ),
+            "cnt": pa.array(out["cnt"], pa.int64()),
+        }
+    )
+
+
 def q_events_tumbling(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour windows per event_type (count + sum(value)) —
     the streaming-shaped aggregate expressed as groupby over an
@@ -823,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority": q_join_priority,
         "sessionize": q_sessionize,
         "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
         "typo_search": q_typo_search,
         "prefix_search": q_prefix_search,
         "reference_rank": q_reference_rank,
@@ -1125,6 +1172,18 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window,
        round(sum(value), 6) AS sum_value,
        count(*) AS cnt
 FROM events GROUP BY 1, 2
+""",
+        "events_hopping": """
+WITH e AS (
+  SELECT make_timestamp(
+           CAST((floor(epoch(ts) / 1800) * 1800 - o.off) * 1000000 AS BIGINT)
+         ) AS wstart,
+         event_type, value
+  FROM events, (VALUES (0), (1800)) AS o(off)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window, event_type,
+       round(sum(value), 6) AS sum_value, count(*) AS cnt
+FROM e GROUP BY 1, 2
 """,
         # stopword-profile language ID: token = maximal [a-z0-9]+ run;
         # score = profile-token occurrences / tokens; argmax with ties to

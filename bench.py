@@ -199,6 +199,7 @@ def main() -> None:
         "join_priority",
         "sessionize",
         "events_tumbling",
+        "events_hopping",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

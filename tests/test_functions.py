@@ -330,3 +330,41 @@ def test_sessionize_gap_splits(ray_session):
     assert out["n_events"].tolist() == [3, 1, 1]
     assert out["session_idx"].tolist() == [0, 1, 0]
     assert out["sum_value"].tolist() == [3.0, 1.0, 5.0]
+
+
+def test_simhash_near_pairs_matches_bruteforce(ray_session):
+    """Banded hamming-distance search must return EXACTLY the brute-force
+    pair set (the d+1-band pigeonhole gives 100% recall; popcount verify
+    gives 100% precision)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import (
+        _popcount64,
+        simhash_batch,
+        simhash_near_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts = [
+        " ".join(rng.choice(words, 30)) for _ in range(25)
+    ]
+    # inject near-dups: copies with one word changed
+    for i in range(5):
+        w = texts[i].split()
+        w[3] = "mutant"
+        texts.append(" ".join(w))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    got = simhash_near_pairs(
+        rd.from_items(rows).repartition(4), max_hamming=6
+    )
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    sims = simhash_batch(texts)
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if int(_popcount64(np.array([sims[i] ^ sims[j]]))[0]) <= 6:
+                want.add((i, j))
+    assert got_pairs == want
+    assert want  # the injected near-dups produce at least one pair

@@ -547,9 +547,12 @@ class RayCollection:
     def _search_segment(self, seg, variants, exclude, mask, mode):
         """Evaluate all (terms, cost) query variants on one segment; dedup
         docs keeping the best score (the reference Topster's kv_map
-        behavior, ``include/topster.h:168-213``)."""
-        best: dict[int, float] = {}
-        all_cand: np.ndarray | None = None
+        behavior, ``include/topster.h:168-213``). Single-variant queries
+        (the common no-typo/no-synonym path) skip the dedup entirely;
+        multi-variant dedup is one vectorized maximum.reduceat over the
+        concatenated (cand, score) arrays — no per-candidate Python loop
+        either way."""
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
         for terms, cost in variants:
             cand, post = seg.candidates(terms, exclude, mask, True)
             if cand.size == 0:
@@ -558,15 +561,16 @@ class RayCollection:
                 scores = self._score_bm25(seg, cand, post, terms)
             else:
                 scores = self._score_reference(seg, cand, post, terms, cost)
-            for c, s in zip(cand.tolist(), scores.tolist()):
-                if c not in best or s > best[c]:
-                    best[c] = s
-            all_cand = cand if all_cand is None else np.union1d(all_cand, cand)
-        if all_cand is None:
-            all_cand = np.empty(0, np.int64)
-        cand = np.array(sorted(best.keys()), dtype=np.int64)
-        scores = np.array([best[c] for c in cand], dtype=np.float64)
-        return {"cand": cand, "score": scores}
+            parts.append((cand.astype(np.int64), scores.astype(np.float64)))
+        if not parts:
+            return {"cand": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64)}
+        if len(parts) == 1:
+            return {"cand": parts[0][0], "score": parts[0][1]}
+        return _dedup_best(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+        )
 
     def _search_segment_multi(self, seg, variants, exclude, mask, mode,
                               fields, weights):
@@ -576,8 +580,9 @@ class RayCollection:
         observable shape of the reference's cross-field aggregation
         (``src/index.cpp:1495-1593``: field-wise weighted score sum)."""
         primary = self.stats["config"]["text_field"]
-        per_field_best: list[dict[int, float]] = []
-        for field in fields:
+        fld_cands: list[np.ndarray] = []
+        fld_scores: list[np.ndarray] = []
+        for fi, field in enumerate(fields):
             pref = (lambda t: t) if field == primary else (
                 lambda t, f=field: f + FIELD_SEP + t
             )
@@ -588,7 +593,7 @@ class RayCollection:
                 if col in seg.docs.column_names:
                     dl_col = seg.docs[col].to_numpy().astype(np.int64)
                     avgdl = self._field_avgdl(field)
-            best: dict[int, float] = {}
+            parts: list[tuple[np.ndarray, np.ndarray]] = []
             for terms, cost in variants:
                 pterms = terms if terms == ["*"] else [pref(t) for t in terms]
                 pexcl = [pref(e) for e in exclude]
@@ -599,18 +604,29 @@ class RayCollection:
                     scores = self._score_bm25(seg, cand, post, pterms, dl_col, avgdl)
                 else:
                     scores = self._score_reference(seg, cand, post, pterms, cost)
-                for c, sc in zip(cand.tolist(), scores.tolist()):
-                    if c not in best or sc > best[c]:
-                        best[c] = sc
-            per_field_best.append(best)
-        agg: dict[int, float] = {}
-        for fi, best in enumerate(per_field_best):
-            w = weights[fi]
-            for c, sc in best.items():
-                agg[c] = agg.get(c, 0.0) + w * sc
-        cand = np.array(sorted(agg.keys()), dtype=np.int64)
-        scores = np.array([agg[c] for c in cand], dtype=np.float64)
-        return {"cand": cand, "score": scores}
+                parts.append(
+                    (cand.astype(np.int64), scores.astype(np.float64))
+                )
+            if not parts:
+                continue
+            best = _dedup_best(
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+            )
+            fld_cands.append(best["cand"])
+            fld_scores.append(weights[fi] * best["score"])
+        if not fld_cands:
+            return {"cand": np.empty(0, np.int64),
+                    "score": np.empty(0, np.float64)}
+        # weighted SUM across fields: segmented add over the concatenated
+        # per-field best arrays (each candidate contributes once per field)
+        cand = np.concatenate(fld_cands)
+        score = np.concatenate(fld_scores)
+        order = np.argsort(cand, kind="stable")
+        c = cand[order]
+        s = score[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        return {"cand": c[starts], "score": np.add.reduceat(s, starts)}
 
     def _rank_segment(self, seg, res, sort_fields, mode, fetch_k, group_fields):
         cand, score = res["cand"], res["score"]
@@ -792,13 +808,24 @@ def _norm_group_val(v):
     return v
 
 
+def _dedup_best(cand: np.ndarray, score: np.ndarray) -> dict:
+    """Keep the best score per candidate (vectorized Topster kv_map role):
+    one stable argsort + segmented maximum."""
+    if cand.size == 0:
+        return {"cand": np.empty(0, np.int64),
+                "score": np.empty(0, np.float64)}
+    order = np.argsort(cand, kind="stable")
+    c = cand[order]
+    s = score[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    return {"cand": c[starts], "score": np.maximum.reduceat(s, starts)}
+
+
 def _merge_seg_results(a, b):
-    best = dict(zip(a["cand"].tolist(), a["score"].tolist()))
-    for c, s in zip(b["cand"].tolist(), b["score"].tolist()):
-        if c not in best or s > best[c]:
-            best[c] = s
-    cand = np.array(sorted(best.keys()), dtype=np.int64)
-    return {"cand": cand, "score": np.array([best[c] for c in cand], np.float64)}
+    return _dedup_best(
+        np.concatenate([a["cand"], b["cand"]]).astype(np.int64),
+        np.concatenate([a["score"], b["score"]]).astype(np.float64),
+    )
 
 
 def _merge_ranked(parts, hidden: set[int]):

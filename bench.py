@@ -10,10 +10,12 @@ Prints ONE JSON line:
    "unit": "sec", "queries": {...per-stage sec...}, "sf": ...,
    "num_cpus": N, "docs_per_s": ..., "query_p50_ms": ...}
 
-``--scaling`` runs the same workload in two fresh processes
-(RAY_GRAFT_CPUS=8 and 32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
-node criterion — see BASELINE.md).
+``--scaling`` runs the same workload at two parallelism levels
+(GRAFT_SCALING_LO/HI, default 2 vs 8 — the 4x pair this host's
+effective cores honor) in fresh processes, median of 3 per level in
+alternating order, and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N node criterion — see
+BASELINE.md).
 """
 
 from __future__ import annotations

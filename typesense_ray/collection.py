@@ -711,6 +711,44 @@ class RayCollection:
                     continue
                 col = seg.docs[ffield]
                 is_arr = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+                if not is_arr and not group_fields:
+                    # vectorized fast path (the common scalar-field case):
+                    # one Arrow take + value_counts per segment; string
+                    # normalization runs over DISTINCT values only (in
+                    # first-appearance order, so the representative raw
+                    # value matches the per-doc loop's choice)
+                    import pandas as pd
+                    import pyarrow.compute as _pc
+
+                    sel = col.combine_chunks().take(pa.array(cand))
+                    nn = sel.drop_null()
+                    if len(nn) == 0:
+                        continue
+                    if kind == "str":
+                        s = pd.Series(nn.to_pylist(), dtype=object)
+                        vc = s.value_counts()
+                        for raw in pd.unique(s):
+                            vtoks = norm_tokens(str(raw))
+                            if ffield == fq_field and fq_tokens and not \
+                                    _facet_value_matches(vtoks, fq_tokens):
+                                continue
+                            key = " ".join(vtoks)
+                            repr_raw.setdefault(key, str(raw))
+                            counts[key] = counts.get(key, 0) + int(vc[raw])
+                    else:
+                        if kind in ("int", "float"):
+                            arr = nn.to_numpy(zero_copy_only=False).astype(
+                                np.float64
+                            )
+                            mn, mx = float(arr.min()), float(arr.max())
+                            stats["min"] = mn if stats["min"] is None else min(stats["min"], mn)
+                            stats["max"] = mx if stats["max"] is None else max(stats["max"], mx)
+                            stats["sum"] += float(arr.sum())
+                            stats["count"] += int(arr.size)
+                        for row in _pc.value_counts(nn).to_pylist():
+                            k = row["values"]
+                            counts[k] = counts.get(k, 0) + int(row["counts"])
+                    continue
                 vals = col.to_pylist()
                 gvals = (
                     [

@@ -91,3 +91,37 @@ def test_bm25_multifield(movies):
 def test_primary_field_unaffected(movies):
     r = movies.search("inception")
     assert ids(r) == [0]
+
+
+def test_parquet_path_build_indexes_secondary_fields(ray_session, tmp_path):
+    """The file-parallel parquet build path must read cfg.indexed_fields
+    columns (they'd otherwise be pruned out and silently never indexed);
+    configured-but-absent fields are skipped, not a read error."""
+    import pyarrow.parquet as pq
+
+    from typesense_ray.index_build import build_index
+
+    tbl = pa.table(
+        {
+            "docnum": pa.array([m[0] for m in MOVIES], pa.int64()),
+            "title": pa.array([m[1] for m in MOVIES]),
+            "starring": pa.array([m[2] for m in MOVIES]),
+            "cast": pa.array([m[3] for m in MOVIES], pa.list_(pa.string())),
+            "points": pa.array([m[4] for m in MOVIES], pa.int64()),
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "movies.parquet"))
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=3,
+        meta_fields=("docnum", "title", "starring", "cast", "points"),
+        indexed_fields=("starring", "cast", "not_a_column"),
+    )
+    out = str(tmp_path / "idx")
+    build_index(str(src), out, cfg, concurrency=2)  # path -> file-parallel
+    coll = RayCollection(out, default_sorting_field="points")
+    r = coll.search("leonardo", query_by=["starring"], mode="reference")
+    assert set(ids(r)) == {0, 1}
+    r2 = coll.search("hardy", query_by=["cast"], mode="reference")
+    assert set(ids(r2)) == {0, 4}

@@ -213,6 +213,26 @@ def test_upsert_unchanged_docs_rewrite_nothing(built):
     assert stats["n_docs"] == 6
 
 
+def test_upsert_meta_only_change_reindexes(built):
+    """An upsert whose text is unchanged but whose meta fields changed must
+    still reindex: meta fields drive filter_by/facet_by, and the reference
+    skips only unchanged FIELDS per doc, never a doc with any changed field
+    (src/collection.cpp:219-238, src/index.cpp:354-427)."""
+    import ray.data as rd
+
+    delta = [  # same title as docnum=0, lang en -> fr, points 10 -> 12
+        {"docnum": 0, "title": "alpha rocket launch", "points": 12, "lang": "fr"},
+    ]
+    stats = upsert_documents(rd.from_items(delta), built)
+    assert stats.get("upsert_skipped_unchanged", 0) == 0
+    assert stats["upserted_docs"] == 1
+    coll = RayCollection(built, default_sorting_field="points")
+    r = coll.search("rocket", filter_by="lang:fr")
+    assert {h["document"]["docnum"] for h in r["hits"]} == {0, 3}
+    doc0 = [h for h in r["hits"] if h["document"]["docnum"] == 0][0]
+    assert doc0["document"]["points"] == 12
+
+
 def test_delete_gcs_stale_segments(built):
     """Committed delete removes pre-compaction segment dirs from disk."""
     seg_root = os.path.join(built, "segments")

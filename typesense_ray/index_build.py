@@ -702,8 +702,20 @@ def build_index(
             + ([cfg.id_field] if cfg.id_field else list(cfg.id_fields))
             + ([cfg.sha_field] if cfg.sha_field else [])
             + list(cfg.meta_fields)
+            + list(cfg.indexed_fields)
         )
     )
+    if isinstance(source, str):
+        # prune to columns that exist — configured-but-absent meta/indexed
+        # fields are skipped per-field (SegmentWriter guards on presence),
+        # not a read error
+        try:
+            import pyarrow.dataset as pads
+
+            avail = set(pads.dataset(source).schema.names)
+            cols = [c for c in cols if c in avail]
+        except Exception:
+            pass
     if file_parallel is None:
         file_parallel = isinstance(source, str) and schema is None
 

@@ -507,7 +507,8 @@ def upsert_documents(source, index_dir: str, *,
 
     import hashlib
 
-    id_parts, sha_parts = [], []
+    meta_cols = list(cfg.meta_fields)
+    id_parts, sha_parts, meta_rows = [], [], []
     for b in source.iter_batches(
         batch_format="pyarrow", batch_size=cfg.batch_docs
     ):
@@ -519,6 +520,14 @@ def upsert_documents(source, index_dir: str, *,
                 hashlib.sha256((t or "").encode("utf-8")).hexdigest()
                 for t in b[cfg.text_field].to_pylist()
             )
+        if meta_cols:
+            cols = [
+                b[f].to_pylist()
+                if f in b.column_names
+                else [None] * b.num_rows
+                for f in meta_cols
+            ]
+            meta_rows.extend(zip(*cols))
     incoming = (
         np.concatenate(id_parts) if id_parts else np.empty(0, np.uint64)
     )
@@ -529,23 +538,47 @@ def upsert_documents(source, index_dir: str, *,
             "is ambiguous under parallel segment builds) — dedup first"
         )
 
-    # phase 0: update diffing — an incoming doc whose stored sha256
-    # already matches is unchanged; drop it so no segment is rewritten
-    incoming_sha = dict(zip(incoming.tolist(), sha_parts))
+    # phase 0: update diffing — a doc is "unchanged" only when its ENTIRE
+    # stored sidecar row matches the incoming one: text sha256 AND every
+    # cfg.meta_fields value (meta fields drive filter_by/facet_by, so a
+    # metadata-only update must still reindex). The reference skips only
+    # unchanged FIELDS per doc, never a doc any of whose fields changed
+    # (src/collection.cpp:219-238, src/index.cpp:354-427). Secondary
+    # cfg.indexed_fields content is NOT stored in the sidecar (only its
+    # doclens), so the skip is disabled entirely for such configs.
     unchanged: set[int] = set()
-    for d in segment_dirs(index_dir):
-        t = pq.read_table(
-            os.path.join(d, DOCS_FILE), columns=["doc_id", "sha256"]
+    if not cfg.indexed_fields:
+        incoming_row = dict(
+            zip(
+                incoming.tolist(),
+                zip(sha_parts, meta_rows)
+                if meta_cols
+                else ((s, ()) for s in sha_parts),
+            )
         )
-        seg_ids = t["doc_id"].to_numpy()
-        hit = np.isin(seg_ids, uniq)
-        if hit.any():
-            for did, sha in zip(
-                seg_ids[hit].tolist(),
-                t["sha256"].to_numpy(zero_copy_only=False)[hit].tolist(),
-            ):
-                if incoming_sha.get(did) == sha:
-                    unchanged.add(did)
+        for d in segment_dirs(index_dir):
+            seg_names = pq.read_schema(os.path.join(d, DOCS_FILE)).names
+            read_cols = ["doc_id", "sha256"] + [
+                f for f in meta_cols if f in seg_names
+            ]
+            t = pq.read_table(os.path.join(d, DOCS_FILE), columns=read_cols)
+            seg_ids = t["doc_id"].to_numpy()
+            hit = np.isin(seg_ids, uniq)
+            if not hit.any():
+                continue
+            stored_sha = t["sha256"].to_numpy(zero_copy_only=False)
+            stored_meta = {
+                f: t[f].to_pylist() for f in meta_cols if f in t.column_names
+            }
+            for i in np.flatnonzero(hit).tolist():
+                inc = incoming_row.get(int(seg_ids[i]))
+                if inc is None or inc[0] != stored_sha[i]:
+                    continue
+                if all(
+                    f in stored_meta and stored_meta[f][i] == inc[1][j]
+                    for j, f in enumerate(meta_cols)
+                ):
+                    unchanged.add(int(seg_ids[i]))
     if unchanged:
         changed = np.array(
             sorted(set(uniq.tolist()) - unchanged), dtype=np.uint64

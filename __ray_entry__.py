@@ -1219,6 +1219,61 @@ FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 ORDER BY doc_id
 """,
+        # full simhash recomputed in SQL: the engine's token hash is the
+        # first 8 bytes of sha256 (chosen so DuckDB — which has sha256()
+        # but not blake2b — can reproduce it bit-exactly), then the
+        # tf-weighted ±1 bit-lane majority over 64 bits, grouped hamming-0
+        "simhash_groups": _AUG_CTE
+        + r"""
+, occ AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+           t -> t != '')) AS tok
+  FROM aug
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS h FROM occ
+),
+bits AS (
+  SELECT doc_id, b.b,
+    CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN (1::UBIGINT << b.b) ELSE 0::UBIGINT END AS bit
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sh AS (
+  SELECT a.doc_id, coalesce(s.simhash, 0::UBIGINT) AS simhash
+  FROM aug a LEFT JOIN (
+    SELECT doc_id, sum(bit)::UBIGINT AS simhash FROM bits GROUP BY doc_id
+  ) s USING (doc_id)
+),
+g AS (
+  SELECT simhash, count(*) AS group_size
+  FROM sh GROUP BY simhash HAVING count(*) > 1
+)
+SELECT sh.doc_id, sh.simhash, g.group_size
+FROM sh JOIN g USING (simhash)
+ORDER BY doc_id
+""",
+        # FNV-1a rolling fingerprint recomputed in SQL: byte-exact fold of
+        # the normalized token stream ("tok tok ... tok ") through
+        # h := ((h XOR byte) * 1099511628211) mod 2^64 via HUGEINT
+        # arithmetic (ASCII corpus: unicode(char) == utf-8 byte)
+        "fingerprints": r"""
+SELECT doc_id,
+  CASE WHEN text IS NULL OR trim(text) = '' THEN 14695981039346656037::UBIGINT
+  ELSE list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+      list_transform(
+        regexp_split_to_array(
+          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ', ''),
+        c -> unicode(c)::UBIGINT)),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+              % 18446744073709551616 AS UBIGINT)
+  ) END AS fingerprint
+FROM documents ORDER BY doc_id
+""",
         # exact all-pairs char-5-gram Jaccard ground truth over the
         # augmented docs — the engine's LSH(128 perms, 32 bands)+verify
         # output must equal it (recall ~0.9998/pair at the threshold)

@@ -274,7 +274,7 @@ def test_fingerprint_batch_matches_scalar():
 
 def test_simhash_batch_matches_independent_scalar():
     """simhash_batch vs an independent per-token scalar reimplementation
-    (blake2b bit lanes, tf-weighted sign accumulate)."""
+    (sha256-derived bit lanes, tf-weighted sign accumulate)."""
     import hashlib
     from collections import Counter
 
@@ -288,9 +288,7 @@ def test_simhash_batch_matches_independent_scalar():
             return 0
         acc = [0] * 64
         for tok, w in toks.items():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
             for lane in range(64):
                 acc[lane] += w if (h >> lane) & 1 else -w
         return sum(1 << lane for lane in range(64) if acc[lane] > 0)

@@ -22,9 +22,12 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 
 
 def _hash64_bytes(s: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-    )
+    """Token hash for simhash: first 8 bytes (big-endian) of sha256.
+    sha256 (not blake2b) so an external SQL oracle can recompute the full
+    simhash bit-exactly: DuckDB exposes sha256() but not blake2b, and
+    ``('0x' || substr(sha256(tok), 1, 16))::UBIGINT`` reproduces this
+    value exactly (see oracle_sql()['simhash_groups'])."""
+    return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:8], "big")
 
 
 def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

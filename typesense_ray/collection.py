@@ -318,7 +318,7 @@ class RayCollection:
             return self._search_segment(seg, variant_list, exclude, mask, mode)
 
         # per-segment evaluation (the distributed path runs this block
-        # inside SegmentScorer actors; locally it is a loop)
+        # inside IndexServer actors / search_index tasks; locally a loop)
         seg_results = []
         total_found = 0
         for si, seg in enumerate(self.segments):

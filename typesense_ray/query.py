@@ -7,11 +7,13 @@ Parquet segments; execution modes:
 
 - :class:`LocalIndexSearcher` — all segments in one process (tests,
   conformance, and the per-query latency path on one node).
-- :func:`search_index` — Dataset fan-out: one row per segment →
-  ``map_batches(SegmentScorer, concurrency=N)`` actor pool (postings
-  loaded once per actor, ``src/index.cpp:1197-1230``'s shard-thread role)
-  → small per-segment top-k tables → driver merge
+- :func:`search_index` — one-shot Dataset fan-out: one row per segment →
+  stateless task-pool ``map_batches`` (plain tasks dispatch with no
+  actor cold-start; ``src/index.cpp:1197-1230``'s shard-thread role) →
+  small per-segment top-k tables → driver merge
   ``sort(score desc, doc_id desc).limit(k)``.
+- :class:`IndexServer` — persistent actor pool with preloaded postings
+  for repeated-query serving (the always-in-RAM model).
 
 Scoring within a segment is fully vectorized: local doc ids are dense
 ordinals, so conjunctive evaluation is sorted-array intersection
@@ -516,42 +518,6 @@ class LocalIndexSearcher:
         return tbl.take(pa.array(idx))
 
 
-class SegmentScorer:
-    """Actor-pool stage for the Dataset query fan-out: one input row per
-    segment path; emits that segment's top-k. Segments (and their postings
-    when ``preload``) are cached per actor across queries/batches."""
-
-    def __init__(self, index_dir: str, preload: bool = False):
-        self.index_dir = index_dir
-        self.preload = preload
-        self._segs: dict[str, SegmentSearcher] = {}
-        self.stats = load_stats(index_dir)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_ids, out_scores = [], []
-        for row in batch.to_pylist():
-            seg_dir = row["seg_dir"]
-            seg = self._segs.get(seg_dir)
-            if seg is None:
-                seg = self._segs[seg_dir] = SegmentSearcher(seg_dir, self.preload)
-            dfs = json.loads(row["dfs_json"])
-            ids, scores = seg.search_bm25(
-                json.loads(row["include_json"]),
-                json.loads(row["exclude_json"]),
-                int(row["k"]),
-                dfs,
-                self.stats["n_docs"],
-                self.stats["avgdl"],
-                self.stats["k1"],
-                self.stats["b"],
-            )
-            out_ids.append(ids)
-            out_scores.append(scores)
-        ids = np.concatenate(out_ids) if out_ids else np.empty(0, np.uint64)
-        sc = np.concatenate(out_scores) if out_scores else np.empty(0, np.float64)
-        return pa.table({"doc_id": pa.array(ids, pa.uint64()), "score": sc})
-
-
 class IndexServer:
     """Persistent distributed serving pool: N raw Ray actors, each owning a
     round-robin shard of segments with postings preloaded once (the
@@ -745,10 +711,18 @@ def search_index(
     k: int = 10,
     concurrency: int | None = None,
 ) -> pa.Table:
-    """Distributed BM25 top-k: Dataset fan-out over segments, actor-pool
-    scoring, and a driver-side merge of the tiny per-segment top-k sets."""
+    """Distributed BM25 top-k for ONE-SHOT queries: raw-task fan-out over
+    segment chunks, driver merge of the tiny per-segment top-k sets.
+
+    This is a deliberate drop to raw Ray tasks — the Dataset API cannot
+    express an interactive-latency query: the streaming executor's fixed
+    per-pipeline startup is ~1–3 s regardless of input size (measured:
+    a 23-row identity ``from_items → map_batches → take_all`` costs
+    2–4 s; the same fan-out as 6 raw tasks costs ~0.1 s). Bulk/streaming
+    paths in this repo stay on Datasets; repeated-query serving with warm
+    postings is :class:`IndexServer`. Reference shard-thread fan-out role:
+    ``src/collection.cpp:771-863``, ``src/index.cpp:1197-1230``."""
     import ray
-    import ray.data as rd
 
     from typesense_ray.tokenizer import tokenize_query
 
@@ -762,35 +736,41 @@ def search_index(
         return pa.table(
             {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float64())}
         )
-    rows = [
-        {
-            "seg_dir": d,
-            "include_json": json.dumps(include),
-            "exclude_json": json.dumps(exclude),
-            "dfs_json": json.dumps(dfs),
-            "k": k,
-        }
-        for d in segment_dirs(index_dir)
-    ]
-    if concurrency is None:
-        concurrency = min(len(rows), max(2, int(ray.cluster_resources().get("CPU", 4)) // 2))
-    out = (
-        rd.from_items(rows)
-        .map_batches(
-            SegmentScorer(index_dir),
-            batch_format="pyarrow",
-            batch_size=max(1, len(rows) // concurrency),
-            concurrency=concurrency,
-            num_cpus=1,
-        )
-        .take_all()
-    )
-    if not out:
+    segs = segment_dirs(index_dir)
+    if not segs:
         return pa.table(
             {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float64())}
         )
-    ids = np.array([r["doc_id"] for r in out], dtype=np.uint64)
-    scores = np.array([r["score"] for r in out], dtype=np.float64)
+    if concurrency is None:
+        concurrency = min(
+            len(segs), max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        )
+    st = load_stats(index_dir)
+    g_n_docs, g_avgdl, g_k1, g_b = st["n_docs"], st["avgdl"], st["k1"], st["b"]
+
+    @ray.remote(num_cpus=1)
+    def score_chunk(seg_chunk: list[str]):
+        out_ids, out_scores = [], []
+        for d in seg_chunk:
+            ids, scores = SegmentSearcher(d, preload=False).search_bm25(
+                include, exclude, k, dfs, g_n_docs, g_avgdl, g_k1, g_b
+            )
+            out_ids.append(ids)
+            out_scores.append(scores)
+        return (
+            np.concatenate(out_ids) if out_ids else np.empty(0, np.uint64),
+            np.concatenate(out_scores) if out_scores else np.empty(0, np.float64),
+        )
+
+    step = -(-len(segs) // concurrency)
+    chunks = [segs[i : i + step] for i in range(0, len(segs), step)]
+    parts = ray.get([score_chunk.remote(c) for c in chunks])
+    ids = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    if ids.size == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float64())}
+        )
     order = np.lexsort((ids, scores))[::-1][:k]
     return pa.table(
         {"doc_id": pa.array(ids[order], pa.uint64()), "score": scores[order]}

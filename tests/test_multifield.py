@@ -81,7 +81,10 @@ def test_multi_token_conjunction_in_field(movies):
 
 
 def test_bm25_multifield(movies):
-    r = movies.search("leonardo", query_by=["title", "starring", "cast"])
+    # equal explicit weights: with the reference-default n..1 weights the
+    # title-only match (doc 3) would out-weigh the two-field matches
+    r = movies.search("leonardo", query_by=["title", "starring", "cast"],
+                      query_by_weights=[1, 1, 1])
     assert set(ids(r)) == {0, 1, 3}
     # scores positive and aggregated across fields: docs 0/1 match two fields
     scores = {h["document"]["docnum"]: h["score"] for h in r["hits"]}
@@ -125,3 +128,83 @@ def test_parquet_path_build_indexes_secondary_fields(ray_session, tmp_path):
     assert set(ids(r)) == {0, 1}
     r2 = coll.search("hardy", query_by=["cast"], mode="reference")
     assert set(ids(r2)) == {0, 4}
+
+
+# the reference's own multi-field corpus (test/multi_field_documents.jsonl,
+# ids = insertion order) — golden orderings from CollectionTest.MultipleFields
+# (test/collection_test.cpp:828-946)
+REF_MOVIES = [
+    ("Wake Up, Ron Burgundy: The Lost Movie", "Will Ferrell", ["Adam McKay", "Steve Carell", "Paul Rudd"], 62),
+    ("Anchorman 2: The Legend Continues", "Will Ferrell", ["Josh Lawson", "Chris Parnell"], 63),
+    ("There Will Be Blood", "Daniel Day-Lewis", ["Martin Stringer", "Jacob Stringer", "Harrison Taylor"], 81),
+    ("Good Will Hunting", "Robin Williams", ["Matt Damon", "Ben Affleck", "Minnie Driver"], 83),
+    ("The Adventures of Huck Finn", "Ron Perlman", ["Elijah Wood", "Courtney B. Vance", "Robbie Coltrane"], 58),
+    ("Percy Jackson: Sea of Monsters", "Ron Perlman", ["Logan Lerman", "Alexandra Daddario"], 59),
+    ("Captain America: The Winter Soldier", "Samuel L. Jackson", ["Chris Evans", "Scarlett Johansson"], 78),
+    ("Quantum Quest: A Cassini Space Odyssey", "Samuel L. Jackson", ["Chris Pine"], 52),
+    ("Scott Pilgrim vs. the World", "Michael Cera", ["Alison Pill"], 75),
+    ("Homeland Security", "Scott Glenn", ["Tom Skerritt"], 43),
+    ("The Paperboy", "Scott Glenn", ["Zac Efron", "Matthew McConaughey"], 58),
+    ("The Silence of the Lambs", "Scott Glenn", ["Jodie Foster"], 86),
+    ("Confessions of a Shopaholic", "Kristin Scott Thomas", ["Isla Fisher", "Hugh Dancy"], 59),
+    ("The Woman in the Fifth from Kristin", "Kristin Scott Thomas", ["Ethan Hawke"], 53),
+    ("Odd Thomas", "Matthew Page", ["Anton Yelchin", "Ashley Sommers"], 69),
+    ("Suffering Man's Charity", "Henry Thomas", ["Alan Cumming", "Alison Guh", "David Boreanaz"], 69),
+    ("The Gospel According to St. Matthew", "Paola Tedesco", ["Enrique Irazoqui", "Margherita Caruso"], 79),
+    ("Halloween 5: The Revenge of Michael Myers", "Donald Myers", ["Danielle Harris", "Ellie Cornell"], 52),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_movies(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    from typesense_ray.index_build import build_index
+
+    tbl = pa.table(
+        {
+            "docnum": pa.array(range(len(REF_MOVIES)), pa.int64()),
+            "title": pa.array([m[0] for m in REF_MOVIES]),
+            "starring": pa.array([m[1] for m in REF_MOVIES]),
+            "cast": pa.array([m[2] for m in REF_MOVIES], pa.list_(pa.string())),
+            "points": pa.array([m[3] for m in REF_MOVIES], pa.int64()),
+        }
+    )
+    out = str(tmp_path_factory.mktemp("refmovies"))
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=5,
+        meta_fields=("docnum", "title", "starring", "cast", "points"),
+        indexed_fields=("starring", "cast"),
+    )
+    build_index(rd.from_arrow(tbl), out, cfg, concurrency=2)
+    return RayCollection(out, default_sorting_field="points")
+
+
+def test_reference_multifield_golden_ordering(ref_movies):
+    """Golden orderings from CollectionTest.MultipleFields
+    (test/collection_test.cpp:855-946): the cross-field aggregation —
+    weighted per-field match-score sum, 0-typo probe of unmatched fields,
+    popcount(token_bits) packed into bits 48+ (src/index.cpp:1495-1593) —
+    must reproduce the reference's hit order exactly."""
+    r = ref_movies.search("Will", query_by=["title", "starring"],
+                          mode="reference")
+    assert ids(r) == [3, 2, 1, 0]
+
+    r = ref_movies.search("thomas", query_by=["starring", "title"],
+                          mode="reference")
+    assert ids(r) == [15, 12, 13, 14]
+
+    r = ref_movies.search("ben affleck",
+                          query_by=["starring", "title", "cast"],
+                          mode="reference")
+    assert ids(r) == [3]
+
+    r = ref_movies.search("chris", query_by=["cast"], mode="reference")
+    assert ids(r) == [6, 1, 7]
+
+    r = ref_movies.search("chris pine", query_by=["cast"], mode="reference")
+    assert ids(r) == [7, 6, 1]
+
+    r = ref_movies.search("myers", query_by=["starring", "title", "cast"],
+                          mode="reference")
+    assert ids(r) == [17]

@@ -142,17 +142,23 @@ class SynonymIndex:
         return out[:limit]
 
 
-def _drop_token_variants(tokens: list[str]) -> list[list[str]]:
+def _drop_token_variants(
+    tokens: list[str],
+) -> list[tuple[list[str], tuple[int, ...]]]:
     """The reference's fallback order (``src/index.cpp:1757-1783``): drop
-    from the right until len/2, then from the left."""
+    from the right until len/2, then from the left. Each variant carries
+    the surviving tokens' ORIGINAL query positions — the bit indices of
+    the reference's per-match token_bits (``src/index.cpp:2037``)."""
     n = len(tokens)
     variants = []
     mid = n // 2
     for dropped in range(1, n):
         if dropped <= mid:
-            variants.append(tokens[: n - dropped])
+            variants.append((tokens[: n - dropped], tuple(range(n - dropped))))
         else:
-            variants.append(tokens[dropped - mid :])
+            variants.append(
+                (tokens[dropped - mid :], tuple(range(dropped - mid, n)))
+            )
     return variants
 
 
@@ -275,15 +281,24 @@ class RayCollection:
         fetch_k = page * per_page
 
         include, exclude = tokenize_query(q)
-        variants: list[tuple[list[str], int]] = [(include, 0)]
+        # variants are (terms, cost, original-query-positions); positions
+        # feed the reference's per-match token_bits (src/index.cpp:2037)
+        variants: list[tuple[list[str], int, tuple[int, ...]]] = [
+            (include, 0, tuple(range(len(include))))
+        ]
         if (num_typos > 0 or prefix) and include != ["*"]:
             expanded = self.typo_resolver.expand_query(
                 include, num_typos=num_typos, prefix_last=prefix
             )
             if expanded:
-                variants = expanded
+                variants = [
+                    (t, c, tuple(range(len(t)))) for t, c in expanded
+                ]
         if use_synonyms and include != ["*"]:
-            variants += [(v, 0) for v in self.synonyms.expand(include)]
+            variants += [
+                (v, 0, tuple(range(len(v))))
+                for v in self.synonyms.expand(include)
+            ]
 
         clauses = parse_filter(filter_by, self.field_types) if filter_by else []
         facet_fields = [f.strip() for f in facet_by.split(",") if f.strip()]
@@ -311,9 +326,12 @@ class RayCollection:
 
         def eval_seg(seg, variant_list, mask):
             if multi:
+                # reference default weights: n..1 by field order
+                # (src/collection.cpp:593-597)
                 return self._search_segment_multi(
                     seg, variant_list, exclude, mask, mode, query_by,
-                    query_by_weights or [1] * len(query_by),
+                    query_by_weights or list(range(len(query_by), 0, -1)),
+                    include,
                 )
             return self._search_segment(seg, variant_list, exclude, mask, mode)
 
@@ -335,7 +353,7 @@ class RayCollection:
         # drop-tokens fallback: too few results and a multi-token query →
         # retry with truncated token lists, merging (dedup keeps best)
         if total_found < drop_tokens_threshold and len(include) > 1:
-            for truncated in _drop_token_variants(include):
+            for truncated, tpos in _drop_token_variants(include):
                 extra_found = 0
                 for si, seg in enumerate(self.segments):
                     mask = (
@@ -346,7 +364,7 @@ class RayCollection:
                         if clauses
                         else None
                     )
-                    res2 = eval_seg(seg, [(truncated, 0)], mask)
+                    res2 = eval_seg(seg, [(truncated, 0, tpos)], mask)
                     seg_results[si] = _merge_seg_results(seg_results[si], res2)
                     extra_found += res2["cand"].size
                 total_found = sum(r["cand"].size for r in seg_results)
@@ -355,7 +373,7 @@ class RayCollection:
 
         # highlight with every term any variant searched (so typo/prefix/
         # synonym matches get marked, not just verbatim query tokens)
-        highlight_terms = sorted({t for terms, _ in variants for t in terms if t != "*"})
+        highlight_terms = sorted({t for terms, _, _ in variants for t in terms if t != "*"})
 
         # hidden/pinned curation
         hidden: set[int] = set()
@@ -553,7 +571,7 @@ class RayCollection:
         concatenated (cand, score) arrays — no per-candidate Python loop
         either way."""
         parts: list[tuple[np.ndarray, np.ndarray]] = []
-        for terms, cost in variants:
+        for terms, cost, _pos in variants:
             cand, post = seg.candidates(terms, exclude, mask, True)
             if cand.size == 0:
                 continue
@@ -573,19 +591,40 @@ class RayCollection:
         )
 
     def _search_segment_multi(self, seg, variants, exclude, mask, mode,
-                              fields, weights):
+                              fields, weights, q_tokens):
         """Multi-field search (``query_by`` list): per field, evaluate all
-        variants against that field's (prefixed) postings; per doc take the
-        best score per field and aggregate the weighted sum — the
-        observable shape of the reference's cross-field aggregation
-        (``src/index.cpp:1495-1593``: field-wise weighted score sum)."""
+        variants against that field's (prefixed) postings and keep the
+        best (score, token_bits) per doc per field, then aggregate the
+        reference's cross-field score (``src/index.cpp:1495-1593``):
+
+        - weighted SUM of each matched field's best match score
+          (weights default n..1, ``src/collection.cpp:593-597``),
+        - for fields the doc did NOT fully match, a 0-typo per-token
+          probe that still credits matched tokens — ``words_present``
+          occurrences → ``Match::get_match_score(wp, 0, 100)`` × weight
+          (``src/index.cpp:1543-1583``),
+        - token_bits (bit 31 + the matched tokens' original query
+          positions, ``src/index.cpp:1513,2037``) ORed across fields,
+          popcount packed into bits 48+ of the aggregate so
+          distinct-query-token coverage dominates (``src/index.cpp:
+          1586``).
+
+        The packed popcount aggregation applies in reference mode (the
+        reference's integer score packing) with >1 field; bm25 mode keeps
+        the weighted float sum of per-field BM25 — our scoring model,
+        where token coverage is already idf/tf-weighted."""
         primary = self.stats["config"]["text_field"]
+        ref_multi = mode != "bm25" and len(fields) > 1
+        fld_fis: list[int] = []
         fld_cands: list[np.ndarray] = []
         fld_scores: list[np.ndarray] = []
+        fld_bits: list[np.ndarray] = []
+        prefs = []
         for fi, field in enumerate(fields):
             pref = (lambda t: t) if field == primary else (
                 lambda t, f=field: f + FIELD_SEP + t
             )
+            prefs.append(pref)
             dl_col = None
             avgdl = None
             if field != primary:
@@ -594,7 +633,9 @@ class RayCollection:
                     dl_col = seg.docs[col].to_numpy().astype(np.int64)
                     avgdl = self._field_avgdl(field)
             parts: list[tuple[np.ndarray, np.ndarray]] = []
-            for terms, cost in variants:
+            part_bits: list[np.ndarray] = []
+            part_vidx: list[np.ndarray] = []
+            for vi, (terms, cost, positions) in enumerate(variants):
                 pterms = terms if terms == ["*"] else [pref(t) for t in terms]
                 pexcl = [pref(e) for e in exclude]
                 cand, post = seg.candidates(pterms, pexcl, mask, True)
@@ -607,26 +648,91 @@ class RayCollection:
                 parts.append(
                     (cand.astype(np.int64), scores.astype(np.float64))
                 )
+                vbits = (1 << 31) | sum(1 << p for p in positions)
+                part_bits.append(np.full(cand.size, vbits, dtype=np.int64))
+                part_vidx.append(np.full(cand.size, vi, dtype=np.int64))
             if not parts:
                 continue
-            best = _dedup_best(
-                np.concatenate([p[0] for p in parts]),
-                np.concatenate([p[1] for p in parts]),
-            )
-            fld_cands.append(best["cand"])
-            fld_scores.append(weights[fi] * best["score"])
+            cand = np.concatenate([p[0] for p in parts])
+            score = np.concatenate([p[1] for p in parts])
+            bits = np.concatenate(part_bits)
+            vidx = np.concatenate(part_vidx)
+            # best variant per doc for this field (topster kv_map role):
+            # max score, first variant on ties, carrying its token_bits
+            order = np.lexsort((-vidx, score, cand))
+            c, s, b = cand[order], score[order], bits[order]
+            ends = np.flatnonzero(np.r_[c[1:] != c[:-1], True])
+            fld_fis.append(fi)
+            fld_cands.append(c[ends])
+            fld_scores.append(s[ends])
+            fld_bits.append(b[ends])
         if not fld_cands:
             return {"cand": np.empty(0, np.int64),
                     "score": np.empty(0, np.float64)}
-        # weighted SUM across fields: segmented add over the concatenated
-        # per-field best arrays (each candidate contributes once per field)
-        cand = np.concatenate(fld_cands)
-        score = np.concatenate(fld_scores)
-        order = np.argsort(cand, kind="stable")
-        c = cand[order]
-        s = score[order]
-        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        return {"cand": c[starts], "score": np.add.reduceat(s, starts)}
+
+        if not ref_multi:
+            # weighted SUM across fields: segmented add over the
+            # concatenated per-field best arrays
+            cand = np.concatenate(fld_cands)
+            score = np.concatenate(
+                [weights[fi] * s for fi, s in zip(fld_fis, fld_scores)]
+            )
+            order = np.argsort(cand, kind="stable")
+            c = cand[order]
+            s = score[order]
+            starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+            return {"cand": c[starts], "score": np.add.reduceat(s, starts)}
+
+        # reference cross-field aggregation over the union candidate set
+        from typesense_ray.codec import varbyte_decode
+        from typesense_ray.functions.dedup import _popcount64
+
+        all_cand = np.unique(np.concatenate(fld_cands))
+        agg = np.zeros(all_cand.size, dtype=np.int64)
+        tbits = np.full(all_cand.size, 1 << 31, dtype=np.int64)
+        matched_mask: dict[int, np.ndarray] = {}
+        for fi, fc, fs, fb in zip(fld_fis, fld_cands, fld_scores, fld_bits):
+            pos = np.searchsorted(all_cand, fc)
+            agg[pos] += weights[fi] * fs.astype(np.int64)
+            tbits[pos] |= fb
+            m = np.zeros(all_cand.size, dtype=bool)
+            m[pos] = True
+            matched_mask[fi] = m
+        if q_tokens != ["*"]:
+            for fi, field in enumerate(fields):
+                m = matched_mask.get(fi)
+                miss_idx = (
+                    np.flatnonzero(~m) if m is not None
+                    else np.arange(all_cand.size)
+                )
+                if miss_idx.size == 0:
+                    continue
+                missing = all_cand[miss_idx]
+                pref = prefs[fi]
+                raw = seg.postings([pref(t) for t in q_tokens])
+                wp = np.zeros(missing.size, dtype=np.int64)
+                pbits = np.zeros(missing.size, dtype=np.int64)
+                for i, tok in enumerate(q_tokens):
+                    p = raw.get(pref(tok))
+                    if p is None:
+                        continue
+                    ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(
+                        np.int64
+                    )
+                    tfs = varbyte_decode(p["tfs_vb"], p["df"]).astype(np.int64)
+                    idx = np.searchsorted(ids, missing)
+                    idxc = np.minimum(idx, ids.size - 1)
+                    hit = (idx < ids.size) & (ids[idxc] == missing)
+                    pbits[hit] |= 1 << i
+                    wp[hit] += tfs[idxc[hit]]
+                has = wp > 0
+                if has.any():
+                    ms = (wp[has] << 16) | (255 << 8) | 100
+                    agg[miss_idx[has]] += weights[fi] * ms
+                tbits[miss_idx] |= pbits
+        pc = _popcount64(tbits.astype(np.uint64)).astype(np.int64)
+        score = agg | (pc << 48)
+        return {"cand": all_cand, "score": score.astype(np.float64)}
 
     def _rank_segment(self, seg, res, sort_fields, mode, fetch_k, group_fields):
         cand, score = res["cand"], res["score"]

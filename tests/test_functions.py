@@ -366,3 +366,65 @@ def test_simhash_near_pairs_matches_bruteforce(ray_session):
                 want.add((i, j))
     assert got_pairs == want
     assert want  # the injected near-dups produce at least one pair
+
+
+def test_pair_ops_groupby_mode_matches_stream(ray_session):
+    """The distributed ('groupby') pair reduces — pair-keyed distinct +
+    merge-join attach against the id-partitioned value sidecar — must
+    produce exactly the driver-side ('stream') results."""
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+        word_ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    wbase = "one two three four five six seven eight nine ten " * 3
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("lazy", "sleepy")},
+        {"doc_id": 3, "text": "completely different content about databases " * 5},
+        {"doc_id": 4, "text": base},
+        {"doc_id": 5, "text": wbase},
+        {"doc_id": 6, "text": wbase.replace("five", "mutated")},
+    ]
+    ds = rd.from_items(rows)
+
+    for fn, kw in [
+        (minhash_lsh_pairs, dict(threshold=0.7)),
+        (simhash_near_pairs, dict(max_hamming=8)),
+        (word_ngram_jaccard_pairs, dict(n=3, threshold=0.4, df_cap=64)),
+    ]:
+        got_s = fn(ds, mode="stream", **kw).to_pandas()
+        got_g = fn(ds, mode="groupby", **kw).to_pandas()
+        got_s = got_s.sort_values(["a", "b"], ignore_index=True)
+        got_g = got_g.sort_values(["a", "b"], ignore_index=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got_s, got_g, check_dtype=False)
+        assert len(got_s) >= 1, fn.__name__
+
+
+def test_embedding_dup_pairs_tiled_scan(ray_session):
+    """The tiled within-bucket scan (bounded O(tile²) memory) must equal
+    the full-matrix scan on a bucket larger than the tile."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(8)
+    # 300 near-identical vectors -> all land in ONE hyperplane bucket
+    rows = [
+        {"vec_id": i, "embedding": (base + 1e-4 * rng.standard_normal(8)).tolist()}
+        for i in range(300)
+    ]
+    ds = rd.from_items(rows)
+    tiled = embedding_dup_pairs(ds, threshold=0.99, tile=64).to_pandas()
+    full = embedding_dup_pairs(ds, threshold=0.99, tile=1 << 20).to_pandas()
+    tiled = tiled.sort_values(["a", "b"], ignore_index=True)
+    full = full.sort_values(["a", "b"], ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(tiled, full)
+    assert len(tiled) == 300 * 299 // 2  # every pair is a near-dup

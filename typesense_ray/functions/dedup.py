@@ -30,6 +30,113 @@ def _hash64_bytes(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode("utf-8")).digest()[:8], "big")
 
 
+# -- distributed pair machinery ----------------------------------------------
+#
+# The pair-dedup ops (minhash LSH, simhash near-pairs, n-gram jaccard) end
+# with a candidate-pair reduce. At normal dup density that table is tiny and
+# a driver-side pandas fold is the fastest reduce (Ray's sort-based multi-key
+# aggregate measures ~60x slower over 10^6 groups). A pathologically
+# duplicate-heavy corpus, though, makes the candidate set corpus-sized, so
+# every op takes mode='stream'|'groupby'|'auto': 'auto' counts the candidate
+# rows and switches to the distributed shape, where pairs stay a Dataset
+# end-to-end — pair-keyed coarse exchange for dedup/aggregation, and a
+# broadcast-free merge join against an id-partitioned parquet sidecar for
+# per-doc values (the same partitioned-layout pattern IVFIndex uses).
+
+PAIR_STREAM_MAX_ROWS = 5_000_000
+
+
+def _pair_part(a: np.ndarray, b: np.ndarray, n_parts: int) -> np.ndarray:
+    """Partition key over (a, b) pairs — mixes both ids so hot ids spread."""
+    with np.errstate(over="ignore"):
+        h = (
+            a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) ^ b.astype(np.uint64)
+    return (h % np.uint64(n_parts)).astype(np.int32)
+
+
+def _dedup_pairs_dataset(pairs_ds, n_parts: int = 64):
+    """Distinct (a, b) rows without materializing on the driver: pair-keyed
+    coarse exchange → per-partition vectorized drop_duplicates (pairs never
+    split across partitions, so partition-local distinct is global)."""
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ppart",
+            pa.array(_pair_part(t["a"].to_numpy(), t["b"].to_numpy(), n_parts)),
+        )
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"], ignore_index=True)[["a", "b"]]
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(drop_dup, batch_format="pandas")
+    )
+
+
+def _write_vals_partitioned(vals_ds, id_col: str, n_parts: int = 64) -> str:
+    """Write per-doc values as an id-hash-partitioned parquet layout under
+    /tmp — the small side of the pair↔value merge join. One write serves
+    both attach passes (keys a and b partition the same way)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tsray-pairvals-")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[id_col].to_numpy().astype(np.uint64)
+        return t.append_column(
+            "vpart", pa.array((k % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    vals_ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["vpart"]
+    )
+    return root
+
+
+def _attach_from_layout(
+    pairs_ds, root: str, key_col: str, id_col: str, val_col: str,
+    out_col: str, n_parts: int = 64,
+):
+    """Attach vals[key] to each pair row via a co-partitioned merge join:
+    pairs exchange on key % n_parts; each of the ≤n_parts callbacks reads
+    ONLY its value partition from the layout — no driver dict, no
+    broadcast of a corpus-sized map."""
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    part_col = f"__part_{key_col}"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy().astype(np.uint64)
+        return t.append_column(
+            part_col, pa.array((k % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g[part_col].iloc[0])
+        pdir = os.path.join(root, f"vpart={p}")
+        if os.path.isdir(pdir):
+            vt = pads.dataset(pdir).to_table(columns=[id_col, val_col])
+            m = dict(zip(vt[id_col].to_pylist(), vt[val_col].to_pylist()))
+        else:
+            m = {}
+        g = g.drop(columns=[part_col])
+        g[out_col] = g[key_col].map(m)
+        return g
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby(part_col)
+        .map_groups(attach, batch_format="pandas")
+    )
+
+
 def text_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Add two independent vectorized 64-bit content hashes (128 bits of
     key together — collision-negligible at 10^12 docs, where a single
@@ -190,6 +297,8 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 1729,
+    mode: str = "auto",
+    stream_max_rows: int = PAIR_STREAM_MAX_ROWS,
 ):
     """MinHash+LSH near-dup detection.
 
@@ -197,9 +306,15 @@ def minhash_lsh_pairs(
     → groupby(band, band_hash) → candidate pairs → verify true n-gram
     Jaccard on the pair texts → pairs ≥ threshold, deduplicated, a < b.
 
-    The verify stage broadcasts the candidate pair texts by joining ids
-    back to the corpus (small side after LSH); at larger scale, swap the
-    broadcast for a hash-join of pairs against the corpus.
+    ``mode``: the candidate-pair reduce. 'stream' dedups/verifies via the
+    driver with the candidate shingle dict broadcast (fastest at normal
+    dup density, bounded by candidate count); 'groupby' keeps pairs a
+    Dataset end-to-end — pair-keyed coarse exchange for the cross-band
+    dedup, then two broadcast-free merge joins against an id-partitioned
+    shingle sidecar (:func:`_attach_from_layout`) for the verify — so a
+    pathologically duplicate-heavy corpus never materializes a
+    corpus-sized pair set or shingle dict on one node. 'auto' counts the
+    candidate rows and picks.
     """
     import pandas as pd
 
@@ -256,17 +371,25 @@ def minhash_lsh_pairs(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    pairs_df = (
+    cand_ds = (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    ).materialize()
+    n_cand = cand_ds.count()
     empty_out = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
-    if len(pairs_df) == 0:
+    if n_cand == 0:
         return empty_out
+    if mode == "auto":
+        mode = "stream" if n_cand <= stream_max_rows else "groupby"
+    if mode == "groupby":
+        return _verify_pairs_groupby(
+            ds, cand_ds, text_col, id_col, shingle_k, threshold
+        )
+
+    pairs_df = cand_ds.to_pandas()
     # cross-band dedup: vectorized drop_duplicates, not a python set
     pairs_df = pairs_df.drop_duplicates(ignore_index=True).astype(np.int64)
 
@@ -338,6 +461,144 @@ def minhash_lsh_pairs(
                      "jaccard": pa.array(verified["jaccard"], pa.float64())})
 
 
+def _verify_pairs_groupby(ds, cand_ds, text_col, id_col, shingle_k, threshold):
+    """Fully-distributed candidate dedup + exact-Jaccard verify (the
+    'groupby' mode of :func:`minhash_lsh_pairs`): distinct pairs via the
+    pair-keyed exchange, a corpus shingle sidecar written id-partitioned
+    once, two merge-join attaches (shingle sets ride as uint64-packed
+    binary blobs so they survive the pandas↔arrow exchanges), then a
+    vectorized per-row verify. No driver-side pair table or shingle dict
+    at any point; the returned true-dup set is bounded by real duplicate
+    density."""
+    distinct = _dedup_pairs_dataset(cand_ds)
+
+    def all_shingles(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        blobs = [
+            char_shingles(txt, shingle_k).tobytes()
+            for txt in t[text_col].to_pylist()
+        ]
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()),
+             "sh": pa.array(blobs, pa.binary())}
+        )
+
+    root = _write_vals_partitioned(
+        ds.map_batches(all_shingles, batch_format="pyarrow"), id_col
+    )
+    pairs = _attach_from_layout(distinct, root, "a", id_col, "sh", "__sa")
+    pairs = _attach_from_layout(pairs, root, "b", id_col, "sh", "__sb")
+
+    def verify(t: pa.Table) -> pa.Table:
+        aa = t["a"].to_numpy()
+        bb = t["b"].to_numpy()
+        sa = t["__sa"].to_pylist()
+        sb = t["__sb"].to_pylist()
+        jac = np.empty(len(aa), np.float64)
+        for i in range(len(aa)):
+            va = (np.frombuffer(sa[i], dtype=np.uint64)
+                  if sa[i] else np.empty(0, np.uint64))
+            vb = (np.frombuffer(sb[i], dtype=np.uint64)
+                  if sb[i] else np.empty(0, np.uint64))
+            if not va.size and not vb.size:
+                jac[i] = 1.0
+                continue
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            union = va.size + vb.size - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table(
+            {"a": pa.array(aa[keep], pa.int64()),
+             "b": pa.array(bb[keep], pa.int64()),
+             "jaccard": pa.array(jac[keep], pa.float64())}
+        )
+
+    out = pairs.map_batches(verify, batch_format="pyarrow").to_pandas()
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    out = out.sort_values(["a", "b"], ignore_index=True)
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()),
+         "b": pa.array(out["b"], pa.int64()),
+         "jaccard": pa.array(out["jaccard"], pa.float64())}
+    )
+
+
+def _ngram_jaccard_finish_groupby(cooc, id_col: str, threshold: float):
+    """Distributed finish for :func:`word_ngram_jaccard_pairs` ('groupby'
+    mode): pair-keyed exchange sums the per-partition (a, b, c) partials
+    (pairs never split across partitions, so the partition-local sum is
+    the global count), the diagonal rows become the per-doc kept-shingle
+    sizes sidecar, and two merge joins attach both sizes for the final
+    jaccard filter. No driver-side pair table at any dup density."""
+    import shutil
+
+    import pandas as pd
+
+    def add_ppart(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ppart",
+            pa.array(_pair_part(t["a"].to_numpy(), t["b"].to_numpy(), 64)),
+        )
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["a", "b"], as_index=False)["c"].sum()
+
+    counts = (
+        cooc.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(sum_counts, batch_format="pandas")
+    ).materialize()
+
+    def diag_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        m = a == b
+        return pa.table(
+            {id_col: pa.array(a[m], pa.int64()),
+             "n": pa.array(t["c"].to_numpy()[m], pa.int64())}
+        )
+
+    def offdiag_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        m = a != b
+        return pa.table(
+            {"a": pa.array(a[m], pa.int64()),
+             "b": pa.array(b[m], pa.int64()),
+             "c": pa.array(t["c"].to_numpy()[m], pa.int64())}
+        )
+
+    root = _write_vals_partitioned(
+        counts.map_batches(diag_rows, batch_format="pyarrow"), id_col
+    )
+    pairs = counts.map_batches(offdiag_rows, batch_format="pyarrow")
+    pairs = _attach_from_layout(pairs, root, "a", id_col, "n", "__na")
+    pairs = _attach_from_layout(pairs, root, "b", id_col, "n", "__nb")
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy().astype(np.float64)
+        na = t["__na"].to_numpy().astype(np.float64)
+        nb = t["__nb"].to_numpy().astype(np.float64)
+        jac = c / (na + nb - c)
+        keep = jac >= threshold
+        return pa.table(
+            {"a": pa.array(t["a"].to_numpy()[keep], pa.int64()),
+             "b": pa.array(t["b"].to_numpy()[keep], pa.int64()),
+             "jaccard": pa.array(jac[keep], pa.float64())}
+        )
+
+    out = pairs.map_batches(finish, batch_format="pyarrow").to_pandas()
+    shutil.rmtree(root, ignore_errors=True)
+    out = out.sort_values(["a", "b"], ignore_index=True)
+    return pa.table(
+        {"a": pa.array(out["a"], pa.int64()),
+         "b": pa.array(out["b"], pa.int64()),
+         "jaccard": pa.array(out["jaccard"], pa.float64())}
+    )
+
+
 def word_ngram_jaccard_pairs(
     ds,
     text_col: str = "text",
@@ -345,6 +606,8 @@ def word_ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     df_cap: int = 64,
+    mode: str = "auto",
+    stream_max_rows: int = PAIR_STREAM_MAX_ROWS,
 ):
     """Exact word-n-gram Jaccard near-dup pairs (no sketching).
 
@@ -364,10 +627,18 @@ def word_ngram_jaccard_pairs(
     pair-count groupby yields both sizes (diagonal) and common counts
     (off-diagonal) — → final jaccard over the aggregated counts. The
     all-to-alls move only (uint64, int64) rows; per-group pair fan-out is
-    bounded by df_cap². The aggregated count table is ≤ n_docs + Σ
-    per-bucket pairs rows and is reduced driver-side; at larger scale
-    broadcast the diagonal via ``ray.put`` and stream the off-diagonal
-    rows through map_batches.
+    bounded by df_cap².
+
+    ``mode``: the final pair-count reduce. 'stream' folds the partition
+    partials with ONE vectorized pandas groupby on the driver (fastest at
+    normal density — Ray's sort-based multi-key aggregate measures ~60x
+    slower over 10^6 groups; driver state bounded by the distinct-pair
+    count). 'groupby' keeps the reduce distributed: pair-keyed coarse
+    exchange sums the partials per partition (pairs never split across
+    partitions), the diagonal sizes become an id-partitioned sidecar, and
+    two merge joins attach |A| and |B| for the jaccard filter — no
+    driver-side pair table at any density. 'auto' counts the partial rows
+    and picks.
     """
     import pandas as pd
 
@@ -423,18 +694,22 @@ def word_ngram_jaccard_pairs(
             columns={"size": "c"}
         )
 
-    # final pair-count merge: the partition partials are already combined
-    # (distinct pairs + partial counts), so fold them with ONE vectorized
-    # pandas groupby-sum on the driver — Ray's sort-based multi-key
-    # aggregate pays per-group cost over 10^6 (a, b) groups (~60x slower
-    # measured). Driver state is bounded by the distinct-pair count; at
-    # pair densities beyond one node, swap this fold for
-    # groupby(["a","b"]).aggregate(Sum) — the partials are unchanged.
     cooc = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_cooc, batch_format="pandas")
-    )
+    ).materialize()
+    n_partial = cooc.count()
+    if mode == "auto":
+        mode = "stream" if n_partial <= stream_max_rows else "groupby"
+    if mode == "groupby":
+        return _ngram_jaccard_finish_groupby(cooc, id_col, threshold)
+
+    # 'stream': the partition partials are already combined (distinct
+    # pairs + partial counts), so fold them with ONE vectorized pandas
+    # groupby-sum on the driver — Ray's sort-based multi-key aggregate
+    # pays per-group cost over 10^6 (a, b) groups (~60x slower measured).
+    # Driver state is bounded by the distinct-pair count.
     parts = list(cooc.iter_batches(batch_format="pandas", batch_size=None))
     if parts:
         allp = pd.concat(parts, ignore_index=True)
@@ -555,15 +830,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_parts: int = 64,
+    mode: str = "auto",
+    stream_max_rows: int = PAIR_STREAM_MAX_ROWS,
 ) -> pa.Table:
     """SimHash near-dup pairs within Hamming distance ``max_hamming``:
     split the 64 bits into ``max_hamming + 1`` bands (pigeonhole — two
     hashes within distance d agree on at least one of d+1 bands), bucket
     each band through the coarse-partitioned groupby (same shape as
     minhash LSH), then verify exact ``popcount(a ^ b) ≤ d`` on the
-    candidate pairs (vectorized SWAR popcount; simhash values for
-    candidates gathered via a broadcast id-set). 100% recall by
-    construction — LSH banding here is exact, not probabilistic."""
+    candidate pairs (vectorized SWAR popcount). 100% recall by
+    construction — LSH banding here is exact, not probabilistic.
+
+    ``mode`` as in :func:`minhash_lsh_pairs`: 'stream' verifies on the
+    driver with a broadcast id→simhash dict; 'groupby' keeps pairs a
+    Dataset (pair-keyed distinct + two merge joins against an
+    id-partitioned simhash sidecar); 'auto' counts candidates and picks."""
     import pandas as pd
     import ray
 
@@ -605,17 +886,64 @@ def simhash_near_pairs(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    pairs = (
+    cand_ds = (
         ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    ).materialize()
+    n_cand = cand_ds.count()
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
-    if len(pairs) == 0:
+    if n_cand == 0:
         return empty
+    if mode == "auto":
+        mode = "stream" if n_cand <= stream_max_rows else "groupby"
+
+    if mode == "groupby":
+        distinct = _dedup_pairs_dataset(cand_ds)
+
+        def all_sims(t: pa.Table) -> pa.Table:
+            sims = simhash_batch(t[text_col].to_pylist())
+            return pa.table(
+                {id_col: pa.array(
+                    np.asarray(t[id_col].to_pylist(), dtype=np.int64)),
+                 "simhash": pa.array(sims, pa.uint64())}
+            )
+
+        root = _write_vals_partitioned(
+            ds.map_batches(all_sims, batch_format="pyarrow"), id_col
+        )
+        withv = _attach_from_layout(distinct, root, "a", id_col,
+                                    "simhash", "__ha")
+        withv = _attach_from_layout(withv, root, "b", id_col,
+                                    "simhash", "__hb")
+
+        def verify(t: pa.Table) -> pa.Table:
+            aa = t["a"].to_numpy()
+            bb = t["b"].to_numpy()
+            ha = t["__ha"].to_numpy().astype(np.uint64)
+            hb = t["__hb"].to_numpy().astype(np.uint64)
+            ham = _popcount64(ha ^ hb).astype(np.int64)
+            keep = ham <= max_hamming
+            return pa.table(
+                {"a": pa.array(aa[keep], pa.int64()),
+                 "b": pa.array(bb[keep], pa.int64()),
+                 "hamming": pa.array(ham[keep], pa.int64())}
+            )
+
+        out = withv.map_batches(verify, batch_format="pyarrow").to_pandas()
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        out = out.sort_values(["a", "b"], ignore_index=True)
+        return pa.table(
+            {"a": pa.array(out["a"], pa.int64()),
+             "b": pa.array(out["b"], pa.int64()),
+             "hamming": pa.array(out["hamming"], pa.int64())}
+        )
+
+    pairs = cand_ds.to_pandas()
     pairs = pairs.drop_duplicates(ignore_index=True).astype(np.int64)
 
     need_ref = ray.put(
@@ -625,8 +953,9 @@ def simhash_near_pairs(
     def cand_sims(t: pa.Table) -> pa.Table:
         need = ray.get(need_ref)
         ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
         keep = [i for i, d in enumerate(ids) if d in need]
-        sims = simhash_batch([t[text_col].to_pylist()[i] for i in keep])
+        sims = simhash_batch([texts[i] for i in keep])
         return pa.table(
             {id_col: pa.array([ids[i] for i in keep], pa.int64()),
              "simhash": pa.array(sims, pa.uint64())}
@@ -660,13 +989,21 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
+    tile: int = 4096,
 ):
     """Embedding-cosine near-dup: random-hyperplane LSH bucket (groupby
-    signature) → within-bucket exact pairwise cosine (one matmul + a
-    vectorized upper-triangle threshold scan) → pairs ≥ threshold.
+    signature) → within-bucket exact pairwise cosine (tiled matmul + a
+    vectorized threshold scan) → pairs ≥ threshold.
     Two vectors with cosine ≥ 0.95 collide in all n_planes bits with
     probability (1 - θ/π)^n ≈ 0.5 for n=8; run with 2-3 plane seeds for
-    recall at scale (union of pairs)."""
+    recall at scale (union of pairs).
+
+    The within-bucket scan runs in (tile × tile) blocks so peak memory is
+    O(tile²) regardless of bucket size — a near-duplicate-heavy corpus
+    collapses into ONE hyperplane bucket (identical vectors agree on every
+    extra plane too, so re-bucketing cannot split them), and the full n×n
+    similarity matrix there would OOM the worker. Compute stays O(b²) —
+    inherent to exact verification; the output itself is the bound."""
     import pandas as pd
 
     from typesense_ray.functions.similarity import vecs_to_numpy
@@ -691,12 +1028,29 @@ def embedding_dup_pairs(
         norm = np.linalg.norm(v, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         vn = v / norm
-        sim = vn @ vn.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        vals = sim[iu, ju]
-        keep = vals >= threshold
+        m = len(ids)
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, m, tile):
+            vi = vn[i0 : i0 + tile]
+            for j0 in range(i0, m, tile):
+                sim = vi @ vn[j0 : j0 + tile].T
+                if i0 == j0:
+                    iu, ju = np.triu_indices(
+                        sim.shape[0], k=1, m=sim.shape[1]
+                    )
+                    vals = sim[iu, ju]
+                    keep = vals >= threshold
+                    out_a.append(ids[i0 + iu[keep]])
+                    out_b.append(ids[j0 + ju[keep]])
+                    out_s.append(vals[keep])
+                else:
+                    ii, jj = np.nonzero(sim >= threshold)
+                    out_a.append(ids[i0 + ii])
+                    out_b.append(ids[j0 + jj])
+                    out_s.append(sim[ii, jj])
         return pd.DataFrame(
-            {"a": ids[iu[keep]], "b": ids[ju[keep]], "cosine": vals[keep]}
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_s)}
         )
 
     return (

@@ -54,20 +54,32 @@ class SegmentSearcher:
         self.doclen = docs["doclen"].to_numpy().astype(np.int64)
         self.n_docs = docs.num_rows
         self._postings_path = os.path.join(seg_dir, POSTINGS_FILE)
-        self._cache: dict[str, dict] | None = None
+        # preload keeps the postings as ONE Arrow table + a term→row hash:
+        # the encoded buffers stay contiguous Arrow memory (no per-term
+        # Python bytes objects — a dict-of-dicts costs several× the Arrow
+        # footprint at large vocab and a long warmup); rows decode per
+        # query, a handful of terms at a time
+        self._tbl: pa.Table | None = None
+        self._row_of: dict[str, int] | None = None
         if preload:
-            t = pq.read_table(self._postings_path)
-            names = [c for c in t.column_names if c != "term"]
-            cols = {c: t[c].to_pylist() for c in names}  # one C pass per col
-            self._cache = {
-                term: {c: cols[c][i] for c in names}
-                for i, term in enumerate(t["term"].to_pylist())
+            t = pq.read_table(self._postings_path).combine_chunks()
+            self._tbl = t
+            self._row_of = {
+                term: i for i, term in enumerate(t["term"].to_pylist())
             }
+            self._val_names = [c for c in t.column_names if c != "term"]
 
     def postings(self, terms: list[str]) -> dict[str, dict]:
         """term → raw posting row (encoded); absent terms omitted."""
-        if self._cache is not None:
-            return {t: self._cache[t] for t in terms if t in self._cache}
+        if self._row_of is not None:
+            out = {}
+            for term in terms:
+                i = self._row_of.get(term)
+                if i is not None:
+                    out[term] = {
+                        c: self._tbl[c][i].as_py() for c in self._val_names
+                    }
+            return out
         tbl = pq.read_table(
             self._postings_path, filters=[("term", "in", list(terms))]
         )

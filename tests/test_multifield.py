@@ -208,3 +208,63 @@ def test_reference_multifield_golden_ordering(ref_movies):
     r = ref_movies.search("myers", query_by=["starring", "title", "cast"],
                           mode="reference")
     assert ids(r) == [17]
+
+
+def test_array_offsets_element_boundary_parity(ray_session, tmp_path):
+    """string[] offset semantics vs the reference's sentinel encoding
+    (src/index.cpp:558-606 encode, :1978-2018 decode): positions are
+    element-scoped — tokens from DIFFERENT array elements must never be
+    position-adjacent. The rebuild encodes (elem, pos) as
+    pos + elem * ARRAY_POS_STRIDE (index_build.py), which is decode-
+    equivalent for elements < 2^16 tokens (the reference itself stores
+    positions as uint16). Corpus + expectations from
+    CollectionTest.ArrayStringFieldHighlight (test/collection_test.cpp:
+    647-745, test/array_text_documents.jsonl)."""
+    import ray.data as rd
+
+    from typesense_ray.index_build import FIELD_SEP, build_index
+
+    rows = [
+        {"docnum": 0, "title": "The Truth About Forever",
+         "tags": ["the truth", "about forever", "truth about"], "points": 100},
+        {"docnum": 1, "title": "Plain Truth",
+         "tags": ["plain", "truth", "plain truth"], "points": 40},
+        {"docnum": 2, "title": "Temple of the Winds",
+         "tags": ["temple", "of", "temple of"], "points": 87},
+        {"docnum": 3, "title": "Amazing Spiderman is amazing",
+         "tags": ["amazing movie", "spiderman", "really fun really"], "points": 90},
+    ]
+    out = str(tmp_path / "arr")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=10,
+        meta_fields=("docnum", "title", "tags", "points"),
+        indexed_fields=("tags",),
+    )
+    build_index(rd.from_items(rows), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+
+    # conjunctive matches over the array field (reference expectations,
+    # drop_tokens_threshold=0 as in the test)
+    r = coll.search("truth about", query_by=["tags"], mode="reference",
+                    drop_tokens_threshold=0)
+    assert ids(r) == [0]
+    r = coll.search("forever truth", query_by=["tags"], mode="reference",
+                    drop_tokens_threshold=0)
+    assert ids(r) == [0]
+    r = coll.search("truth", query_by=["tags"], mode="reference")
+    assert ids(r) == [0, 1]
+    r = coll.search("asdadasd", query_by=["tags"], mode="reference")
+    assert ids(r) == []
+
+    # element-boundary adjacency: "truth about" IS adjacent (inside
+    # element 2 of doc 0); "forever truth" is NOT (doc 0's flat token
+    # stream [the truth | about forever | truth about] WOULD make
+    # forever→truth adjacent without element scoping)
+    seg = coll.segments[0]
+    t = lambda tok: f"tags{FIELD_SEP}{tok}"
+    assert seg.phrase_candidates([t("truth"), t("about")]).tolist() == [0]
+    assert seg.phrase_candidates([t("forever"), t("truth")]).size == 0
+    # same scoping on doc 2: "temple of" adjacent in element 2 only;
+    # "of temple" never
+    assert seg.phrase_candidates([t("temple"), t("of")]).tolist() == [2]
+    assert seg.phrase_candidates([t("of"), t("temple")]).size == 0

@@ -320,3 +320,64 @@ def test_merge_segments_search_identical(built):
     # idempotent: re-merge is a no-op (same content address)
     stats2 = merge_segments(built, target_docs=100)
     assert stats2["segments"] == stats["segments"]
+
+
+def test_content_hash_is_layout_invariant():
+    """The segment content address must hash LOGICAL values: a sliced
+    chunk, a rechunked table, and a fresh array with equal values must
+    all produce the same digest (a layout-dependent hash would make
+    resume silently re-register equal segments under new ids)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from typesense_ray.index_build import update_hash_with_table
+
+    def digest(tbl):
+        h = hashlib.blake2b(digest_size=8)
+        update_hash_with_table(h, tbl)
+        return h.hexdigest()
+
+    full = pa.table({
+        "sha256": pa.array(["aa", "bb", "cc", "dd"]),
+        "doclen": pa.array([1, 2, 3, 4], pa.int32()),
+        "lang": pa.array(["en", None, "fr", "de"]),
+    })
+    fresh = pa.table({
+        "sha256": pa.array(["bb", "cc"]),
+        "doclen": pa.array([2, 3], pa.int32()),
+        "lang": pa.array([None, "fr"]),
+    })
+    sliced = full.slice(1, 2)
+    chunked = pa.concat_tables([fresh.slice(0, 1), fresh.slice(1, 1)])
+    assert digest(sliced) == digest(fresh) == digest(chunked)
+    # and it still distinguishes actual content changes
+    other = fresh.set_column(
+        1, "doclen", pa.array([2, 99], pa.int32()))
+    assert digest(other) != digest(fresh)
+
+
+def test_gc_segments_grace_window(tmp_path):
+    """gc with grace_s defers collection while the manifest commit is
+    fresh (lazy concurrent readers drain), then collects on the next
+    pass once the commit has aged past the window."""
+    import json
+    import time
+
+    from typesense_ray.index_build import gc_segments
+
+    root = str(tmp_path)
+    seg_root = os.path.join(root, "segments")
+    os.makedirs(os.path.join(seg_root, "seg-live"))
+    os.makedirs(os.path.join(seg_root, "seg-stale"))
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({"segments": ["live"]}, f)
+
+    assert gc_segments(root, grace_s=60.0) == []  # fresh commit: deferred
+    assert os.path.isdir(os.path.join(seg_root, "seg-stale"))
+
+    old = time.time() - 120
+    os.utime(os.path.join(root, "manifest.json"), (old, old))
+    assert gc_segments(root, grace_s=60.0) == ["seg-stale"]
+    assert not os.path.isdir(os.path.join(seg_root, "seg-stale"))
+    assert os.path.isdir(os.path.join(seg_root, "seg-live"))

@@ -82,8 +82,27 @@ class IndexConfig:
 
 # bump when the segment file layout changes — gives format-changed segments
 # new content addresses so resume never mixes layouts
-# (v3: segment id covers doc CONTENT, not just doc ids — see SegmentWriter)
-SEGMENT_FORMAT_VERSION = 3
+# (v3: segment id covers doc CONTENT, not just doc ids — see SegmentWriter;
+#  v4: content hash is LOGICAL — layout-canonicalized IPC bytes, so a sliced
+#  chunk and a fresh array with equal values hash identically)
+SEGMENT_FORMAT_VERSION = 4
+
+
+def update_hash_with_table(h, table: pa.Table) -> None:
+    """Feed ``table``'s LOGICAL content into hash object ``h``,
+    independent of physical layout (chunking, slice offsets, buffer
+    padding). Raw ``.buffers()`` bytes are layout-dependent — a sliced
+    chunk hashes differently from an identical fresh array — so we
+    canonicalize first: combine chunks, then ``take(arange)`` (which
+    rebases offsets and drops out-of-slice bytes), then hash the Arrow
+    IPC stream bytes (verified layout-invariant across slice / chunk /
+    take variants of equal logical content)."""
+    table = table.combine_chunks()
+    table = table.take(np.arange(table.num_rows))
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    h.update(sink.getvalue())
 
 
 def doc_id_from_key(*parts: str) -> int:
@@ -460,17 +479,14 @@ class SegmentWriter:
         ).hexdigest()
 
         # content-addressed segment id → idempotent, resumable writes.
-        # The hash covers doc ids AND row content (every docs-sidecar
-        # buffer: text sha256s, doclens, meta fields): re-upserting an
+        # The hash covers doc ids AND the LOGICAL row content of the docs
+        # sidecar (text sha256s, doclens, meta fields): re-upserting an
         # existing id with changed content or metadata must produce a NEW
         # segment address, or the resume check would silently re-register
         # the stale segment.
         seg_hash = hashlib.blake2b(digest_size=8)
         seg_hash.update(doc_ids.tobytes())
-        for col in docs.combine_chunks().columns:
-            for buf in col.chunk(0).buffers():
-                if buf is not None:
-                    seg_hash.update(buf)
+        update_hash_with_table(seg_hash, docs)
         seg_hash.update(self.cfg.fingerprint().encode())
         seg_id = seg_hash.hexdigest()
         seg_dir = os.path.join(self.seg_root, f"seg-{seg_id}")
@@ -541,18 +557,35 @@ def _merge_term_df(seg_postings: list[str]) -> pa.Table:
     )
 
 
-def gc_segments(out_dir: str) -> list[str]:
+def gc_segments(out_dir: str, grace_s: float = 0.0) -> list[str]:
     """Remove segment dirs not referenced by the committed manifest (stale
     pre-compaction originals, orphans from crashed builds, leftover
     ``.tmp-*`` dirs). Safe to call only AFTER a manifest commit: anything
     a concurrent resumable rerun still needs is, by definition, listed in
-    the manifest it would re-commit. Returns the removed dir names."""
+    the manifest it would re-commit. Returns the removed dir names.
+
+    Concurrent-READER contract: a reader opened from a pre-commit
+    manifest with ``preload=False`` (lazy per-query postings reads) can
+    hit a deleted dir mid-query. Either (a) open readers with
+    ``preload=True`` (the serving pool's default — all reads happen at
+    construction, against the manifest's own segment list), or (b) pass
+    ``grace_s`` ≥ the max in-flight query latency: if the manifest was
+    committed within the last ``grace_s`` seconds the pass is deferred
+    entirely (returns ``[]``); stale dirs are collected by the NEXT gc
+    pass, so lazy readers of the just-replaced manifest drain safely.
+    """
     import shutil
 
     seg_root = os.path.join(out_dir, "segments")
     manifest_path = os.path.join(out_dir, "manifest.json")
     if not os.path.isdir(seg_root) or not os.path.exists(manifest_path):
         return []
+    if grace_s > 0:
+        try:
+            if time.time() - os.path.getmtime(manifest_path) < grace_s:
+                return []
+        except OSError:
+            return []
     with open(manifest_path) as f:
         keep = {f"seg-{sid}" for sid in json.load(f)["segments"]}
     removed = []

@@ -313,14 +313,13 @@ def _merge_group(seg_dirs: list[str], seg_root: str, cfg_fp: str,
         doclens, block_size,
     )
 
-    # same content-addressing scheme as SegmentWriter: doc ids + every
-    # docs-sidecar buffer + config fingerprint
+    # same content-addressing scheme as SegmentWriter: doc ids + the
+    # docs sidecar's LOGICAL content + config fingerprint
+    from typesense_ray.index_build import update_hash_with_table
+
     seg_hash = hashlib.blake2b(digest_size=8)
     seg_hash.update(sorted_ids.astype(np.uint64).tobytes())
-    for col in merged_docs.combine_chunks().columns:
-        for buf in col.chunk(0).buffers():
-            if buf is not None:
-                seg_hash.update(buf)
+    update_hash_with_table(seg_hash, merged_docs)
     seg_hash.update(cfg_fp.encode())
     seg_id = seg_hash.hexdigest()
     new_dir = os.path.join(seg_root, f"seg-{seg_id}")

@@ -279,6 +279,31 @@ def q_quality(sf_dir: str) -> pa.Table:
     )
 
 
+def q_seq_packing(sf_dir: str) -> pa.Table:
+    """Token-offset sequence packing (512-token packs) over the whole
+    corpus via the two-level distributed prefix-sum in
+    functions/packing.py."""
+    import ray.data as rd
+
+    from typesense_ray.functions.packing import pack_sequences
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = pack_sequences(ds, budget=512, group_rows=1024).sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return t.select(["doc_id", "n_tokens", "pack_id", "pack_off"]).cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("pack_id", pa.int64()),
+                ("pack_off", pa.int64()),
+            ]
+        )
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -856,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_top2_per_lang": q_group_top2_per_lang,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
+        "seq_packing": q_seq_packing,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1081,6 +1107,24 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens
 FROM documents ORDER BY doc_id
+""",
+        "seq_packing": """
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       CAST(cum_before % 512 AS BIGINT) AS pack_off
+FROM cum ORDER BY doc_id
 """,
         "quality": """
 SELECT doc_id,

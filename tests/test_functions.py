@@ -428,3 +428,49 @@ def test_embedding_dup_pairs_tiled_scan(ray_session):
 
     pd.testing.assert_frame_equal(tiled, full)
     assert len(tiled) == 300 * 299 // 2  # every pair is a near-dup
+
+
+def test_pack_sequences_matches_scalar(ray_session):
+    """Distributed two-level prefix-sum packing must equal the scalar
+    single-stream layout, including across range-partition boundaries
+    (group_rows=4 forces many parts) and with sparse non-dense ids."""
+    import ray.data as rd
+
+    from typesense_ray.functions.packing import pack_sequences
+
+    rng = np.random.default_rng(11)
+    ids = sorted(rng.choice(10_000, size=60, replace=False).tolist())
+    texts = [" ".join(["w"] * int(rng.integers(0, 40))) for _ in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = (
+        pack_sequences(ds, budget=64, group_rows=4)
+        .sort("doc_id")
+        .to_pandas()
+    )
+
+    # scalar reference: one global token stream in id order
+    cum = 0
+    exp = []
+    for did, tx in zip(ids, texts):
+        n = len([t for t in tx.split() if t])
+        exp.append((did, n, cum // 64, cum % 64))
+        cum += n
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_pack_sequences_token_col(ray_session):
+    """token_col bypasses text counting; packs never split the stream."""
+    import ray.data as rd
+
+    from typesense_ray.functions.packing import pack_sequences
+
+    t = pa.table({"doc_id": list(range(10)), "ntok": [30] * 10})
+    got = (
+        pack_sequences(
+            rd.from_arrow(t), budget=100, token_col="ntok", group_rows=3
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert got["pack_id"].tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert got["pack_off"].tolist() == [0, 30, 60, 90, 20, 50, 80, 10, 40, 70]

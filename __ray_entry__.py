@@ -304,6 +304,26 @@ def q_seq_packing(sf_dir: str) -> pa.Table:
     )
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic 5-per-language sample by multiplicative id hash —
+    rerun- and oracle-stable without any RNG state."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(ds, group_col="lang", k=5, id_col="doc_id")
+    df = out.to_pandas().sort_values(["lang", "doc_id"], ignore_index=True)
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"], pa.string()),
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+        }
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -882,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "seq_packing": q_seq_packing,
+        "stratified_sample": q_stratified_sample,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1107,6 +1128,15 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens
 FROM documents ORDER BY doc_id
+""",
+        "stratified_sample": """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY lang, doc_id
 """,
         "seq_packing": """
 WITH tok AS (

@@ -474,3 +474,37 @@ def test_pack_sequences_token_col(ray_session):
     )
     assert got["pack_id"].tolist() == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
     assert got["pack_off"].tolist() == [0, 30, 60, 90, 20, 50, 80, 10, 40, 70]
+
+
+def test_stratified_sample_matches_scalar(ray_session):
+    """Hash-ordered per-stratum sample equals the scalar reference and
+    handles strata with fewer than k members."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import KNUTH, stratified_sample
+
+    rng = np.random.default_rng(4)
+    n = 200
+    ids = rng.choice(100_000, size=n, replace=False).astype(np.int64)
+    langs = rng.choice(["en", "fr", "de", "rare"], size=n,
+                       p=[0.5, 0.3, 0.19, 0.01]).tolist()
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "lang": langs}))
+    got = (
+        stratified_sample(ds, group_col="lang", k=3, id_col="doc_id")
+        .to_pandas()
+        .sort_values(["lang", "doc_id"], ignore_index=True)
+    )
+
+    import pandas as pd
+
+    ref = pd.DataFrame({"lang": langs, "doc_id": ids})
+    ref["h"] = (ref["doc_id"].to_numpy(np.uint64) * KNUTH) % np.uint64(1 << 32)
+    exp = (
+        ref.sort_values(["h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(3)[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # a stratum smaller than k returns all of its members
+    assert (exp["lang"] == "rare").sum() == min(3, langs.count("rare"))

@@ -399,6 +399,23 @@ def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup pairs → transitive duplicate CLUSTERS (connected
+    components by min-label propagation, functions/graph.py), the step
+    that turns pairwise dedup output into keep/drop decisions."""
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import word_ngram_jaccard_pairs
+    from typesense_ray.functions.graph import connected_components
+
+    pairs = word_ngram_jaccard_pairs(
+        _augmented_docs(sf_dir), text_col="text", id_col="doc_id",
+        n=3, threshold=0.6, df_cap=64,
+    )
+    out = connected_components(rd.from_arrow(pairs), a_col="a", b_col="b")
+    return out.sort_by([("node", "ascending")]).select(["node", "cluster"])
+
+
 def q_phrase_search(sf_dir: str) -> pa.Table:
     """Positional phrase match: all docs containing 'merge group' as
     strictly consecutive tokens (conjunctive match alone is ~4x larger)."""
@@ -907,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_groups": q_simhash_groups,
         "langid": q_langid,
@@ -964,7 +982,7 @@ def oracle_sql() -> dict[str, str]:
         for lang in sorted(_LANG_PROFILES)
         for tok in sorted(_LANG_PROFILES[lang])
     )
-    return {
+    d = {
         "term_df_top50": _TOKS_CTE
         + """
 SELECT term, count(DISTINCT doc_id) AS df
@@ -1476,3 +1494,23 @@ FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 64)
 ORDER BY media_id
 """,
     }
+    # dup_clusters: connected components over the EXACT same near-dup
+    # pair derivation as ngram_jaccard_pairs, closed transitively with a
+    # recursive CTE (reach = reflexive-transitive closure; cluster id =
+    # min reachable node)
+    _pairs_sql = d["ngram_jaccard_pairs"].strip().removesuffix("ORDER BY a, b")
+    d["dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+{_pairs_sql}
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src ORDER BY node
+"""
+    return d

@@ -508,3 +508,28 @@ def test_stratified_sample_matches_scalar(ray_session):
     pd.testing.assert_frame_equal(got, exp)
     # a stratum smaller than k returns all of its members
     assert (exp["lang"] == "rare").sum() == min(3, langs.count("rare"))
+
+
+def test_connected_components_chains_and_isolates(ray_session):
+    """Min-label propagation must close long chains (worst case for
+    per-round propagation — pointer jumping handles it), merge cliques,
+    and keep disjoint components apart."""
+    import ray.data as rd
+
+    from typesense_ray.functions.graph import connected_components
+
+    # chain 0-1-2-...-9, clique {100,101,102}, pair {200,201}
+    chain = [(i, i + 1) for i in range(9)]
+    clique = [(100, 101), (100, 102), (101, 102)]
+    pair = [(200, 201)]
+    edges = chain + clique + pair
+    t = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    out = connected_components(rd.from_arrow(t).repartition(4)).to_pandas()
+    got = dict(zip(out["node"], out["cluster"]))
+    assert all(got[i] == 0 for i in range(10))
+    assert all(got[i] == 100 for i in (100, 101, 102))
+    assert got[200] == got[201] == 200
+    assert len(got) == 15

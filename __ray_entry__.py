@@ -399,6 +399,32 @@ def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_clean_corpus(sf_dir: str) -> pa.Table:
+    """Composed cleaning pipeline: exact-dedup winners → fused
+    langid + token-count actor-pool pass → keep en docs with ≥10
+    tokens (functions/pipeline.py)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.pipeline import clean_corpus
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = clean_corpus(ds, keep_langs=("en",), min_tokens=10)
+    df = (
+        out.select_columns(["doc_id", "lang_pred", "n_tokens"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "lang_pred": pa.array(df["lang_pred"], pa.string()),
+            "n_tokens": pa.array(df["n_tokens"], pa.int64()),
+        }
+    )
+
+
 def q_dup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup pairs → transitive duplicate CLUSTERS (connected
     components by min-label propagation, functions/graph.py), the step
@@ -925,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "clean_corpus": q_clean_corpus,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_groups": q_simhash_groups,
         "langid": q_langid,
@@ -1512,5 +1539,26 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
 )
 SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src ORDER BY node
+"""
+    # clean_corpus: exact-dedup winners ∩ langid == 'en' ∩ ws tokens >= 10,
+    # composed from the SAME langid derivation the langid oracle uses
+    _lang_sql = d["langid"].strip().removesuffix("ORDER BY doc_id")
+    d["clean_corpus"] = f"""
+WITH pred AS (
+{_lang_sql}
+),
+win AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+q AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+)
+SELECT p.doc_id, p.lang_pred, q.n_tokens
+FROM pred p
+JOIN win USING (doc_id)
+JOIN q USING (doc_id)
+WHERE p.lang_pred = 'en' AND q.n_tokens >= 10
+ORDER BY p.doc_id
 """
     return d

@@ -1,0 +1,75 @@
+"""Composed corpus-cleaning pipeline — the shape a real training-data
+prep run takes: exact dedup → per-row scoring (language ID + token
+count fused into ONE actor-pool pass, so the corpus is read and
+decoded once) → vectorized keep/drop filter.
+
+Everything streams: exact_dedup's winner semi-join is a broadcast
+(`ray.put` + ``pc.is_in``), and the scoring stage is a callable class
+(`LangId` patterns compiled once per actor) that appends its columns
+and filters within the same batch — no second pass, no shuffle after
+the dedup aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class _ScoreAndFilter:
+    """Actor-pool stage: langid + whitespace token count on one decoded
+    batch, then the keep predicate applied vectorized."""
+
+    def __init__(self, keep_langs: tuple[str, ...], min_tokens: int):
+        from typesense_ray.functions.text import LangId
+
+        self.langid = LangId()
+        self.keep_langs = set(keep_langs)
+        self.min_tokens = min_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        scored = self.langid(batch)
+        s = pd.Series(batch["text"].to_pylist()).fillna("")
+        ntok = s.str.count(r"\S+").to_numpy(np.int64)
+        scored = scored.append_column("n_tokens", pa.array(ntok, pa.int64()))
+        keep = pc.and_(
+            pc.is_in(
+                scored["lang_pred"],
+                value_set=pa.array(sorted(self.keep_langs)),
+            ),
+            pc.greater_equal(scored["n_tokens"], self.min_tokens),
+        )
+        return scored.filter(keep)
+
+
+def clean_corpus(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    concurrency: int = 4,
+):
+    # the pool autoscales from ONE actor so it can never reserve every
+    # logical CPU and starve the upstream read tasks (a fixed pool of
+    # size == num_cpus deadlocks the pipeline on small machines)
+    """Exact-dedup winners that pass language + length filters.
+
+    Returns a Dataset with (id_col, text, lang_pred, lang_conf,
+    n_tokens) for the surviving rows.
+    """
+    from typesense_ray.functions.dedup import exact_dedup
+
+    survivors = exact_dedup(ds, text_col=text_col, id_col=id_col)
+    return survivors.map_batches(
+        _ScoreAndFilter,
+        fn_constructor_kwargs={
+            "keep_langs": keep_langs,
+            "min_tokens": min_tokens,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )

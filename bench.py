@@ -202,6 +202,10 @@ def main() -> None:
         "sessionize",
         "events_tumbling",
         "events_hopping",
+        "seq_packing",
+        "stratified_sample",
+        "dup_clusters",
+        "clean_corpus",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

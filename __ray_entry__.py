@@ -831,6 +831,39 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     )
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """Point-in-time attribution join: every click gets the latest
+    prior-or-equal view by the same user (functions/relational.py
+    asof_join — DuckDB ASOF LEFT JOIN semantics)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    out = asof_join(
+        clicks, views, key_col="user_id", ts_col="ts",
+        left_cols=("event_id",),
+        right_cols={"event_id": "view_event_id", "value": "view_value"},
+    )
+    t = pa.Table.from_pandas(
+        out.to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "view_event_id": t["view_event_id"].cast(pa.int64()),
+            "view_value": pc.round(t["view_value"].cast(pa.float64()), 6),
+        }
+    )
+
+
 def q_events_hopping(sf_dir: str) -> pa.Table:
     """Hopping windows (1 h size, 30 min hop): each event contributes to
     exactly two windows — the window fan-out happens inside the combiner
@@ -960,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1ish": q_tpch_q1ish,
         "join_priority": q_join_priority,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "typo_search": q_typo_search,
@@ -1261,6 +1295,15 @@ SELECT o_orderpriority, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderpriority
+""",
+        "asof_join": """
+SELECT c.event_id, c.user_id,
+       v.event_id AS view_event_id,
+       round(v.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
 """,
         "sessionize": """
 WITH e AS (

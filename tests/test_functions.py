@@ -533,3 +533,45 @@ def test_connected_components_chains_and_isolates(ray_session):
     assert all(got[i] == 100 for i in (100, 101, 102))
     assert got[200] == got[201] == 200
     assert len(got) == 15
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """Per-key as-of semantics: exact-ts matches join (c.ts >= v.ts),
+    left rows before any right row keep nulls, right-only keys emit
+    nothing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import asof_join
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"]
+    )
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "ts": pa.array(list(ts[:2]) + [ts[1], ts[0]],
+                       pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 1, 2, 9], pa.int64()),
+        # user 1: one before, one between; user 2: EXACT-equal ts;
+        # user 9: right-only key
+        "ts": pa.array([ts[0], ts[1], ts[1], ts[0]], pa.timestamp("us")),
+        "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "value": pa.array([1.5, 2.5, 3.5, 9.9], pa.float64()),
+    })
+    out = (
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            key_col="user_id", ts_col="ts", left_cols=("event_id",),
+            right_cols={"event_id": "rid", "value": "rval"},
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    assert out["event_id"].tolist() == [10, 11, 12, 13]
+    assert out["rid"].tolist()[:3] == [100, 101, 102]  # exact ts joins
+    assert pd.isna(out["rid"].iloc[3])  # user 3: no right row at all
+    assert out["rval"].tolist()[:3] == [1.5, 2.5, 3.5]
+    assert 9 not in out["user_id"].tolist()  # right-only key dropped

@@ -13,6 +13,9 @@ Both are Ray-Data-first:
   cumsum per group. The classic streaming-sessionization semantics
   expressed as a batch groupby; at 10^9 users the groupby is the
   unavoidable exchange and each group is tiny.
+- :func:`asof_join` — point-in-time join (latest right row ≤ left ts
+  per key): pad both sides to one schema, union, ONE
+  ``groupby(key).map_groups`` co-partition, ``pd.merge_asof`` per key.
 """
 
 from __future__ import annotations
@@ -87,3 +90,69 @@ def sessionize(
         )
 
     return events_ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    left_cols: tuple[str, ...] = ("event_id",),
+    right_cols: dict[str, str] | None = None,
+):
+    """Point-in-time (as-of) join: each left row picks the LATEST right
+    row of the same key with ``right.ts <= left.ts`` — the attribution /
+    feature join an equi-join cannot express without lookahead leakage
+    (DuckDB ``ASOF LEFT JOIN`` semantics, ties included).
+
+    ``right_cols`` maps right column → output name (must not collide
+    with left columns). Left rows with no prior right row keep nulls.
+
+    Shape: both sides are padded to ONE unified schema (typed null
+    columns for the other side's payload) so they union into a single
+    Dataset; ONE ``groupby(key).map_groups`` co-partitions — the
+    unavoidable exchange — and a vectorized ``pd.merge_asof`` (a C
+    merge over two time-sorted frames) joins within each key.
+    Partitioning assumption: one key's history fits a task — the same
+    contract as sessionize.
+    """
+    import pandas as pd
+
+    right_cols = right_cols or {"value": "value_right"}
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    lpay = [c for c in left_cols if c not in (key_col, ts_col)]
+    rpay_out = list(right_cols.values())
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in (key_col, ts_col, *lpay)}
+        for src, out in right_cols.items():
+            cols[out] = pa.nulls(t.num_rows, r_types[src])
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col], ts_col: t[ts_col]}
+        for c in lpay:
+            cols[c] = pa.nulls(t.num_rows, l_types[c])
+        for src, out in right_cols.items():
+            cols[out] = t[src]
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
+        right_ds.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["_side"] == 0, [key_col, ts_col, *lpay]]
+        right = g.loc[g["_side"] == 1, [ts_col, *rpay_out]]
+        return pd.merge_asof(
+            left.sort_values(ts_col, kind="mergesort"),
+            right.sort_values(ts_col, kind="mergesort"),
+            on=ts_col,
+            direction="backward",
+        )
+
+    return both.groupby(key_col).map_groups(join_group, batch_format="pandas")

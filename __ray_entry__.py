@@ -89,17 +89,14 @@ def q_term_df_top50(sf_dir: str) -> pa.Table:
     import ray.data as rd
 
     from typesense_ray.agg import combiner_aggregate
-    from typesense_ray.tokenizer import doc_term_positions
 
     def triples(df: pd.DataFrame) -> pd.DataFrame:
-        terms: dict[str, int] = {}
-        for text in df["text"]:
-            d, _ = doc_term_positions(text or "")
-            for t in d:
-                terms[t] = terms.get(t, 0) + 1  # per-batch partial df
-        return pd.DataFrame(
-            {"term": list(terms.keys()), "df": list(terms.values())}
-        )
+        from typesense_ray.functions.text import batch_term_stream
+
+        flat, unit = batch_term_stream(df["text"].tolist())
+        dd = pd.DataFrame({"term": flat, "u": unit}).drop_duplicates()
+        g = dd.groupby("term", sort=False, as_index=False).size()
+        return pd.DataFrame({"term": g["term"], "df": g["size"]})
 
     out = combiner_aggregate(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
@@ -301,6 +298,32 @@ def q_seq_packing(sf_dir: str) -> pa.Table:
                 ("pack_off", pa.int64()),
             ]
         )
+    )
+
+
+def q_tfidf_topk(sf_dir: str) -> pa.Table:
+    """Top-3 TF-IDF terms per doc (tf · ln(N/df)) — two streaming
+    passes with a broadcast vocab-df table (functions/text.py)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import tfidf_topk
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_topk(ds, k=3)
+    df = out.to_pandas().sort_values(
+        ["doc_id", "score", "term"], ascending=[True, False, True],
+        ignore_index=True, kind="mergesort",
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "term": pa.array(df["term"], pa.string()),
+            "score": pa.array(
+                [_round_half_up(s, 6) for s in df["score"]], pa.float64()
+            ),
+        }
     )
 
 
@@ -979,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "seq_packing": q_seq_packing,
         "stratified_sample": q_stratified_sample,
+        "tfidf_topk": q_tfidf_topk,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1207,6 +1231,23 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens
 FROM documents ORDER BY doc_id
+""",
+        "tfidf_topk": _TOKS_CTE
+        + """
+, tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT c FROM n) * 1.0 / df.df) AS raw
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, round(raw, 6) AS score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY raw DESC, term ASC) AS rn
+  FROM s
+) WHERE rn <= 3
+ORDER BY doc_id, raw DESC, term ASC
 """,
         "stratified_sample": """
 SELECT lang, doc_id FROM (

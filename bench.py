@@ -206,6 +206,8 @@ def main() -> None:
         "stratified_sample",
         "dup_clusters",
         "clean_corpus",
+        "tfidf_topk",
+        "asof_join",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

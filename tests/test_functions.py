@@ -575,3 +575,50 @@ def test_asof_join_matches_merge_asof(ray_session):
     assert pd.isna(out["rid"].iloc[3])  # user 3: no right row at all
     assert out["rval"].tolist()[:3] == [1.5, 2.5, 3.5]
     assert 9 not in out["user_id"].tolist()  # right-only key dropped
+
+
+def test_tfidf_topk_matches_scalar(ray_session):
+    """tfidf_topk == per-doc scalar tf·ln(N/df) reference, including
+    the (score desc, term asc) tie order."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.text import tfidf_topk
+    from typesense_ray.tokenizer import normalized_slots
+
+    texts = [
+        "red red blue fish",
+        "blue fish fish",
+        "red green green green",
+        "",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(4)), "text": texts})
+    ).repartition(3)
+    got = (
+        tfidf_topk(ds, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "term"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+
+    docs = [[t for t in normalized_slots(x) if t] for x in texts]
+    n = len(docs)
+    df = {}
+    for d in docs:
+        for t in set(d):
+            df[t] = df.get(t, 0) + 1
+    exp = []
+    for i, d in enumerate(docs):
+        tf = {}
+        for t in d:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            ((c * math.log(n / df[t]), t) for t, c in tf.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[:2]
+        exp.extend((i, t, s) for s, t in scored)
+    expdf = pd.DataFrame(exp, columns=["doc_id", "term", "score"])
+    pd.testing.assert_frame_equal(got, expdf)

@@ -171,3 +171,90 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             alive = lens > j
             h[alive] = (h[alive] ^ arr[alive, j].astype(np.uint64)) * _FP_BASE
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
+
+
+def batch_term_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a batch of texts into one (term, unit_index) occurrence
+    stream using the index tokenizer's normalization — the same
+    per-unit-split-then-numpy shape as the build's occurrence kernel
+    (index_build.SegmentWriter): one C-level split per doc, then every
+    per-token step is a numpy op. Empty slots are dropped."""
+    from itertools import chain
+
+    from typesense_ray.tokenizer import normalized_slots
+
+    m = len(texts)
+    tok_lists = [normalized_slots(t) if t else [] for t in texts]
+    lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=m)
+    total = int(lens.sum())
+    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
+    unit_ix = np.repeat(np.arange(m, dtype=np.int64), lens)
+    keep = flat != ""
+    return flat[keep], unit_ix[keep]
+
+
+def tfidf_topk(
+    ds,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k TF-IDF terms per document: score = tf · ln(N / df).
+
+    Two streaming passes over the corpus (re-tokenizing beats
+    materializing a corpus-sized (doc, term, tf) stream):
+
+    1. global df — per-batch distinct-(term, doc) partials reduced with
+       one pandas groupby (vocab-sized by Heaps' law: vocab << corpus),
+       broadcast via ``ray.put`` as (sorted terms, df) arrays for
+       vectorized ``np.searchsorted`` probes;
+    2. per-batch: occurrence stream → (doc, term) tf counts → scores →
+       per-doc top-k by (score desc, term asc), all pandas/numpy.
+
+    Returns a Dataset of (id_col, term, score).
+    """
+    import ray
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, unit = batch_term_stream(batch[text_col].to_pylist())
+        dd = pd.DataFrame({"term": flat, "u": unit}).drop_duplicates()
+        g = dd.groupby("term", sort=False, as_index=False).size()
+        return pa.table(
+            {"term": pa.array(g["term"], pa.string()),
+             "df": pa.array(g["size"], pa.int64())}
+        )
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
+    dfs = parts.groupby("term", as_index=False)["df"].sum().sort_values("term")
+    n_docs = ds.count()
+    terms_sorted = dfs["term"].to_numpy(dtype=object)
+    df_arr = dfs["df"].to_numpy(np.int64)
+    ref = ray.put((terms_sorted, df_arr, n_docs))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        terms, dfv, n = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, unit = batch_term_stream(batch[text_col].to_pylist())
+        tf = (
+            pd.DataFrame({"u": unit, "term": flat})
+            .groupby(["u", "term"], sort=False, as_index=False)
+            .size()
+        )
+        pos = np.searchsorted(terms, tf["term"].to_numpy(dtype=object))
+        score = tf["size"].to_numpy(np.float64) * np.log(n / dfv[pos])
+        tf = tf.assign(score=score, doc_id=ids[tf["u"].to_numpy()])
+        top = (
+            tf.sort_values(["u", "score", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("u", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(top["doc_id"], pa.int64()),
+                "term": pa.array(top["term"], pa.string()),
+                "score": pa.array(top["score"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pyarrow")

@@ -622,3 +622,30 @@ def test_tfidf_topk_matches_scalar(ray_session):
         exp.extend((i, t, s) for s, t in scored)
     expdf = pd.DataFrame(exp, columns=["doc_id", "term", "score"])
     pd.testing.assert_frame_equal(got, expdf)
+
+
+def test_pack_sequences_groupby_reduce_matches_stream(ray_session):
+    """The distributed Sum fold (stream_max_rows=0 forces it) must
+    equal the driver stream fold."""
+    import ray.data as rd
+
+    from typesense_ray.functions.packing import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(0, 100, 3)), pa.int64()),
+        "ntok": pa.array([7] * 34, pa.int64()),
+    })
+    kw = dict(budget=50, token_col="ntok", group_rows=8)
+    a = (
+        pack_sequences(rd.from_arrow(t).repartition(5), **kw)
+        .sort("doc_id").to_pandas()
+    )
+    b = (
+        pack_sequences(
+            rd.from_arrow(t).repartition(5), stream_max_rows=0, **kw
+        )
+        .sort("doc_id").to_pandas()
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

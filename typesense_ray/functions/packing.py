@@ -41,11 +41,14 @@ def pack_sequences(
     id_col: str = "doc_id",
     token_col: str | None = None,
     group_rows: int = 8192,
+    stream_max_rows: int = 5_000_000,
 ):
     """Return a Dataset of (id_col, n_tokens, pack_id, pack_off).
 
     ``token_col``: use a precomputed token-count column instead of
-    counting whitespace tokens of ``text_col``.
+    counting whitespace tokens of ``text_col``. ``stream_max_rows``:
+    range-sum partials beyond this count reduce through a distributed
+    groupby Sum instead of the driver fold.
     """
     import ray
 
@@ -83,15 +86,32 @@ def pack_sequences(
              "s": pa.array(g["s"], pa.int64())}
         )
 
-    partials = tok.map_batches(part_sums, batch_format="pyarrow").take_all()
+    # auto reduce, same contract as dedup.py: the per-(block, part)
+    # partial count is bounded by blocks × parts only when ids arrive
+    # block-contiguous; on shuffled ids it can approach the row count,
+    # so past the stream bound the fold goes through a distributed
+    # single-key Sum and the driver only ever sees |parts| rows.
     import pandas as pd
 
-    psums = (
-        pd.DataFrame(partials)
-        .groupby("part", as_index=False)["s"]
-        .sum()
-        .sort_values("part")
-    )
+    partials_ds = tok.map_batches(
+        part_sums, batch_format="pyarrow"
+    ).materialize()
+    if partials_ds.count() > stream_max_rows:
+        from ray.data.aggregate import Sum
+
+        psums = (
+            partials_ds.groupby("part")
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()
+            .sort_values("part")
+        )
+    else:
+        psums = (
+            pd.DataFrame(partials_ds.take_all())
+            .groupby("part", as_index=False)["s"]
+            .sum()
+            .sort_values("part")
+        )
     offs = np.concatenate(([0], np.cumsum(psums["s"].to_numpy())[:-1]))
     part_off = dict(zip(psums["part"].to_numpy().tolist(), offs.tolist()))
     off_ref = ray.put(part_off)

@@ -649,3 +649,80 @@ def test_pack_sequences_groupby_reduce_matches_stream(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0, max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(ray_session, edges):
+    """Property: distributed label propagation == scalar union-find on
+    arbitrary random graphs (self-loops and parallel edges included)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.graph import connected_components
+
+    t = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    got_tbl = connected_components(rd.from_arrow(t).repartition(3))
+    got = dict(zip(got_tbl["node"].to_pylist(), got_tbl["cluster"].to_pylist()))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for n in parent:
+        exp[n] = find(n)
+    assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=60, unique=True),
+    st.data(),
+)
+def test_pack_sequences_property(ray_session, ids, data):
+    """Property: packing over arbitrary sparse ids and token counts
+    equals the scalar single-stream layout for any budget."""
+    import ray.data as rd
+
+    from typesense_ray.functions.packing import pack_sequences
+
+    ids = sorted(ids)
+    ntok = [data.draw(st.integers(0, 25)) for _ in ids]
+    budget = data.draw(st.integers(1, 64))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "ntok": pa.array(ntok, pa.int64())})
+    got = (
+        pack_sequences(
+            rd.from_arrow(t).repartition(3), budget=budget,
+            token_col="ntok", group_rows=7,
+        )
+        .sort("doc_id").to_pandas()
+    )
+    cum = 0
+    exp = []
+    for did, n in zip(ids, ntok):
+        exp.append((did, n, cum // budget, cum % budget))
+        cum += n
+    assert list(map(tuple, got.itertuples(index=False))) == exp

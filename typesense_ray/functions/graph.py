@@ -58,6 +58,11 @@ def connected_components(
     parts = edges.map_batches(block_nodes, batch_format="pyarrow").take_all()
     nodes = np.unique(np.array([r["node"] for r in parts], dtype=np.int64))
     labels = nodes.copy()
+    if nodes.size == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64())}
+        )
 
     for _ in range(max_rounds):
         ref = ray.put((nodes, labels))
@@ -78,6 +83,8 @@ def connected_components(
             )
 
         props = edges.map_batches(propose, batch_format="pyarrow").take_all()
+        if not props:
+            break
         pdf = pd.DataFrame(props).groupby("node", as_index=False)["lab"].min()
         new = labels.copy()
         idx = np.searchsorted(nodes, pdf["node"].to_numpy(np.int64))

@@ -301,6 +301,47 @@ def q_seq_packing(sf_dir: str) -> pa.Table:
     )
 
 
+def q_redact_pii(sf_dir: str) -> pa.Table:
+    """PII scrub over the corpus with deterministic PII injected into
+    every 10th doc (email + IPv4 derived from doc_id), so the redaction
+    pass has real work whose output SQL can reproduce."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import redact_pii_batch
+
+    def inject(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        suffix = pd.Series(
+            " contact user" + pd.Series(ids).astype(str)
+            + "@example.com at 10.0."
+            + pd.Series(ids % 256).astype(str) + ".1"
+        )
+        new_text = s.where(ids % 10 != 0, s + suffix)
+        return t.drop_columns(["text"]).append_column(
+            "text", pa.array(new_text.tolist(), pa.string())
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(lambda b: redact_pii_batch(b, "text"),
+                     batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "text": t["text"],
+            "pii_hits": t["pii_hits"].cast(pa.int64()),
+        }
+    )
+
+
 def q_tfidf_topk(sf_dir: str) -> pa.Table:
     """Top-3 TF-IDF terms per doc (tf · ln(N/df)) — two streaming
     passes with a broadcast vocab-df table (functions/text.py)."""
@@ -1003,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": q_seq_packing,
         "stratified_sample": q_stratified_sample,
         "tfidf_topk": q_tfidf_topk,
+        "redact_pii": q_redact_pii,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1623,6 +1665,31 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
 )
 SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src ORDER BY node
+"""
+    # redact_pii: the SAME compiled patterns, applied in the same order;
+    # per-stage hit counts replicate python's count-then-replace sequence
+    from typesense_ray.functions.text import PII_PATTERNS
+
+    (_pe, _re_), (_pi, _ri), (_pp, _rp) = PII_PATTERNS
+    d["redact_pii"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com at 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         ELSE text END AS t0
+  FROM documents
+),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{_pe}', '{_re_}', 'g') AS t1 FROM inj),
+s2 AS (SELECT *, regexp_replace(t1, '{_pi}', '{_ri}', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{_pp}', '{_rp}', 'g') AS text,
+       len(regexp_extract_all(t0, '{_pe}'))
+         + len(regexp_extract_all(t1, '{_pi}'))
+         + len(regexp_extract_all(t2, '{_pp}')) AS pii_hits
+FROM s2 ORDER BY doc_id
 """
     # clean_corpus: exact-dedup winners ∩ langid == 'en' ∩ ws tokens >= 10,
     # composed from the SAME langid derivation the langid oracle uses

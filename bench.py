@@ -208,6 +208,7 @@ def main() -> None:
         "clean_corpus",
         "tfidf_topk",
         "asof_join",
+        "redact_pii",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -726,3 +726,27 @@ def test_pack_sequences_property(ray_session, ids, data):
         exp.append((did, n, cum // budget, cum % budget))
         cum += n
     assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_redact_pii_batch():
+    """Patterns fire in declaration order; counts reflect the running
+    text (an email's IP-ish tail must not double-count)."""
+    from typesense_ray.functions.text import redact_pii_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b@c.de and 10.0.0.1 or +4915123456789 now",
+            "clean",
+            "two mails x@y.io z@w.ai",
+            None,
+        ]),
+    })
+    out = redact_pii_batch(t)
+    assert out["text"].to_pylist() == [
+        "mail <EMAIL> and <IP> or <PHONE> now",
+        "clean",
+        "two mails <EMAIL> <EMAIL>",
+        "",
+    ]
+    assert out["pii_hits"].to_pylist() == [3, 0, 2, 0]

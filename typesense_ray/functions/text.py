@@ -258,3 +258,32 @@ def tfidf_topk(
         )
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+# PII patterns, deliberately RE2-compatible so the DuckDB oracle can run
+# the byte-identical substitutions (no lookbehind/backrefs)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+_PII_COMPILED = tuple(
+    (re.compile(pat), repl) for pat, repl in PII_PATTERNS
+)
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Scrub emails / IPv4s / E.164-ish phone numbers to placeholder
+    tokens — the standard pre-training privacy pass. One vectorized
+    ``str.replace`` per pattern per batch (compiled once at import),
+    applied in declaration order; emits ``text`` (redacted) and
+    ``pii_hits`` (total substitutions per doc)."""
+    s = _texts(batch, text_col)
+    hits = np.zeros(len(s), np.int64)
+    for rx, repl in _PII_COMPILED:
+        hits += s.str.count(rx).to_numpy(np.int64)
+        s = s.str.replace(rx, repl, regex=True)
+    out = batch.drop_columns([text_col])
+    out = out.append_column(text_col, pa.array(s.tolist(), pa.string()))
+    return out.append_column("pii_hits", pa.array(hits, pa.int64()))

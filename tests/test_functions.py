@@ -750,3 +750,47 @@ def test_redact_pii_batch():
         "",
     ]
     assert out["pii_hits"].to_pylist() == [3, 0, 2, 0]
+
+
+def test_write_partitioned_resume(ray_session, tmp_path):
+    """Sink writes one marked dir per partition; a rerun skips complete
+    partitions and repairs missing/unmarked ones; the reader sees only
+    marked partitions."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sink import (
+        SUCCESS_FILE,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(30)), pa.int64()),
+        "lang": pa.array([["en", "fr", "de"][i % 3] for i in range(30)]),
+    })
+    out = str(tmp_path / "sink")
+    ds = rd.from_arrow(t).repartition(4)
+    s1 = write_partitioned(ds, out, "lang").to_pandas()
+    assert sorted(s1["partition"]) == ["de", "en", "fr"]
+    assert not s1["skipped"].any()
+
+    back = read_partitioned(out).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert back.equals(t.to_pandas())
+
+    # crash simulation: one partition gone, one unmarked (half-written)
+    import os
+    import shutil
+
+    shutil.rmtree(tmp_path / "sink" / "part-fr")
+    os.remove(tmp_path / "sink" / "part-de" / SUCCESS_FILE)
+    # reader must now hide both
+    visible = set(read_partitioned(out).to_pandas()["lang"])
+    assert visible == {"en"}
+
+    s2 = write_partitioned(rd.from_arrow(t).repartition(4), out, "lang").to_pandas()
+    redone = set(s2.loc[~s2["skipped"], "partition"])
+    assert redone == {"fr", "de"}
+    back2 = read_partitioned(out).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert back2.equals(t.to_pandas())

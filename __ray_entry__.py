@@ -388,6 +388,40 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
     )
 
 
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: the first-30-docs-by-id stand in for
+    the (inherently small, external) eval set; their distinct word
+    8-grams are broadcast and every corpus doc with an overlapping
+    8-gram occurrence is flagged with its hit count."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from typesense_ray.functions.decontam import (
+        benchmark_ngram_set,
+        flag_contaminated,
+    )
+
+    # Benchmark side: tiny by nature (real use: its own file). The sf
+    # files are doc_id-ascending, so the first row-group batch contains
+    # the 30 smallest ids without a full-table driver read.
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    head = next(pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]))
+    bt = pa.Table.from_batches([head]).sort_by("doc_id").slice(0, 30)
+    bench = benchmark_ngram_set(bt["text"].to_pylist(), n=8)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = flag_contaminated(ds, bench, n=8).sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "ngram_hits": t["ngram_hits"].cast(pa.int64()),
+        }
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -1046,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "redact_pii": q_redact_pii,
         "quality": q_quality,
+        "decontaminate": q_decontaminate,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1079,6 +1114,18 @@ WITH toks AS (
   FROM documents,
        unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(tok)
 ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> '')
+"""
+
+
+_TOKLIST_CTE = """
+WITH lt AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(replace(text, chr(10), ' '), ' '),
+             t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))),
+           t -> t <> '') AS toks
+  FROM documents
+)
 """
 
 
@@ -1328,6 +1375,20 @@ SELECT doc_id,
             ELSE round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
                        / length(text), 6) END AS punct_ratio
 FROM documents ORDER BY doc_id
+""",
+        "decontaminate": _TOKLIST_CTE
+        + """
+, ng AS (
+  SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS ng
+  FROM lt, unnest(CASE WHEN len(toks) >= 8
+                       THEN range(1, len(toks) - 6) ELSE [] END) AS u(i)
+), bench AS (
+  SELECT DISTINCT ng FROM ng
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30)
+)
+SELECT g.doc_id, count(*) AS ngram_hits
+FROM ng g JOIN bench b USING (ng)
+GROUP BY g.doc_id ORDER BY g.doc_id
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

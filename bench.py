@@ -80,6 +80,21 @@ def main() -> None:
 
     results: dict[str, float] = {}
 
+    # -- worker warm-up --------------------------------------------------
+    # Ray starts worker processes lazily and each one pays a cold
+    # typesense_ray/pandas import on its first task; without this, the
+    # first few timed stages measure process spawn + import, not the
+    # operator (observed 12 s cold vs 2.7 s warm for the same op). One
+    # throwaway map_batches over the sf dir spins up the pool.
+    import ray.data as rd
+
+    def _warm(b):
+        import typesense_ray.functions.text  # noqa: F401 — warm the import
+        return b
+
+    rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"]) \
+        .map_batches(_warm, batch_format="pyarrow").count()
+
     # -- headline: corpus index build -----------------------------------
     corpus_dir = f"/tmp/tsray_bench/corpus-{N_CORPUS_DOCS}-{SEED}"
     ensure_corpus(corpus_dir, N_CORPUS_DOCS)
@@ -209,6 +224,7 @@ def main() -> None:
         "tfidf_topk",
         "asof_join",
         "redact_pii",
+        "decontaminate",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

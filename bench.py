@@ -225,6 +225,7 @@ def main() -> None:
         "asof_join",
         "redact_pii",
         "decontaminate",
+        "rep_filter",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -848,3 +848,32 @@ def test_flag_contaminated(ray_session):
     )
     assert out["doc_id"].tolist() == [1]
     assert out["ngram_hits"].tolist() == [2]
+
+
+def test_repetition_stats(ray_session):
+    from typesense_ray.functions.text import repetition_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "spam spam spam spam ham",          # top unigram 4/5
+                    "a b c d e f g h",                  # all distinct
+                    "x y x y x y x y",                  # dup bigrams
+                    "",                                  # empty
+                ]
+            ),
+        }
+    )
+    out = repetition_stats_batch(t, "text").to_pandas()
+    assert abs(out["top_unigram_frac"][0] - 0.8) < 1e-9
+    assert out["keep_rep"][0] == 0
+    assert out["top_unigram_frac"][1] == 1 / 8
+    assert out["dup_2gram_frac"][1] == 0.0
+    assert out["keep_rep"][1] == 1
+    # 7 bigrams, 2 distinct -> 5/7 duplicated
+    assert abs(out["dup_2gram_frac"][2] - 5 / 7) < 1e-9
+    assert out["keep_rep"][2] == 0
+    assert out["top_unigram_frac"][3] == 0.0
+    assert out["keep_rep"][3] == 1

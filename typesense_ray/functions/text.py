@@ -213,6 +213,42 @@ def batch_ngram_stream(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
     return gv[valid], head_unit[valid]
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1):
+    ``top_unigram_frac`` (share of tokens taken by the single most
+    frequent term) and ``dup_2gram_frac`` (1 − distinct/total bigrams).
+    ``keep_rep`` = passes both thresholds (≤0.30 / ≤0.20). Vectorized:
+    one flatten, one (doc, term) groupby, one bigram stream + distinct
+    bincount — no per-doc Python."""
+    texts = batch[text_col].to_pylist()
+    m = len(texts)
+    flat, unit = batch_term_stream(texts)
+    tot = np.bincount(unit, minlength=m).astype(np.float64)
+    max_cnt = np.zeros(m)
+    if len(flat):
+        c = (
+            pd.DataFrame({"u": unit, "t": flat})
+            .groupby(["u", "t"], sort=False)
+            .size()
+        )
+        mx = c.groupby(level=0).max()
+        max_cnt[mx.index.to_numpy()] = mx.to_numpy()
+    ng, ngu = batch_ngram_stream(texts, 2)
+    tot2 = np.bincount(ngu, minlength=m).astype(np.float64)
+    dist2 = np.zeros(m)
+    if len(ng):
+        d2 = pd.DataFrame({"u": ngu, "g": ng}).drop_duplicates()
+        dist2 = np.bincount(d2["u"].to_numpy(), minlength=m).astype(np.float64)
+    top_frac = np.where(tot > 0, max_cnt / np.where(tot > 0, tot, 1.0), 0.0)
+    dup2 = np.where(tot2 > 0, 1.0 - dist2 / np.where(tot2 > 0, tot2, 1.0), 0.0)
+    keep = ((top_frac <= 0.3) & (dup2 <= 0.2)).astype(np.int64)
+    out = batch.append_column(
+        "top_unigram_frac", pa.array(top_frac, pa.float64())
+    )
+    out = out.append_column("dup_2gram_frac", pa.array(dup2, pa.float64()))
+    return out.append_column("keep_rep", pa.array(keep, pa.int64()))
+
+
 def tfidf_topk(
     ds,
     k: int = 3,

@@ -459,6 +459,35 @@ def q_rep_filter(sf_dir: str) -> pa.Table:
     )
 
 
+def q_chunk_docs(sf_dir: str) -> pa.Table:
+    """Overlapping 64-token / stride-48 context chunking over the
+    corpus (functions/text.py chunk_docs_batch)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import chunk_docs_batch
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: chunk_docs_batch(b, window=64, stride=48),
+            batch_format="pyarrow",
+        )
+        .sort(["doc_id", "chunk_id"])
+    )
+    t = pa.Table.from_pandas(out.to_pandas())
+    return t.cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("chunk_id", pa.int64()),
+                ("n_chunk_tokens", pa.int64()),
+                ("chunk_text", pa.string()),
+            ]
+        )
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -1119,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "decontaminate": q_decontaminate,
         "rep_filter": q_rep_filter,
+        "chunk_docs": q_chunk_docs,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1453,6 +1483,16 @@ FROM documents d
 LEFT JOIN uni USING (doc_id)
 LEFT JOIN big ON big.doc_id = d.doc_id
 ORDER BY d.doc_id
+""",
+        "chunk_docs": _TOKLIST_CTE
+        + """
+SELECT doc_id,
+       CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
+       CAST(least(i + 63, len(toks)) - i + 1 AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[i : least(i + 63, len(toks))], ' ') AS chunk_text
+FROM lt, unnest(CASE WHEN len(toks) >= 1
+                     THEN range(1, len(toks) + 1, 48) ELSE [] END) AS u(i)
+ORDER BY doc_id, chunk_id
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -226,6 +226,7 @@ def main() -> None:
         "redact_pii",
         "decontaminate",
         "rep_filter",
+        "chunk_docs",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

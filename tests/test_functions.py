@@ -877,3 +877,32 @@ def test_repetition_stats(ray_session):
     assert out["keep_rep"][2] == 0
     assert out["top_unigram_frac"][3] == 0.0
     assert out["keep_rep"][3] == 1
+
+
+def test_chunk_docs_batch():
+    from typesense_ray.functions.text import chunk_docs_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": pa.array(
+                [
+                    " ".join(f"t{i}" for i in range(10)),  # 10 toks
+                    "only three tokens",
+                    "",
+                ]
+            ),
+        }
+    )
+    out = chunk_docs_batch(t, window=4, stride=3).to_pandas()
+    d7 = out[out["doc_id"] == 7]
+    # starts 0,3,6,9 -> windows [0:4),[3:7),[6:10),[9:10)
+    assert d7["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert d7["n_chunk_tokens"].tolist() == [4, 4, 4, 1]
+    assert d7["chunk_text"].tolist()[0] == "t0 t1 t2 t3"
+    assert d7["chunk_text"].tolist()[3] == "t9"
+    d8 = out[out["doc_id"] == 8]
+    assert d8["chunk_text"].tolist() == ["only three tokens"]
+    assert (out["doc_id"] != 9).all()  # empty doc emits no chunks
+    # overlap: consecutive windows share window-stride tokens
+    assert d7["chunk_text"].tolist()[1].split()[0] == "t3"

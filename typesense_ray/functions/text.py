@@ -249,6 +249,53 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("keep_rep", pa.array(keep, pa.int64()))
 
 
+def chunk_docs_batch(
+    batch: pa.Table,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Split each doc into overlapping token windows (the LLM context
+    chunking pass): chunk c covers tokens [c·stride, c·stride+window)
+    of the normalized token stream; the tail chunk may be shorter; docs
+    with zero tokens emit no chunks. Emits (id_col, chunk_id,
+    n_chunk_tokens, chunk_text).
+
+    Shape: one normalize+join per doc, then chunk texts are C-level
+    substring slices at precomputed char offsets (one cumsum per doc) —
+    the only Python-level iteration is over OUTPUT chunks, ~n_tokens /
+    stride per doc, the same order as the rows produced."""
+    from typesense_ray.tokenizer import normalized_slots
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch[text_col].to_pylist()
+    out_id, out_chunk, out_n, out_text = [], [], [], []
+    for did, t in zip(ids, texts):
+        toks = [s for s in normalized_slots(t or "") if s]
+        n = len(toks)
+        if n == 0:
+            continue
+        joined = " ".join(toks)
+        off = np.concatenate(
+            [[0], np.cumsum(np.fromiter(map(len, toks), np.int64, n) + 1)]
+        )
+        for c, s in enumerate(range(0, n, stride)):
+            e = min(s + window, n)
+            out_id.append(did)
+            out_chunk.append(c)
+            out_n.append(e - s)
+            out_text.append(joined[off[s] : off[e] - 1])
+    return pa.table(
+        {
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "n_chunk_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        }
+    )
+
+
 def tfidf_topk(
     ds,
     k: int = 3,

@@ -488,6 +488,25 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_global_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic global shuffle: (shard, pos) per doc via grouped
+    rank over the multiplicative id hash (functions/sampling.py
+    shard_shuffle — two-level distributed prefix-sum, no RNG)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import shard_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = shard_shuffle(ds, n_shards=8).sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return t.select(["doc_id", "shard", "pos"]).cast(
+        pa.schema(
+            [("doc_id", pa.int64()), ("shard", pa.int64()),
+             ("pos", pa.int64())]
+        )
+    )
+
+
 def q_knn_cosine(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
@@ -1149,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "rep_filter": q_rep_filter,
         "chunk_docs": q_chunk_docs,
+        "global_shuffle": q_global_shuffle,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1493,6 +1513,17 @@ SELECT doc_id,
 FROM lt, unnest(CASE WHEN len(toks) >= 1
                      THEN range(1, len(toks) + 1, 48) ELSE [] END) AS u(i)
 ORDER BY doc_id, chunk_id
+""",
+        "global_shuffle": """
+SELECT doc_id,
+       CAST(hkey % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY hkey % 8 ORDER BY hkey, doc_id) - 1
+            AS BIGINT) AS pos
+FROM (SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 AS hkey
+      FROM documents)
+ORDER BY doc_id
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -227,6 +227,7 @@ def main() -> None:
         "decontaminate",
         "rep_filter",
         "chunk_docs",
+        "global_shuffle",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -906,3 +906,29 @@ def test_chunk_docs_batch():
     assert (out["doc_id"] != 9).all()  # empty doc emits no chunks
     # overlap: consecutive windows share window-stride tokens
     assert d7["chunk_text"].tolist()[1].split()[0] == "t3"
+
+
+def test_shard_shuffle(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import KNUTH, shard_shuffle
+
+    ids = np.arange(200, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    out = (
+        shard_shuffle(ds, n_shards=4, n_ranges=16)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # independent scalar reference
+    h = (ids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)
+    want_shard = (h % np.uint64(4)).astype(np.int64)
+    assert out["shard"].tolist() == want_shard.tolist()
+    # per-shard positions are a permutation of 0..n_s-1 ordered by (h, id)
+    for s in range(4):
+        m = want_shard == s
+        order = np.lexsort((ids[m], h[m]))
+        got = out.loc[out["shard"] == s].set_index("doc_id")["pos"]
+        want_pos = np.empty(m.sum(), np.int64)
+        want_pos[order] = np.arange(m.sum())
+        assert got.loc[ids[m]].tolist() == want_pos.tolist()

@@ -61,3 +61,98 @@ def stratified_sample(
         .groupby(group_col)
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def shard_shuffle(
+    ds,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    n_ranges: int = 256,
+    stream_max_rows: int = 5_000_000,
+):
+    """Deterministic global training-data shuffle: every row gets a
+    ``shard`` (hash mod n_shards — which output file it lands in) and a
+    ``pos`` (its rank within the shard by (hash, id) — the read order),
+    as a pure function of the data: reruns, resumes and the SQL oracle
+    agree bit-for-bit, with no RNG state shipped anywhere.
+
+    Distributed shape (grouped rank via the same two-level prefix-sum
+    as packing.py): hash + coarse hash-range key per batch; per
+    (shard, range) row counts fold to exclusive offsets (broadcast);
+    ONE groupby((shard, range)) then sorts locally and adds its offset.
+    No stage holds more than one (shard, range) cell's rows; the offset
+    table is n_shards × n_ranges regardless of corpus size.
+    """
+    import pandas as pd
+    import ray
+
+    span = int(_MOD) // n_ranges
+
+    def keys(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash_ids(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "shard": pa.array(
+                    (h % np.uint64(n_shards)).astype(np.int64), pa.int64()
+                ),
+                "part": pa.array(
+                    (h // np.uint64(span)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow").materialize()
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"shard": batch["shard"].to_numpy(),
+             "part": batch["part"].to_numpy()}
+        )
+        g = df.groupby(["shard", "part"], as_index=False).size()
+        return pa.table(
+            {
+                "shard": pa.array(g["shard"], pa.int64()),
+                "part": pa.array(g["part"], pa.int64()),
+                "c": pa.array(g["size"], pa.int64()),
+            }
+        )
+
+    partials_ds = keyed.map_batches(
+        cell_counts, batch_format="pyarrow"
+    ).materialize()
+    if partials_ds.count() > stream_max_rows:
+        from ray.data.aggregate import Sum
+
+        cells = (
+            partials_ds.groupby(["shard", "part"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+    else:
+        cells = (
+            pd.DataFrame(partials_ds.take_all())
+            .groupby(["shard", "part"], as_index=False)["c"]
+            .sum()
+        )
+    cells = cells.sort_values(["shard", "part"], ignore_index=True)
+    grp = cells.groupby("shard")["c"]
+    offs = grp.cumsum() - cells["c"]  # exclusive prefix within each shard
+    off_map = {
+        (int(s), int(p)): int(o)
+        for s, p, o in zip(cells["shard"], cells["part"], offs)
+    }
+    off_ref = ray.put(off_map)
+
+    def place(g: "pd.DataFrame") -> "pd.DataFrame":
+        off = ray.get(off_ref)[(int(g["shard"].iat[0]), int(g["part"].iat[0]))]
+        g = g.sort_values(["h", id_col], kind="mergesort")
+        out = g[[id_col, "shard"]].copy()
+        out["pos"] = off + np.arange(len(g), dtype=np.int64)
+        return out.reset_index(drop=True)
+
+    return keyed.groupby(["shard", "part"]).map_groups(
+        place, batch_format="pandas"
+    )

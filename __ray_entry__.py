@@ -488,6 +488,30 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-event_type p25/p50/p75/p95 of value by distributed
+    rank selection (functions/relational.py grouped_quantiles) — no
+    full sort, no whole-group materialization."""
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = grouped_quantiles(ds, "event_type", "value")
+    df = out.to_pandas().sort_values(
+        ["event_type", "p"], ignore_index=True
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "p": pa.array(df["p"], pa.float64()),
+            "value": pa.array(df["value"], pa.float64()),
+        }
+    )
+
+
 def q_global_shuffle(sf_dir: str) -> pa.Table:
     """Deterministic global shuffle: (shard, pos) per doc via grouped
     rank over the multiplicative id hash (functions/sampling.py
@@ -1169,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rep_filter": q_rep_filter,
         "chunk_docs": q_chunk_docs,
         "global_shuffle": q_global_shuffle,
+        "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1524,6 +1549,18 @@ FROM (SELECT doc_id,
              (doc_id * 2654435761) % 4294967296 AS hkey
       FROM documents)
 ORDER BY doc_id
+""",
+        "value_quantiles": """
+WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+      FROM events)
+SELECT r.event_type, p.p, r.value
+FROM r
+JOIN n USING (event_type)
+JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) p(p)
+  ON r.rn = CAST(ceil(p.p * n.n) AS BIGINT)
+ORDER BY r.event_type, p.p
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -228,6 +228,7 @@ def main() -> None:
         "rep_filter",
         "chunk_docs",
         "global_shuffle",
+        "value_quantiles",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -932,3 +932,32 @@ def test_shard_shuffle(ray_session):
         want_pos = np.empty(m.sum(), np.int64)
         want_pos[order] = np.arange(m.sum())
         assert got.loc[ids[m]].tolist() == want_pos.tolist()
+
+
+def test_grouped_quantiles_exact(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=1000)
+    groups = np.where(np.arange(1000) % 3 == 0, "a", "b")
+    t = pa.table(
+        {"event_type": pa.array(groups.tolist(), pa.string()),
+         "value": pa.array(vals, pa.float64())}
+    )
+    out = (
+        grouped_quantiles(rd.from_arrow(t).repartition(8),
+                          "event_type", "value", n_ranges=16)
+        .to_pandas()
+        .sort_values(["event_type", "p"], ignore_index=True)
+    )
+    for g in ("a", "b"):
+        v = np.sort(vals[groups == g])
+        n = len(v)
+        for p in (0.25, 0.5, 0.75, 0.95):
+            want = v[int(np.ceil(p * n)) - 1]
+            got = out.loc[
+                (out["event_type"] == g) & (out["p"] == p), "value"
+            ].iloc[0]
+            assert got == want, (g, p)

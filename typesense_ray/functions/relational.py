@@ -156,3 +156,119 @@ def asof_join(
         )
 
     return both.groupby(key_col).map_groups(join_group, batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ps: tuple = (0.25, 0.5, 0.75, 0.95),
+    n_ranges: int = 256,
+    stream_max_rows: int = 5_000_000,
+):
+    """EXACT per-group discrete quantiles (value at 1-based rank
+    ``ceil(p·n)``) without ever sorting or holding a whole group:
+    distributed selection by value-range bucketing + grouped rank — the
+    same two-level prefix-sum shape as packing/shard_shuffle.
+
+    1. one cheap pass for the global [min, max] of ``value_col``;
+    2. per-batch (group, bucket) row counts (bucket = linear slot in
+       [min, max], monotone in value) → exclusive offsets per group and
+       per-group totals → target ranks, broadcast;
+    3. ONE ``groupby((group, bucket))`` exchange; each cell sorts only
+       its bucket's values, adds its offset, and emits just the rows
+       whose global in-group rank is a target — at most |groups|·|ps|
+       rows ever reach the driver.
+
+    Heavily-skewed value distributions concentrate cells (same caveat
+    as any range partitioning); raise ``n_ranges`` to split hot cells.
+    """
+    import pandas as pd
+    import ray
+
+    # pass 1: global value range (two floats to the driver)
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([float(v.min())] if len(v) else [],
+                                        pa.float64()),
+                         "hi": pa.array([float(v.max())] if len(v) else [],
+                                        pa.float64())})
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    width = (hi - lo) or 1.0
+
+    def keys(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width * n_ranges).astype(np.int64),
+                    0, n_ranges - 1)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                value_col: pa.array(v, pa.float64()),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow").materialize()
+
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {group_col: batch[group_col].to_pandas(),
+             "bucket": batch["bucket"].to_numpy()}
+        )
+        g = df.groupby([group_col, "bucket"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    partials_ds = keyed.map_batches(
+        cell_counts, batch_format="pyarrow"
+    ).materialize()
+    if partials_ds.count() > stream_max_rows:
+        from ray.data.aggregate import Sum
+
+        cells = (
+            partials_ds.groupby([group_col, "bucket"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+    else:
+        cells = (
+            pd.DataFrame(partials_ds.take_all())
+            .groupby([group_col, "bucket"], as_index=False)["c"]
+            .sum()
+        )
+    cells = cells.sort_values([group_col, "bucket"], ignore_index=True)
+    offs = cells.groupby(group_col)["c"].cumsum() - cells["c"]
+    off_map = {
+        (g, int(b)): int(o)
+        for g, b, o in zip(cells[group_col], cells["bucket"], offs)
+    }
+    totals = cells.groupby(group_col)["c"].sum()
+    # 0-based target rank per group: ceil(p·n) − 1
+    targets = {
+        g: {int(np.ceil(p * n)) - 1: p for p in ps}
+        for g, n in totals.items()
+    }
+    ref = ray.put((off_map, targets))
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        om, tg = ray.get(ref)
+        key = (g[group_col].iat[0], int(g["bucket"].iat[0]))
+        off = om[key]
+        want = tg[key[0]]
+        v = np.sort(g[value_col].to_numpy(np.float64), kind="mergesort")
+        hit = [(p, float(v[r - off]))
+               for r, p in want.items() if off <= r < off + len(v)]
+        return pd.DataFrame(
+            {
+                group_col: pd.Series([key[0]] * len(hit), dtype=object),
+                "p": pd.Series([p for p, _ in hit], dtype=np.float64),
+                value_col: pd.Series([x for _, x in hit], dtype=np.float64),
+            }
+        )
+
+    return keyed.groupby([group_col, "bucket"]).map_groups(
+        pick, batch_format="pandas"
+    )

@@ -910,6 +910,62 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def q_tpch_q5ish(sf_dir: str) -> pa.Table:
+    """Revenue per nation: TWO distributed shuffle hash joins
+    (orders ⋈ customer on custkey, then lineitem ⋈ that on orderkey,
+    functions/relational.hash_join), a broadcast nation-name lookup
+    (25 rows — never shuffled), and per-batch revenue combiners so the
+    final exchange moves ≤|nations| rows per block."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from typesense_ray.agg import combiner_aggregate
+    from typesense_ray.functions.relational import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j1 = hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        left_cols=("o_orderkey",), right_cols={"c_nationkey": "nationkey"},
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j2 = hash_join(
+        line, j1, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=("l_extendedprice", "l_discount"),
+        right_cols={"nationkey": "nationkey"},
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby("nationkey", as_index=False).agg(revenue=("rev", "sum"))
+
+    out = combiner_aggregate(j2, partial, ["nationkey"], {"revenue": "sum"})
+    names = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = out.merge(
+        names, left_on="nationkey", right_on="n_nationkey", how="inner"
+    )
+    out["revenue"] = [_round_half_up(v, 2) for v in out["revenue"]]
+    out = out.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], ignore_index=True
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "revenue": pa.array(out["revenue"], pa.float64()),
+        }
+    )
+
+
 def q_tpch_q1ish(sf_dir: str) -> pa.Table:
     """Pricing-summary aggregate with per-batch combiners: each batch
     pre-aggregates to ≤|groups| rows inside map_batches, so the shuffle
@@ -1205,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "tpch_q1ish": q_tpch_q1ish,
+        "tpch_q5ish": q_tpch_q5ish,
         "join_priority": q_join_priority,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
@@ -1549,6 +1606,16 @@ FROM (SELECT doc_id,
              (doc_id * 2654435761) % 4294967296 AS hkey
       FROM documents)
 ORDER BY doc_id
+""",
+        "tpch_q5ish": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
 """,
         "value_quantiles": """
 WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

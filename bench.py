@@ -213,6 +213,7 @@ def main() -> None:
         "token_counts",
         "fingerprints",
         "tpch_q1ish",
+        "tpch_q5ish",
         "join_priority",
         "sessionize",
         "events_tumbling",

@@ -961,3 +961,61 @@ def test_grouped_quantiles_exact(ray_session):
                 (out["event_type"] == g) & (out["p"] == p), "value"
             ].iloc[0]
             assert got == want, (g, p)
+
+
+def test_hash_join_inner_and_left(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 2], pa.int64()),
+         "lv": pa.array(["a", "b", "c", "d", "e"])}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 3, 3, 9], pa.int64()),
+         "rv": pa.array([20, 30, 31, 90], pa.int64())}
+    )
+    inner = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                  left_on="k", right_on="rk", left_cols=("lv",),
+                  right_cols={"rv": "rv"}, n_buckets=4)
+        .to_pandas().sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    want = (
+        left.to_pandas().merge(
+            right.to_pandas().rename(columns={"rk": "k"}), on="k")
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    assert inner.equals(want[["k", "lv", "rv"]])
+    assert inner["rv"].dtype == np.int64  # dtype restored after null-pad
+
+    lj = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                  left_on="k", right_on="rk", left_cols=("lv",),
+                  right_cols={"rv": "rv"}, how="left", n_buckets=4)
+        .to_pandas()
+    )
+    assert len(lj) == 6  # 5 left rows, k=2 matches once, k=3 twice
+    assert lj.loc[lj["k"] == 1, "rv"].isna().all()
+
+
+def test_hash_join_chained_after_null_pad(ray_session):
+    # the float64-drift regression: joining the OUTPUT of a join on an
+    # int key must still co-bucket with a fresh int64 side
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import hash_join
+
+    a = pa.table({"k": pa.array(range(50), pa.int64()),
+                  "v": pa.array(range(50), pa.int64())})
+    b = pa.table({"k2": pa.array(range(0, 50, 2), pa.int64()),
+                  "w": pa.array(range(25), pa.int64())})
+    j1 = hash_join(rd.from_arrow(a), rd.from_arrow(b), "k", "k2",
+                   ("v",), {"w": "w"}, n_buckets=8)
+    c = pa.table({"k3": pa.array(range(0, 50, 4), pa.int64()),
+                  "x": pa.array(range(13), pa.int64())})
+    j2 = hash_join(rd.from_arrow(c), j1, "k3", "k",
+                   ("x",), {"w": "w2"}, n_buckets=8)
+    out = j2.to_pandas()
+    assert len(out) == 13  # every multiple of 4 is a multiple of 2

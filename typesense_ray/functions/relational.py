@@ -272,3 +272,100 @@ def grouped_quantiles(
     return keyed.groupby([group_col, "bucket"]).map_groups(
         pick, batch_format="pandas"
     )
+
+
+def _bucket_of(a: np.ndarray, n: int) -> np.ndarray:
+    """Deterministic join bucket for int or string keys (internal —
+    both sides just need to agree)."""
+    import pandas as pd
+
+    if a.dtype.kind in "iu":
+        return (
+            (a.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n)
+        ).astype(np.int64)
+    return (pd.util.hash_array(a, categorize=False) % n).astype(np.int64)
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    left_cols: tuple[str, ...] = (),
+    right_cols: dict[str, str] | None = None,
+    how: str = "inner",
+    n_buckets: int = 64,
+):
+    """Distributed shuffle hash join (repartition join): both sides are
+    padded to one unified schema, tagged with ``_side`` and a
+    ``_bucket = hash(key) % n_buckets`` column, unioned, and
+    co-partitioned by ONE ``groupby(_bucket)`` exchange; each bucket
+    task runs a vectorized ``pd.merge`` over its 1/n_buckets slice.
+
+    Output columns: ``left_on`` (the join key), ``left_cols`` verbatim,
+    and ``right_cols`` values (src → output rename; must not collide).
+    ``how``: 'inner' or 'left' (left-join null fills become pandas NaN,
+    so int right-payloads surface as float64 — the SQL NULL analogue).
+
+    Partitioning assumption: a single bucket (≈ rows / n_buckets plus
+    any hot key's full row set) fits a task; raise ``n_buckets`` for
+    bigger inputs and salt a pathological hot key before joining.
+    """
+    import pandas as pd
+
+    right_cols = right_cols or {}
+    r_schema = right_ds.schema()
+    l_schema = left_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    lpay = [c for c in left_cols if c != left_on]
+    rpay_out = list(right_cols.values())
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        k = t[left_on].to_numpy(zero_copy_only=False)
+        cols = {left_on: t[left_on]}
+        for c in lpay:
+            cols[c] = t[c]
+        for src, out in right_cols.items():
+            cols[out] = pa.nulls(t.num_rows, r_types[src])
+        cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["_bucket"] = pa.array(_bucket_of(k, n_buckets), pa.int64())
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        # bucket AFTER casting to the left key type: a float64 key (int
+        # column gone through a null-padded pandas stage upstream) must
+        # hash identically to the left side's int64 values
+        kcast = t[right_on].cast(l_types[left_on])
+        k = kcast.to_numpy(zero_copy_only=False)
+        cols = {left_on: kcast}
+        for c in lpay:
+            cols[c] = pa.nulls(t.num_rows, l_types[c])
+        for src, out in right_cols.items():
+            cols[out] = t[src]
+        cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["_bucket"] = pa.array(_bucket_of(k, n_buckets), pa.int64())
+        return pa.table(cols)
+
+    both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
+        right_ds.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    out_types = {left_on: l_types[left_on]}
+    out_types.update({c: l_types[c] for c in lpay})
+    out_types.update({out: r_types[src] for src, out in right_cols.items()})
+
+    def join_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        left = g.loc[g["_side"] == 0, [left_on, *lpay]]
+        right = g.loc[g["_side"] == 1, [left_on, *rpay_out]]
+        out = pd.merge(left, right, on=left_on, how=how).reset_index(drop=True)
+        if how == "inner":
+            # no nulls survive an inner join — undo the float64 drift the
+            # null-padded union stage forced onto int columns
+            for c, t in out_types.items():
+                out[c] = out[c].astype(t.to_pandas_dtype())
+        return out
+
+    return both.groupby("_bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

@@ -139,6 +139,21 @@ def q_bm25_or_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """Top-20 docs most similar to doc 0 by Σ tf·ln(N/df) over the
+    seed's distinct terms (LocalIndexSearcher.more_like_this)."""
+    coll = _docs_index(sf_dir)
+    res = coll._local.more_like_this(0, k=20)
+    return pa.table(
+        {
+            "doc_id": res["doc_id"].cast(pa.int64()),
+            "score": pa.array(
+                [round(s, 4) for s in res["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def q_exact_and_search(sf_dir: str) -> pa.Table:
     coll = _docs_index(sf_dir)
     return coll.matching_ids("window merge")
@@ -1233,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "exact_and_search": q_exact_and_search,
+        "more_like_this": q_more_like_this,
         "filter_dsl": q_filter_dsl,
         "facet_lang_counts": q_facet_lang_counts,
         "facet_stats_by_lang": q_facet_stats_by_lang,
@@ -1606,6 +1622,21 @@ FROM (SELECT doc_id,
              (doc_id * 2654435761) % 4294967296 AS hkey
       FROM documents)
 ORDER BY doc_id
+""",
+        "more_like_this": _TOKS_CTE
+        + """
+, seed AS (SELECT DISTINCT term FROM toks2 WHERE doc_id = 0),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+sc AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df)) AS s
+  FROM tf JOIN seed USING (term) JOIN df USING (term)
+  WHERE tf.doc_id <> 0
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id DESC LIMIT 20
 """,
         "tpch_q5ish": """
 SELECT n_name,

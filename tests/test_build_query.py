@@ -238,3 +238,52 @@ def test_file_parallel_build_matches_dataset_path(ray_session, tmp_path):
                          concurrency=1)
     assert stats2["segments_skipped"] == stats2["n_segments"]
     assert sorted(stats2["segments"]) == sorted(stats_f["segments"])
+
+
+def test_more_like_this_matches_bruteforce(ray_session, tmp_path):
+    import math
+
+    import ray.data as rd
+
+    docs = {
+        10: "apple banana apple cherry",
+        11: "apple banana durian",
+        12: "cherry cherry banana kiwi",
+        13: "unrelated words only here",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    out = str(tmp_path / "mlt-idx")
+    cfg = IndexConfig(
+        text_field="text", id_field="doc_id", sha_field=None,
+        batch_docs=2, meta_fields=("doc_id", "text"),
+    )
+    build_index(rd.from_arrow(tbl), out, cfg, concurrency=2)
+    s = LocalIndexSearcher(out)
+    res = s.more_like_this(10, k=10).to_pandas()
+
+    # brute force Σ tf·ln(N/df) over seed terms
+    n = len(docs)
+    toks = {d: t.split() for d, t in docs.items()}
+    df = {}
+    for t in set(w for ws in toks.values() for w in ws):
+        df[t] = sum(t in ws for ws in toks.values())
+    seed_terms = set(toks[10])
+    want = {}
+    for d, ws in toks.items():
+        if d == 10:
+            continue
+        sc = sum(
+            ws.count(t) * math.log(n / df[t]) for t in seed_terms if t in ws
+        )
+        if sc > 0:
+            want[d] = sc
+    want_order = sorted(want, key=lambda d: (-want[d], -d))
+    assert res["doc_id"].tolist() == want_order
+    for d, sc in zip(res["doc_id"], res["score"]):
+        assert abs(sc - want[d]) < 1e-12
+    assert 10 not in res["doc_id"].tolist()

@@ -342,6 +342,36 @@ class SegmentSearcher:
         order = np.lexsort((gids, s1, s0))[::-1][:k]
         return gids[order], s0[order], s1[order]
 
+    def search_tfidf(
+        self,
+        terms: list[str],
+        global_df: dict[str, int],
+        n_docs_total: int,
+        k: int,
+        exclude_gid: int | None = None,
+    ):
+        """Segment-local disjunctive tf·idf top-k: score = Σ_t tf·ln(N/df)
+        over ``terms`` — the scoring body of more-like-this. Dense
+        scatter-add per term in sorted order (deterministic float sums),
+        (score desc, doc_id desc) tie-break via ``_topk``."""
+        post = self.postings(sorted(set(terms)))
+        if not post:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        present = np.zeros(self.n_docs, dtype=bool)
+        for t in sorted(post):
+            p = post[t]
+            ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(np.int64)
+            tfs = varbyte_decode(p["tfs_vb"], p["df"]).astype(np.float64)
+            scores[ids] += tfs * np.log(n_docs_total / global_df[t])
+            present[ids] = True
+        if exclude_gid is not None:
+            present[self.doc_ids == np.uint64(exclude_gid)] = False
+        cand = np.flatnonzero(present)
+        if cand.size == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        return self._topk(cand, scores[cand], k)
+
     def _topk(self, cand: np.ndarray, scores: np.ndarray, k: int):
         gids = self.doc_ids[cand]
         if cand.size > k * 8 and k < cand.size:
@@ -488,6 +518,45 @@ class LocalIndexSearcher:
                 )
             return pa.table({"doc_id": merged[0], "s0": merged[1], "s1": merged[2]})
         raise ValueError(f"unknown mode {mode}")
+
+    def more_like_this(self, seed_doc_id: int, k: int = 20) -> pa.Table:
+        """Lucene MoreLikeThis role (no reference counterpart): rank
+        OTHER docs by Σ_t tf_d(t)·ln(N/df_t) over the seed doc's distinct
+        terms, (score desc, doc_id desc). Requires the text field stored
+        in the docs sidecar (hydrate supplies the seed's text); reuses
+        the same postings + global-df machinery as BM25 — per segment
+        one decode + dense scatter-add, then cross-segment merge_topk."""
+        from typesense_ray.tokenizer import normalized_slots
+
+        tf_name = self.stats.get("config", {}).get("text_field", "text")
+        txt = self.hydrate(
+            np.array([seed_doc_id], dtype=np.uint64), columns=[tf_name]
+        )
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.uint64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if txt.num_rows == 0:
+            return empty
+        terms = sorted(
+            {t for t in normalized_slots(txt[tf_name][0].as_py() or "") if t}
+        )
+        dfs = self._dfs(terms)
+        terms = [t for t in terms if dfs[t] > 0]
+        if not terms:
+            return empty
+        n = self.stats["n_docs"]
+        parts = []
+        for seg in self.segments:
+            ids, scores = seg.search_tfidf(
+                terms, dfs, n, k, exclude_gid=seed_doc_id
+            )
+            if ids.size:
+                parts.append((ids, scores))
+        merged = merge_topk(parts, k)
+        if merged is None:
+            return empty
+        return pa.table({"doc_id": merged[0], "score": merged[1]})
 
     def phrase_match(self, phrase: str) -> pa.Table:
         """All doc_ids containing ``phrase`` as consecutive tokens, sorted

@@ -527,6 +527,31 @@ def q_value_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def q_char_lm_score(sf_dir: str) -> pa.Table:
+    """Char-bigram LM mean log-prob per doc, model trained on the
+    corpus itself (functions/text.py char_lm_score)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import char_lm_score
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = char_lm_score(ds).sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_bigrams": t["n_bigrams"].cast(pa.int64()),
+            "avg_logprob": pa.array(
+                [_round_half_up(v, 6) if v >= 0 else -_round_half_up(-v, 6)
+                 for v in t["avg_logprob"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_global_shuffle(sf_dir: str) -> pa.Table:
     """Deterministic global shuffle: (shard, pos) per doc via grouped
     rank over the multiplicative id hash (functions/sampling.py
@@ -1264,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "rep_filter": q_rep_filter,
         "chunk_docs": q_chunk_docs,
+        "char_lm_score": q_char_lm_score,
         "global_shuffle": q_global_shuffle,
         "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
@@ -1611,6 +1637,27 @@ SELECT doc_id,
 FROM lt, unnest(CASE WHEN len(toks) >= 1
                      THEN range(1, len(toks) + 1, 48) ELSE [] END) AS u(i)
 ORDER BY doc_id, chunk_id
+""",
+        "char_lm_score": """
+WITH ch AS (
+  SELECT doc_id, substr(text, i, 2) AS bg, substr(text, i, 1) AS c1
+  FROM documents,
+       unnest(CASE WHEN length(text) >= 2
+                   THEN range(1, length(text)) ELSE [] END) AS u(i)
+),
+bgc AS (SELECT bg, count(*) AS c FROM ch GROUP BY bg),
+c1c AS (SELECT c1, count(*) AS c1n FROM ch GROUP BY c1),
+sc AS (
+  SELECT ch.doc_id, count(*) AS n_bigrams,
+         avg(ln(bgc.c * 1.0 / c1c.c1n)) AS lp
+  FROM ch JOIN bgc USING (bg) JOIN c1c USING (c1)
+  GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(sc.lp, 0.0), 6) AS avg_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
 """,
         "global_shuffle": """
 SELECT doc_id,

@@ -230,6 +230,8 @@ def main() -> None:
         "chunk_docs",
         "global_shuffle",
         "value_quantiles",
+        "char_lm_score",
+        "more_like_this",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

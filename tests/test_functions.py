@@ -1019,3 +1019,37 @@ def test_hash_join_chained_after_null_pad(ray_session):
                    ("x",), {"w": "w2"}, n_buckets=8)
     out = j2.to_pandas()
     assert len(out) == 13  # every multiple of 4 is a multiple of 2
+
+
+def test_char_lm_score(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from typesense_ray.functions.text import char_lm_score
+
+    texts = ["abab", "abc", "zz", ""]
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = (
+        char_lm_score(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # scalar reference model
+    from collections import Counter
+
+    bg = Counter(); c1 = Counter()
+    for s in texts:
+        for i in range(len(s) - 1):
+            bg[s[i : i + 2]] += 1; c1[s[i]] += 1
+    for i, s in enumerate(texts):
+        pairs = [s[j : j + 2] for j in range(len(s) - 1)]
+        assert out["n_bigrams"][i] == len(pairs)
+        if pairs:
+            want = sum(math.log(bg[p] / c1[p[0]]) for p in pairs) / len(pairs)
+            assert abs(out["avg_logprob"][i] - want) < 1e-12
+        else:
+            assert out["avg_logprob"][i] == 0.0

@@ -296,6 +296,81 @@ def chunk_docs_batch(
     )
 
 
+def _char_bigram_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """All within-doc char bigrams of a batch as packed uint64 codes
+    (cp1 << 21 | cp2) + doc index. One join + one utf-32 decode for the
+    whole batch; cross-doc bigrams masked with one compare."""
+    m = len(texts)
+    joined = "".join(t or "" for t in texts)
+    arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if arr.size < 2:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    lens = np.fromiter((len(t or "") for t in texts), np.int64, m)
+    codes = (arr[:-1].astype(np.uint64) << np.uint64(21)) | arr[1:].astype(
+        np.uint64
+    )
+    unit = np.repeat(np.arange(m, dtype=np.int64), lens)
+    valid = unit[:-1] == unit[1:]
+    return codes[valid], unit[:-1][valid]
+
+
+def char_lm_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style LM quality signal: per-doc mean log-probability under
+    a char-bigram model TRAINED ON THE CORPUS ITSELF —
+    ``avg_logprob = mean_i ln P(c_{i+1} | c_i)`` with
+    ``P(b|a) = count(ab) / count(a·)``.
+
+    Two streaming passes: (1) per-batch bigram histograms
+    (``np.unique`` on packed codes) fold to the global model — the
+    model is |charset|² rows max, so it broadcasts via ``ray.put`` and
+    the fold is trivially driver-sized; (2) per-batch vectorized
+    ``searchsorted`` probe + in-text-order ``bincount`` accumulation
+    (matches a serial scan's float-add order for oracle parity).
+
+    Returns a Dataset of (id_col, n_bigrams, avg_logprob-unrounded).
+    """
+    import ray
+
+    def hist(batch: pa.Table) -> pa.Table:
+        codes, _ = _char_bigram_stream(batch[text_col].to_pylist())
+        u, c = np.unique(codes, return_counts=True)
+        return pa.table(
+            {"bg": pa.array(u.astype(np.int64), pa.int64()),
+             "c": pa.array(c, pa.int64())}
+        )
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    model = parts.groupby("bg", as_index=False)["c"].sum().sort_values(
+        "bg", ignore_index=True
+    )
+    bgs = model["bg"].to_numpy(np.uint64)
+    cnt = model["c"].to_numpy(np.float64)
+    first = (bgs >> np.uint64(21)).astype(np.int64)
+    c1 = pd.DataFrame({"f": first, "c": cnt}).groupby("f")["c"].sum()
+    lnp = np.log(cnt / c1.loc[first].to_numpy())
+    ref = ray.put((bgs, lnp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        b, l = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(ids)
+        codes, unit = _char_bigram_stream(batch[text_col].to_pylist())
+        pos = np.searchsorted(b, codes)
+        lp = l[pos]  # every bigram is in the model (trained on this corpus)
+        n = np.bincount(unit, minlength=m).astype(np.int64)
+        sums = np.bincount(unit, weights=lp, minlength=m)
+        avg = np.where(n > 0, sums / np.where(n > 0, n, 1), 0.0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(n, pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def tfidf_topk(
     ds,
     k: int = 3,

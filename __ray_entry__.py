@@ -503,6 +503,22 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dup_spans(sf_dir: str) -> pa.Table:
+    """Exact duplicate-substring flags (10-token spans occurring ≥2×
+    corpus-wide) over the near-dup-injected corpus
+    (functions/decontam.py dup_span_flags)."""
+    from typesense_ray.functions.decontam import dup_span_flags
+
+    out = dup_span_flags(_augmented_docs(sf_dir), n=10).sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "dup_spans": t["dup_spans"].cast(pa.int64()),
+        }
+    )
+
+
 def q_value_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-event_type p25/p50/p75/p95 of value by distributed
     rank selection (functions/relational.py grouped_quantiles) — no
@@ -1291,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "char_lm_score": q_char_lm_score,
         "global_shuffle": q_global_shuffle,
+        "dup_spans": q_dup_spans,
         "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1694,6 +1711,24 @@ WHERE c_custkey = o_custkey
   AND c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
+""",
+        "dup_spans": _AUG_CTE
+        + """
+, lt AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(replace(text, chr(10), ' '), ' '),
+             t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))),
+           t -> t <> '') AS toks
+  FROM aug
+), ng AS (
+  SELECT doc_id, array_to_string(toks[i : i + 9], ' ') AS g
+  FROM lt, unnest(CASE WHEN len(toks) >= 10
+                       THEN range(1, len(toks) - 8) ELSE [] END) AS u(i)
+), dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2)
+SELECT ng.doc_id, count(*) AS dup_spans
+FROM ng JOIN dup USING (g)
+GROUP BY ng.doc_id ORDER BY ng.doc_id
 """,
         "value_quantiles": """
 WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

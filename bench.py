@@ -226,6 +226,7 @@ def main() -> None:
         "asof_join",
         "redact_pii",
         "decontaminate",
+        "dup_spans",
         "rep_filter",
         "chunk_docs",
         "global_shuffle",

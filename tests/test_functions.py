@@ -1053,3 +1053,34 @@ def test_char_lm_score(ray_session):
             assert abs(out["avg_logprob"][i] - want) < 1e-12
         else:
             assert out["avg_logprob"][i] == 0.0
+
+
+@pytest.mark.parametrize("mode", ["stream", "groupby"])
+def test_dup_span_flags(ray_session, mode):
+    import ray.data as rd
+
+    from typesense_ray.functions.decontam import dup_span_flags
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two three four five six",
+                    "zero one two three four five done",  # shares 5-gram w/ 1
+                    "totally different text in here now",
+                    "echo echo echo echo echo echo echo",  # self-repeating
+                ]
+            ),
+        }
+    )
+    out = (
+        dup_span_flags(rd.from_arrow(t).repartition(3), n=5, mode=mode)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc1: spans (one..five),(two..six) -> first is in doc2 too = 1 hit
+    # doc2: 3 spans, (one..five) duplicated = 1 hit
+    # doc4: 3 spans of "echo"x5, all identical -> all 3 duplicated
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["dup_spans"].tolist() == [1, 1, 3]

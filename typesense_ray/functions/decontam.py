@@ -26,6 +26,81 @@ def benchmark_ngram_set(texts: list, n: int = 8) -> frozenset:
     return frozenset(ng.tolist())
 
 
+def dup_span_flags(
+    ds,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "auto",
+    stream_max_rows: int = 5_000_000,
+):
+    """Exact duplicate-substring detection at n-token granularity (the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" exact-substring role, at span rather than suffix-array
+    resolution): a span is *duplicated* when its n-gram occurs ≥ 2
+    times in the whole corpus (any doc, including the same one).
+    Returns (id_col, dup_spans) for every doc with ≥ 1 duplicated span.
+
+    Shape: per-batch n-gram histograms shrink each block to its
+    distinct grams; the global fold keeps ONLY grams with count ≥ 2 —
+    bounded by true duplication density, like dedup.py's pair tables —
+    then broadcasts them for a vectorized ``isin`` probe per batch.
+    ``mode='groupby'`` (or 'auto' past ``stream_max_rows`` partial
+    rows) runs the fold as a distributed ``groupby(gram).sum`` and
+    only the c ≥ 2 survivors ever leave the exchange.
+    """
+    import ray
+
+    from typesense_ray.functions.text import batch_ngram_stream
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ng, _ = batch_ngram_stream(batch[text_col].to_pylist(), n)
+        u, c = (
+            np.unique(ng, return_counts=True)
+            if len(ng)
+            else (np.empty(0, object), np.empty(0, np.int64))
+        )
+        return pa.table(
+            {"g": pa.array(u.tolist(), pa.string()),
+             "c": pa.array(c, pa.int64())}
+        )
+
+    partials = ds.map_batches(hist, batch_format="pyarrow").materialize()
+    if mode == "auto":
+        mode = "stream" if partials.count() <= stream_max_rows else "groupby"
+    if mode == "groupby":
+        from ray.data.aggregate import Sum
+
+        agg = partials.groupby("g").aggregate(Sum("c", alias_name="c"))
+        dup = agg.filter(lambda r: r["c"] >= 2).to_pandas()["g"]
+    else:
+        df = partials.to_pandas().groupby("g", as_index=False)["c"].sum()
+        dup = df.loc[df["c"] >= 2, "g"]
+    dup_set = frozenset(dup.tolist())
+    ref = ray.put(dup_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dset = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ng, unit = batch_ngram_stream(batch[text_col].to_pylist(), n)
+        if len(ng) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "dup_spans": pa.array([], pa.int64())}
+            )
+        hit = pd.Series(ng, dtype=object).isin(dset).to_numpy()
+        counts = np.bincount(unit[hit], minlength=len(ids))
+        keep = counts > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "dup_spans": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def flag_contaminated(
     ds,
     bench_ngrams: frozenset,

@@ -110,6 +110,46 @@ def q_term_df_top50(sf_dir: str) -> pa.Table:
     ).select(["term", "df"])
 
 
+def q_top_terms_per_lang(sf_dir: str) -> pa.Table:
+    """Top-10 terms by document frequency WITHIN each language — the
+    grouped heavy-hitters report (per-batch distinct-(term, doc)
+    combiners keyed by lang, vocab×langs-bounded merge, top-k per
+    group)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.agg import combiner_aggregate
+
+    def triples(df: pd.DataFrame) -> pd.DataFrame:
+        from typesense_ray.functions.text import batch_term_stream
+
+        flat, unit = batch_term_stream(df["text"].tolist())
+        langs = df["lang"].to_numpy()
+        dd = pd.DataFrame(
+            {"lang": langs[unit], "term": flat, "u": unit}
+        ).drop_duplicates()
+        g = dd.groupby(["lang", "term"], sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {"lang": g["lang"], "term": g["term"], "df": g["size"]}
+        )
+
+    out = combiner_aggregate(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "lang"]),
+        triples, ["lang", "term"], {"df": "sum"},
+    )
+    top = (
+        out.sort_values(["lang", "df", "term"],
+                        ascending=[True, False, True], kind="stable")
+        .groupby("lang", sort=False)
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return _i64(pa.Table.from_pandas(top), "df").select(
+        ["lang", "term", "df"]
+    )
+
+
 def q_bm25_topk(sf_dir: str) -> pa.Table:
     coll = _docs_index(sf_dir)
     res = coll._local.search(_BM25_QUERY, k=10, mode="bm25")
@@ -500,6 +540,79 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
                 ("chunk_text", pa.string()),
             ]
         )
+    )
+
+
+def q_source_mix(sf_dir: str) -> pa.Table:
+    """Deterministic weighted mixture sampling: source srcK keeps a
+    (K+1)/20 fraction of its docs by hash threshold — the data-mixing
+    pass (functions/sampling.py rate_sample)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import rate_sample
+
+    rates = {f"src{k}": (k + 1) / 20 for k in range(20)}
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = rate_sample(ds, rates, group_col="source").sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "source": t["source"],
+        }
+    )
+
+
+def q_event_histogram(sf_dir: str) -> pa.Table:
+    """20-bin per-event_type histogram of value over the global range
+    (functions/relational.py grouped_histogram)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_histogram
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    folded, _lo, _hi = grouped_histogram(ds, "event_type", "value", 20)
+    return pa.table(
+        {
+            "event_type": pa.array(folded["event_type"], pa.string()),
+            "bin": pa.array(folded["bin"], pa.int64()),
+            "c": pa.array(folded["c"], pa.int64()),
+        }
+    )
+
+
+def q_knn_filtered(sf_dir: str) -> pa.Table:
+    """Filtered vector search: cosine top-10 among label=3 vectors only,
+    with the predicate pushed into the parquet scan (no post-hoc
+    re-ranking pass over dropped rows)."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from typesense_ray.functions.similarity import knn_bruteforce
+
+    q0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = np.array(
+        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", filter=(pds.field("label") == 3)
+    )
+    res = knn_bruteforce(emb, qvec, k=10, vec_col="embedding", id_col="vec_id")
+    return pa.table(
+        {
+            "vec_id": res["vec_id"].cast(pa.int64()),
+            "score": pa.array(
+                [round(s, 5) for s in res["score"].to_pylist()], pa.float64()
+            ),
+        }
     )
 
 
@@ -1286,6 +1399,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_df_top50": q_term_df_top50,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "bm25_topk": q_bm25_topk,
         "bm25_or_topk": q_bm25_or_topk,
         "exact_and_search": q_exact_and_search,
@@ -1308,6 +1422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_lm_score": q_char_lm_score,
         "global_shuffle": q_global_shuffle,
         "dup_spans": q_dup_spans,
+        "source_mix": q_source_mix,
+        "event_histogram": q_event_histogram,
+        "knn_filtered": q_knn_filtered,
         "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1711,6 +1828,48 @@ WHERE c_custkey = o_custkey
   AND c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
+""",
+        "top_terms_per_lang": """
+WITH toks AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(u.tok, '[^a-zA-Z0-9]', '', 'g')) AS term
+  FROM documents,
+       unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(tok)
+), toks2 AS (SELECT doc_id, lang, term FROM toks WHERE term <> '')
+SELECT lang, term, df FROM (
+  SELECT lang, term, count(DISTINCT doc_id) AS df,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY count(DISTINCT doc_id) DESC, term) AS rn
+  FROM toks2 GROUP BY lang, term
+) WHERE rn <= 10 ORDER BY lang, df DESC, term
+""",
+        "source_mix": f"""
+SELECT doc_id, source FROM documents
+JOIN (VALUES {", ".join(f"('src{k}', {(k + 1) / 20!r})" for k in range(20))})
+     r(source, rate) USING (source)
+WHERE (doc_id * 2654435761) % 4294967296
+      < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+ORDER BY doc_id
+""",
+        "event_histogram": """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       CAST(least(floor((value - mm.lo) / (mm.hi - mm.lo) * 20), 19)
+            AS BIGINT) AS bin,
+       count(*) AS c
+FROM events, mm
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+""",
+        "knn_filtered": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+FROM embeddings
+WHERE label = 3
+ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id DESC
+LIMIT 10
 """,
         "dup_spans": _AUG_CTE
         + """

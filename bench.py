@@ -233,6 +233,10 @@ def main() -> None:
         "value_quantiles",
         "char_lm_score",
         "more_like_this",
+        "top_terms_per_lang",
+        "source_mix",
+        "event_histogram",
+        "knn_filtered",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

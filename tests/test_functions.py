@@ -1084,3 +1084,59 @@ def test_dup_span_flags(ray_session, mode):
     # doc4: 3 spans of "echo"x5, all identical -> all 3 duplicated
     assert out["doc_id"].tolist() == [1, 2, 4]
     assert out["dup_spans"].tolist() == [1, 1, 3]
+
+
+def test_rate_sample(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import KNUTH, rate_sample
+
+    ids = np.arange(1000, dtype=np.int64)
+    groups = np.where(ids % 2 == 0, "keepish", "dropish")
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "source": pa.array(groups.tolist(), pa.string())}
+    )
+    rates = {"keepish": 0.8, "dropish": 0.1}
+    out = (
+        rate_sample(rd.from_arrow(t).repartition(4), rates)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    h = (ids.astype(np.uint64) * KNUTH) % np.uint64(1 << 32)
+    thr = np.where(groups == "keepish",
+                   int(0.8 * float(1 << 32)), int(0.1 * float(1 << 32)))
+    want = ids[h < thr.astype(np.uint64)]
+    assert out["doc_id"].tolist() == want.tolist()
+    # unknown groups are dropped entirely
+    out2 = rate_sample(
+        rd.from_arrow(t), {"keepish": 1.0}
+    ).to_pandas()
+    assert set(out2["source"]) == {"keepish"}
+    assert len(out2) == 500
+
+
+def test_grouped_histogram(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_histogram
+
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-5, 5, size=2000)
+    g = np.where(np.arange(2000) % 2 == 0, "x", "y")
+    t = pa.table({"event_type": pa.array(g.tolist()),
+                  "value": pa.array(v, pa.float64())})
+    folded, lo, hi = grouped_histogram(
+        rd.from_arrow(t).repartition(8), n_bins=10
+    )
+    assert lo == v.min() and hi == v.max()
+    width = hi - lo
+    bins = np.minimum(np.floor((v - lo) / width * 10).astype(int), 9)
+    for grp in ("x", "y"):
+        for b in range(10):
+            want = int(((g == grp) & (bins == b)).sum())
+            got = folded.loc[
+                (folded["event_type"] == grp) & (folded["bin"] == b), "c"
+            ]
+            assert (got.iloc[0] if len(got) else 0) == want
+    assert folded["c"].sum() == 2000

@@ -369,3 +369,50 @@ def hash_join(
     return both.groupby("_bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def grouped_histogram(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 20,
+):
+    """Fixed-bin histogram per group over the GLOBAL [min, max] value
+    range: one cheap min/max pass, then per-batch (group, bin) count
+    partials and a driver fold bounded by |groups| × n_bins — the
+    shape-profiling aggregate every pipeline report starts with."""
+    import pandas as pd
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"lo": pa.array([float(v.min())] if len(v) else [], pa.float64()),
+             "hi": pa.array([float(v.max())] if len(v) else [], pa.float64())}
+        )
+
+    parts = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = float(parts["lo"].min()), float(parts["hi"].max())
+    width = (hi - lo) or 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # keep the exact float op order SQL uses: (v - lo) / (hi - lo) * n
+        b = np.minimum(
+            np.floor((v - lo) / width * n_bins).astype(np.int64), n_bins - 1
+        )
+        df = pd.DataFrame(
+            {group_col: batch[group_col].to_pandas(), "bin": b}
+        )
+        g = df.groupby([group_col, "bin"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby([group_col, "bin"], as_index=False)["c"]
+        .sum()
+        .sort_values([group_col, "bin"], ignore_index=True)
+    )
+    return folded, lo, hi

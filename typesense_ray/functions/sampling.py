@@ -156,3 +156,37 @@ def shard_shuffle(
     return keyed.groupby(["shard", "part"]).map_groups(
         place, batch_format="pandas"
     )
+
+
+def rate_sample(
+    ds,
+    rates: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Deterministic weighted mixture sampling (the data-mixing pass):
+    keep a row iff ``hash(id) / 2^32 < rates[group]`` — each group is
+    independently downsampled to its target rate as a pure function of
+    the data (no RNG state, rerun/oracle-stable). Rates broadcast via
+    ``ray.put``; per batch one hash, one dict map, one compare."""
+    import pandas as pd
+    import ray
+
+    thresholds = {
+        k: min(int(v * float(_MOD)), int(_MOD)) for k, v in rates.items()
+    }
+    ref = ray.put(thresholds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        th = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _hash_ids(ids)
+        thr = (
+            pd.Series(batch[group_col].to_pylist())
+            .map(th)
+            .fillna(0)
+            .to_numpy(np.uint64)
+        )
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

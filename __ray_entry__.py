@@ -632,6 +632,25 @@ def q_dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def q_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact count(DISTINCT user_id) per event_type with one bucketed
+    exchange (functions/relational.py grouped_distinct_count)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_distinct_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = grouped_distinct_count(ds, "event_type", "user_id")
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "users": pa.array(out["c"], pa.int64()),
+        }
+    )
+
+
 def q_value_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-event_type p25/p50/p75/p95 of value by distributed
     rank selection (functions/relational.py grouped_quantiles) — no
@@ -1102,19 +1121,32 @@ def q_tpch_q5ish(sf_dir: str) -> pa.Table:
         orders, cust, left_on="o_custkey", right_on="c_custkey",
         left_cols=("o_orderkey",), right_cols={"c_nationkey": "nationkey"},
     )
+    # partial-aggregate pushdown: revenue per orderkey BEFORE the join —
+    # the second exchange then moves ~orders-many partials instead of the
+    # 4×-larger raw lineitem rows (sum-before-inner-join is sound here:
+    # o_orderkey is unique on the right, so each partial matches ≤ once)
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        return df.groupby("l_orderkey", as_index=False).agg(
+            revenue=("rev", "sum")
+        )
+
+    line_rev = line.map_batches(rev_partial, batch_format="pandas")
     j2 = hash_join(
-        line, j1, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=("l_extendedprice", "l_discount"),
+        line_rev, j1, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=("revenue",),
         right_cols={"nationkey": "nationkey"},
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
-        return df.groupby("nationkey", as_index=False).agg(revenue=("rev", "sum"))
+        return df.groupby("nationkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
 
     out = combiner_aggregate(j2, partial, ["nationkey"], {"revenue": "sum"})
     names = pq.read_table(
@@ -1425,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "event_histogram": q_event_histogram,
         "knn_filtered": q_knn_filtered,
+        "distinct_users": q_distinct_users,
         "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1888,6 +1921,10 @@ LIMIT 10
 SELECT ng.doc_id, count(*) AS dup_spans
 FROM ng JOIN dup USING (g)
 GROUP BY ng.doc_id ORDER BY ng.doc_id
+""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS users
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         "value_quantiles": """
 WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

@@ -237,6 +237,7 @@ def main() -> None:
         "source_mix",
         "event_histogram",
         "knn_filtered",
+        "distinct_users",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -1140,3 +1140,21 @@ def test_grouped_histogram(ray_session):
             ]
             assert (got.iloc[0] if len(got) else 0) == want
     assert folded["c"].sum() == 2000
+
+
+def test_grouped_distinct_count(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_distinct_count
+
+    rng = np.random.default_rng(11)
+    users = rng.integers(0, 50, size=3000)
+    etypes = np.array(["a", "b", "c"])[rng.integers(0, 3, size=3000)]
+    t = pa.table({"event_type": pa.array(etypes.tolist()),
+                  "user_id": pa.array(users, pa.int64())})
+    out = grouped_distinct_count(
+        rd.from_arrow(t).repartition(8), n_buckets=8
+    )
+    for g in ("a", "b", "c"):
+        want = len(set(users[etypes == g]))
+        assert out.loc[out["event_type"] == g, "c"].iloc[0] == want

@@ -416,3 +416,46 @@ def grouped_histogram(
         .sort_values([group_col, "bin"], ignore_index=True)
     )
     return folded, lo, hi
+
+
+def grouped_distinct_count(
+    ds,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    n_buckets: int = 64,
+):
+    """EXACT count(DISTINCT key) per group with ONE exchange: per-batch
+    (group, key) dedup shrinks each block to its distinct pairs, the
+    pairs co-partition by ``hash(key) % n_buckets`` (all duplicates of a
+    pair share its key, hence its bucket), each bucket dedups and emits
+    per-group partial counts, and the driver folds |groups| × n_buckets
+    tiny rows. The count-distinct pushdown every aggregation layer
+    needs; no corpus-sized set ever sits on one node."""
+    import pandas as pd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {group_col: batch[group_col].to_pandas(),
+             key_col: batch[key_col].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        df["_bucket"] = _bucket_of(
+            df[key_col].to_numpy(), n_buckets
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = g[[group_col, key_col]].drop_duplicates()
+        out = d.groupby(group_col, as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    partials = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        partials.groupby(group_col, as_index=False)["c"]
+        .sum()
+        .sort_values(group_col, ignore_index=True)
+    )

@@ -651,6 +651,31 @@ def q_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+def q_prepare_corpus(sf_dir: str) -> pa.Table:
+    """Flagship composed prep chain (functions/pipeline.prepare_corpus):
+    PII redaction → fused repetition+length filter → exact-dedup
+    winners → overlapping 64/48 chunking, one streaming pipeline."""
+    import ray.data as rd
+
+    from typesense_ray.functions.pipeline import prepare_corpus
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = prepare_corpus(ds).sort(["doc_id", "chunk_id"])
+    t = pa.Table.from_pandas(out.to_pandas())
+    return t.cast(
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("chunk_id", pa.int64()),
+                ("n_chunk_tokens", pa.int64()),
+                ("chunk_text", pa.string()),
+            ]
+        )
+    )
+
+
 def q_value_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-event_type p25/p50/p75/p95 of value by distributed
     rank selection (functions/relational.py grouped_quantiles) — no
@@ -1458,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_histogram": q_event_histogram,
         "knn_filtered": q_knn_filtered,
         "distinct_users": q_distinct_users,
+        "prepare_corpus": q_prepare_corpus,
         "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -2299,6 +2325,66 @@ SELECT doc_id,
          + len(regexp_extract_all(t1, '{_pi}'))
          + len(regexp_extract_all(t2, '{_pp}')) AS pii_hits
 FROM s2 ORDER BY doc_id
+"""
+    # prepare_corpus: the full prep chain composed from the SAME verified
+    # fragments — redaction regexps (redact_pii), repetition fractions
+    # (rep_filter), min-doc-per-text winners (exact_dedup), token-window
+    # chunking (chunk_docs) — applied in pipeline order
+    d["prepare_corpus"] = f"""
+WITH s1 AS (SELECT doc_id,
+                   regexp_replace(text, '{_pe}', '{_re_}', 'g') AS t1
+            FROM documents),
+s2 AS (SELECT doc_id, regexp_replace(t1, '{_pi}', '{_ri}', 'g') AS t2
+       FROM s1),
+red AS (SELECT doc_id, regexp_replace(t2, '{_pp}', '{_rp}', 'g') AS text
+        FROM s2),
+lt0 AS (
+  SELECT doc_id, text,
+         list_filter(
+           list_transform(string_split(replace(text, chr(10), ' '), ' '),
+             t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))),
+           t -> t <> '') AS toks
+  FROM red
+),
+uni AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS tf_top
+  FROM (SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS term FROM lt0)
+        GROUP BY doc_id, term)
+  GROUP BY doc_id
+),
+ng2 AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS g
+  FROM lt0, unnest(CASE WHEN len(toks) >= 2
+                        THEN range(1, len(toks)) ELSE [] END) AS u(i)
+),
+big AS (SELECT doc_id, 1.0 - count(DISTINCT g) * 1.0 / count(*) AS dup2
+        FROM ng2 GROUP BY doc_id),
+tok AS (SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS ws
+        FROM red),
+surv AS (
+  SELECT r.doc_id, r.text, lt0.toks
+  FROM red r
+  JOIN lt0 ON lt0.doc_id = r.doc_id
+  LEFT JOIN uni ON uni.doc_id = r.doc_id
+  LEFT JOIN big ON big.doc_id = r.doc_id
+  JOIN tok ON tok.doc_id = r.doc_id
+  WHERE coalesce(uni.tf_top, 0.0) <= 0.3
+    AND coalesce(big.dup2, 0.0) <= 0.2
+    AND tok.ws BETWEEN 10 AND 100000
+),
+win AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY text),
+wdocs AS (SELECT s.doc_id, s.toks FROM surv s JOIN win USING (doc_id))
+SELECT doc_id,
+       CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
+       CAST(least(i + 63, len(toks)) - i + 1 AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[i : least(i + 63, len(toks))], ' ') AS chunk_text
+FROM wdocs,
+     unnest(CASE WHEN len(toks) >= 1
+                 THEN range(1, len(toks) + 1, 48) ELSE [] END) AS u(i)
+ORDER BY doc_id, chunk_id
 """
     # clean_corpus: exact-dedup winners ∩ langid == 'en' ∩ ws tokens >= 10,
     # composed from the SAME langid derivation the langid oracle uses

@@ -238,6 +238,7 @@ def main() -> None:
         "event_histogram",
         "knn_filtered",
         "distinct_users",
+        "prepare_corpus",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -1158,3 +1158,42 @@ def test_grouped_distinct_count(ray_session):
     for g in ("a", "b", "c"):
         want = len(set(users[etypes == g]))
         assert out.loc[out["event_type"] == g, "c"].iloc[0] == want
+
+
+def test_prepare_corpus_pipeline(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.pipeline import prepare_corpus
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while bright stars "
+        "shine above this quiet green valley tonight"
+    )  # 19 distinct-ish tokens — passes both repetition fractions
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    good,
+                    good,                     # exact dup -> dropped (1 wins)
+                    "spam spam spam spam spam spam spam spam spam spam",
+                    "too short",
+                    "mail me at bob@example.com " + good,
+                ]
+            ),
+        }
+    )
+    out = (
+        prepare_corpus(rd.from_arrow(t), min_tokens=10, window=16, stride=12)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    # doc2 deduped away, doc3 repetition-filtered, doc4 length-filtered
+    assert set(out["doc_id"]) == {1, 5}
+    # doc5's chunk 0 contains the redacted email, never the raw address
+    c5 = " ".join(out.loc[out["doc_id"] == 5, "chunk_text"])
+    assert "bob" not in c5 and "email" in c5  # <EMAIL> normalizes to 'email'
+    # chunks tile the doc with the right window/stride
+    d1 = out[out["doc_id"] == 1]
+    assert d1["n_chunk_tokens"].iloc[0] == 16
+    assert d1["chunk_id"].tolist() == list(range(len(d1)))

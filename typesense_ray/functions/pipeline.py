@@ -73,3 +73,70 @@ def clean_corpus(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
+
+
+class _RedactScoreFilter:
+    """Actor-pool stage fusing three per-row passes over ONE decoded
+    batch: PII redaction, repetition stats, token count — then the
+    vectorized keep predicate. One read, one decode, no intermediate
+    materialization between passes."""
+
+    def __init__(self, min_tokens: int, max_tokens: int):
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from typesense_ray.functions.text import (
+            redact_pii_batch,
+            repetition_stats_batch,
+            token_count_batch,
+        )
+
+        red = redact_pii_batch(batch, "text")
+        scored = repetition_stats_batch(red, "text")
+        scored = token_count_batch(scored, "text")
+        keep = pc.and_(
+            pc.equal(scored["keep_rep"], 1),
+            pc.and_(
+                pc.greater_equal(scored["ws_tokens"], self.min_tokens),
+                pc.less_equal(scored["ws_tokens"], self.max_tokens),
+            ),
+        )
+        return scored.filter(keep).select(["doc_id", "text"])
+
+
+def prepare_corpus(
+    ds,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    window: int = 64,
+    stride: int = 48,
+    concurrency: int = 4,
+):
+    """The full training-data prep chain as ONE streaming pipeline:
+
+        redact PII → repetition + length filter (fused actor-pool
+        pass) → exact-dedup winners (two-stage aggregate + broadcast
+        semi-join) → overlapping token-window chunking
+
+    Returns a Dataset of (doc_id, chunk_id, n_chunk_tokens, chunk_text)
+    ready for packing/sharding. Every stage is a batch transform; the
+    only exchange is exact_dedup's hash aggregate."""
+    from typesense_ray.functions.dedup import exact_dedup
+    from typesense_ray.functions.text import chunk_docs_batch
+
+    filtered = ds.map_batches(
+        _RedactScoreFilter,
+        fn_constructor_kwargs={
+            "min_tokens": min_tokens, "max_tokens": max_tokens,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    winners = exact_dedup(filtered, text_col="text", id_col="doc_id")
+    return winners.map_batches(
+        lambda b: chunk_docs_batch(b, window=window, stride=stride),
+        batch_format="pyarrow",
+    )

@@ -651,6 +651,53 @@ def q_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+def q_zscore_events(sf_dir: str) -> pa.Table:
+    """Per-event_type z-score normalization of value (two-pass moment
+    broadcast, functions/relational.zscore_normalize)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import zscore_normalize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    out = zscore_normalize(ds).sort("event_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "z": pa.array(
+                [_round_half_up(v, 4) if v >= 0 else -_round_half_up(-v, 4)
+                 for v in t["z"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroids (grouped mean pooling,
+    functions/similarity.label_centroids), long form (label, dim,
+    centroid)."""
+    from typesense_ray.functions.similarity import label_centroids
+
+    df = label_centroids(_read(sf_dir, "embeddings"))
+    df = df.sort_values(["label", "dim"], ignore_index=True)
+    return pa.table(
+        {
+            "label": pa.array(df["label"], pa.int64()),
+            "dim": pa.array(df["dim"], pa.int64()),
+            "centroid": pa.array(
+                [_round_half_up(v, 6) if v >= 0 else -_round_half_up(-v, 6)
+                 for v in df["centroid"]],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_prepare_corpus(sf_dir: str) -> pa.Table:
     """Flagship composed prep chain (functions/pipeline.prepare_corpus):
     PII redaction → fused repetition+length filter → exact-dedup
@@ -1484,6 +1531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": q_knn_filtered,
         "distinct_users": q_distinct_users,
         "prepare_corpus": q_prepare_corpus,
+        "zscore_events": q_zscore_events,
+        "label_centroids": q_label_centroids,
         "value_quantiles": q_value_quantiles,
         "knn_cosine": q_knn_cosine,
         "phrase_search": q_phrase_search,
@@ -1947,6 +1996,23 @@ LIMIT 10
 SELECT ng.doc_id, count(*) AS dup_spans
 FROM ng JOIN dup USING (g)
 GROUP BY ng.doc_id ORDER BY ng.doc_id
+""",
+        "zscore_events": """
+WITH m AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, round((value - mu) / sd, 4) AS z
+FROM events e JOIN m USING (event_type)
+ORDER BY event_id
+""",
+        "label_centroids": """
+SELECT label,
+       i AS dim,
+       round(avg(embedding[i]), 6) AS centroid
+FROM embeddings, unnest(range(1, 65)) AS u(i)
+GROUP BY label, i
+ORDER BY label, i
 """,
         "distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS users

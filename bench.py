@@ -239,6 +239,8 @@ def main() -> None:
         "knn_filtered",
         "distinct_users",
         "prepare_corpus",
+        "zscore_events",
+        "label_centroids",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -1197,3 +1197,42 @@ def test_prepare_corpus_pipeline(ray_session):
     d1 = out[out["doc_id"] == 1]
     assert d1["n_chunk_tokens"].iloc[0] == 16
     assert d1["chunk_id"].tolist() == list(range(len(d1)))
+
+
+def test_zscore_normalize(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import zscore_normalize
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(3.0, 2.0, size=500)
+    g = np.where(np.arange(500) % 2 == 0, "a", "b")
+    t = pa.table(
+        {"event_id": pa.array(range(500), pa.int64()),
+         "event_type": pa.array(g.tolist()),
+         "value": pa.array(v, pa.float64())}
+    )
+    out = (
+        zscore_normalize(rd.from_arrow(t).repartition(4))
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    for grp in ("a", "b"):
+        vals = v[g == grp]
+        want = (vals - vals.mean()) / vals.std()
+        got = out.loc[out["event_type"] == grp, "z"].to_numpy()
+        assert np.allclose(got, want, atol=1e-9)
+
+
+def test_label_centroids(emb_ds):
+    from typesense_ray.functions.similarity import label_centroids
+
+    df = label_centroids(emb_ds)
+    # independent reference on the driver
+    t = emb_ds.to_pandas()
+    for label, grp in t.groupby("label"):
+        mat = np.array(grp["embedding"].tolist(), dtype=np.float64)
+        want = mat.mean(axis=0)
+        got = (
+            df[df["label"] == label].sort_values("dim")["centroid"].to_numpy()
+        )
+        assert np.allclose(got, want, atol=1e-9)

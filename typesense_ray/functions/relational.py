@@ -459,3 +459,55 @@ def grouped_distinct_count(
         .sum()
         .sort_values(group_col, ignore_index=True)
     )
+
+
+def zscore_normalize(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+):
+    """Per-group z-score normalization (the standard feature-scaling
+    pass): two streaming passes — per-batch (count, sum, sumsq) moment
+    partials fold to |groups| rows on the driver, broadcast, then one
+    vectorized ``(v − μ) / σ`` map. Returns (id_col, group_col, z)."""
+    import pandas as pd
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {group_col: batch[group_col].to_pandas(),
+             "v": batch[value_col].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(group_col, as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("v", lambda x: (x ** 2).sum())
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(group_col, as_index=False)
+        .sum()
+    )
+    mu = m["s"] / m["n"]
+    sd = np.sqrt(m["ss"] / m["n"] - mu ** 2)
+    stats = {g: (float(u), float(s))
+             for g, u, s in zip(m[group_col], mu, sd)}
+    ref = ray.put(stats)
+
+    def z(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        groups = pd.Series(batch[group_col].to_pylist())
+        mus = groups.map(lambda g: st[g][0]).to_numpy(np.float64)
+        sds = groups.map(lambda g: st[g][1]).to_numpy(np.float64)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "z": pa.array((v - mus) / sds, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow")

@@ -225,3 +225,39 @@ class IVFIndex:
                 best.append((s, i))
         best.sort(key=lambda t: (-t[0], -t[1]))
         return best[:k]
+
+
+def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-label centroid of an embedding column: per-batch (label →
+    vector-sum, count) partials — each block reduces to ≤ |labels| rows
+    of dim floats — folded and divided on the driver. The grouped
+    mean-pooling step of class-prototype / nearest-centroid pipelines.
+    Returns a pandas DataFrame (label, dim, centroid)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for label, grp in parts.groupby("label"):
+        tot = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+        n = grp["n"].sum()
+        c = tot / n
+        rows.extend(
+            {"label": int(label), "dim": i + 1, "centroid": float(v)}
+            for i, v in enumerate(c)
+        )
+    return pd.DataFrame(rows)

@@ -1236,3 +1236,29 @@ def test_label_centroids(emb_ds):
             df[df["label"] == label].sort_values("dim")["centroid"].to_numpy()
         )
         assert np.allclose(got, want, atol=1e-9)
+
+
+def test_hash_join_salted_hot_key(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import hash_join
+
+    # one pathological hot key: 5000 left rows all k=7
+    left = pa.table(
+        {"k": pa.array([7] * 5000 + [1, 2], pa.int64()),
+         "lv": pa.array(range(5002), pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([7, 1, 9], pa.int64()),
+         "rv": pa.array([70, 10, 90], pa.int64())}
+    )
+    plain = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
+        ("lv",), {"rv": "rv"}, n_buckets=8,
+    ).to_pandas().sort_values(["k", "lv"], ignore_index=True)
+    salted = hash_join(
+        rd.from_arrow(left).repartition(4), rd.from_arrow(right), "k", "rk",
+        ("lv",), {"rv": "rv"}, n_buckets=8, salt=4,
+    ).to_pandas().sort_values(["k", "lv"], ignore_index=True)
+    assert salted.equals(plain)
+    assert len(salted) == 5001  # 5000 hot matches + k=1

@@ -295,6 +295,7 @@ def hash_join(
     right_cols: dict[str, str] | None = None,
     how: str = "inner",
     n_buckets: int = 64,
+    salt: int = 1,
 ):
     """Distributed shuffle hash join (repartition join): both sides are
     padded to one unified schema, tagged with ``_side`` and a
@@ -307,10 +308,12 @@ def hash_join(
     ``how``: 'inner' or 'left' (left-join null fills become pandas NaN,
     so int right-payloads surface as float64 — the SQL NULL analogue).
 
-    Partitioning assumption: a single bucket (≈ rows / n_buckets plus
-    any hot key's full row set) fits a task; raise ``n_buckets`` for
-    bigger inputs and salt a pathological hot key before joining.
-    """
+    Partitioning assumption: a single (bucket, salt) cell fits a task.
+    ``salt > 1`` is the hot-key mitigation: left rows spread round-robin
+    over ``salt`` sub-cells (a hot key's rows split ``salt`` ways
+    instead of landing on one task) and the RIGHT side is replicated
+    once per salt — use it when the left side is large/skewed and the
+    right side is small; join output is identical for any salt."""
     import pandas as pd
 
     right_cols = right_cols or {}
@@ -330,6 +333,9 @@ def hash_join(
             cols[out] = pa.nulls(t.num_rows, r_types[src])
         cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
         cols["_bucket"] = pa.array(_bucket_of(k, n_buckets), pa.int64())
+        cols["_salt"] = pa.array(
+            np.arange(t.num_rows, dtype=np.int64) % salt, pa.int64()
+        )
         return pa.table(cols)
 
     def pad_right(t: pa.Table) -> pa.Table:
@@ -345,7 +351,19 @@ def hash_join(
             cols[out] = t[src]
         cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
         cols["_bucket"] = pa.array(_bucket_of(k, n_buckets), pa.int64())
-        return pa.table(cols)
+        base = pa.table(cols)
+        if salt == 1:
+            return base.append_column(
+                "_salt", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            )
+        # replicate the (small) right side once per salt sub-cell
+        return pa.concat_tables(
+            base.append_column(
+                "_salt",
+                pa.array(np.full(t.num_rows, s, np.int64), pa.int64()),
+            )
+            for s in range(salt)
+        )
 
     both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
         right_ds.map_batches(pad_right, batch_format="pyarrow")
@@ -366,7 +384,7 @@ def hash_join(
                 out[c] = out[c].astype(t.to_pandas_dtype())
         return out
 
-    return both.groupby("_bucket").map_groups(
+    return both.groupby(["_bucket", "_salt"]).map_groups(
         join_bucket, batch_format="pandas"
     )
 

@@ -1262,3 +1262,18 @@ def test_hash_join_salted_hot_key(ray_session):
     ).to_pandas().sort_values(["k", "lv"], ignore_index=True)
     assert salted.equals(plain)
     assert len(salted) == 5001  # 5000 hot matches + k=1
+
+
+def test_pq_index_recall(emb_ds):
+    from typesense_ray.functions.similarity import PQIndex, knn_bruteforce
+
+    rows = emb_ds.take_all()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pq = PQIndex(m=16, k=64, n_iter=6).fit(emb_ds)
+    # codes are m bytes per vector
+    assert len(pq.codes_ds.take(1)[0]["code"]) == 16
+    q = vecs[5]
+    exact = set(knn_bruteforce(emb_ds, q, k=10)["vec_id"].to_pylist())
+    approx = {i for _, i in pq.search(q, k=10)}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, recall

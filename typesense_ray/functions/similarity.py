@@ -261,3 +261,127 @@ def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
             for i, v in enumerate(c)
         )
     return pd.DataFrame(rows)
+
+
+class PQIndex:
+    """Product quantization — the compressed-vector scale path (Jégou
+    et al., "Product Quantization for Nearest Neighbor Search", PAMI
+    2011): split each (L2-normalized) vector into ``m`` subspaces,
+    k-means each subspace into ``k ≤ 256`` codewords, store one uint8
+    code per subspace — dim × 4 bytes shrinks to ``m`` bytes per
+    vector, so a 100-TB float corpus fits hot memory as a few TB of
+    codes.
+
+    Distributed shape: codebooks train on a driver sample capped at
+    ``max_train`` (like IVFIndex.fit); encoding is a stateless
+    ``map_batches`` (codebooks broadcast via ``ray.put``); search is
+    asymmetric-distance (ADC): ONE (m × k) inner-product lookup table
+    per query, then per-block vectorized ``lut[j, codes[:, j]]``
+    gathers + partial top-k — the driver merges k × blocks rows.
+    """
+
+    def __init__(self, m: int = 8, k: int = 256, n_iter: int = 8,
+                 seed: int = 3):
+        self.m = m
+        self.k = k
+        self.n_iter = n_iter
+        self.seed = seed
+        self.codebooks: np.ndarray | None = None  # (m, k, dim/m)
+        self.codes_ds = None
+        self.id_col = "vec_id"
+        self.vec_col = "embedding"
+
+    def fit(self, ds, vec_col: str = "embedding", id_col: str = "vec_id",
+            max_train: int = 65536):
+        import ray
+
+        self.vec_col, self.id_col = vec_col, id_col
+        n = ds.count()
+        frac = min(1.0, max_train / max(n, 1))
+        sample = ds.random_sample(frac, seed=self.seed) if frac < 1.0 else ds
+        train = _normalize(vecs_to_numpy(
+            pa.Table.from_pandas(sample.to_pandas())[vec_col]
+        ))
+        dim = train.shape[1]
+        assert dim % self.m == 0, "dim must divide into m subspaces"
+        sub = dim // self.m
+        rng = np.random.default_rng(self.seed)
+        books = np.empty((self.m, self.k, sub), np.float64)
+        for j in range(self.m):
+            x = train[:, j * sub:(j + 1) * sub]
+            c = x[rng.choice(len(x), size=min(self.k, len(x)),
+                             replace=False)]
+            if len(c) < self.k:  # degenerate tiny inputs: pad by repeat
+                c = np.concatenate([c] * (self.k // len(c) + 1))[: self.k]
+            for _ in range(self.n_iter):
+                d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                a = d.argmin(1)
+                for ci in range(self.k):
+                    pts = x[a == ci]
+                    if len(pts):
+                        c[ci] = pts.mean(0)
+            books[j] = c
+        self.codebooks = books
+        ref = ray.put(books)
+        m, k_ = self.m, self.k
+
+        def encode(batch: pa.Table) -> pa.Table:
+            bks = ray.get(ref)
+            vecs = _normalize(vecs_to_numpy(batch[vec_col]))
+            nrows = len(vecs)
+            codes = np.empty((nrows, m), np.uint8)
+            for j in range(m):
+                x = vecs[:, j * sub:(j + 1) * sub]
+                # ||x-c||² argmin == (x·c − ||c||²/2) argmax, vectorized
+                dots = x @ bks[j].T - 0.5 * (bks[j] ** 2).sum(1)
+                codes[:, j] = dots.argmax(1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "code": pa.array(
+                        list(codes), pa.list_(pa.uint8(), m)
+                    ),
+                }
+            )
+
+        self.codes_ds = ds.map_batches(
+            encode, batch_format="pyarrow"
+        ).materialize()
+        return self
+
+    def search(self, q: np.ndarray, k: int = 10):
+        """ADC top-k: returns [(score, id)] by approximate inner product
+        against the normalized corpus (≈ cosine ranking)."""
+        import ray
+
+        qn = np.asarray(q, np.float64)
+        qn = qn / np.linalg.norm(qn)
+        sub = qn.shape[0] // self.m
+        lut = np.stack(
+            [self.codebooks[j] @ qn[j * sub:(j + 1) * sub]
+             for j in range(self.m)]
+        )  # (m, k)
+        lut_ref = ray.put(lut)
+        id_col, m = self.id_col, self.m
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lt = ray.get(lut_ref)
+            codes = np.array(batch["code"].to_pylist(), np.uint8)
+            scores = np.zeros(len(codes), np.float64)
+            for j in range(m):
+                scores += lt[j, codes[:, j]]
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            top = np.argsort(-scores, kind="mergesort")[:k]
+            return pa.table(
+                {id_col: pa.array(ids[top]),
+                 "score": pa.array(scores[top], pa.float64())}
+            )
+
+        parts = self.codes_ds.map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas()
+        parts = parts.sort_values(
+            ["score", id_col], ascending=[False, False], ignore_index=True
+        ).head(k)
+        return [(float(s), int(i))
+                for s, i in zip(parts["score"], parts[id_col])]

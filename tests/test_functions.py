@@ -1277,3 +1277,37 @@ def test_pq_index_recall(emb_ds):
     approx = {i for _, i in pq.search(q, k=10)}
     recall = len(exact & approx) / 10
     assert recall >= 0.5, recall
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c.X-7\n", min_size=0, max_size=60),
+        min_size=1, max_size=8,
+    ),
+    st.integers(1, 7),
+)
+def test_chunking_tiles_token_stream(texts, window):
+    """Property: with stride == window, chunk token counts partition the
+    normalized token stream and re-joining chunk texts reconstructs it
+    exactly — for arbitrary junk input (punctuation, newlines, empties)."""
+    from typesense_ray.functions.text import chunk_docs_batch
+    from typesense_ray.tokenizer import normalized_slots
+
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = chunk_docs_batch(t, window=window, stride=window).to_pandas()
+    for i, txt in enumerate(texts):
+        toks = [s for s in normalized_slots(txt) if s]
+        mine = out[out["doc_id"] == i].sort_values("chunk_id")
+        assert mine["n_chunk_tokens"].sum() == len(toks)
+        rejoined = " ".join(
+            w for c in mine["chunk_text"] for w in c.split(" ") if w
+        )
+        assert rejoined == " ".join(toks)
+        if len(toks) == 0:
+            assert len(mine) == 0
+        else:
+            assert len(mine) == -(-len(toks) // window)  # ceil

@@ -1481,6 +1481,118 @@ def q_events_tumbling(sf_dir: str) -> pa.Table:
     )
 
 
+def q_user_deltas(sf_dir: str) -> pa.Table:
+    """Per-user lag features (inter-arrival seconds + value delta) —
+    functions/relational.windowed_lag: one groupby(user) exchange,
+    vectorized diff per group; first-event rows (no predecessor)
+    dropped."""
+    from typesense_ray.functions.relational import windowed_lag
+
+    ds = _read(sf_dir, "events")
+    out = windowed_lag(ds).sort("event_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "dt_s": t["dt_s"].cast(pa.float64()),
+            "dv": t["dv"].cast(pa.float64()),
+        }
+    )
+
+
+def q_rolling_events(sf_dir: str) -> pa.Table:
+    """Per-user rolling mean of value over the trailing 4 rows —
+    functions/relational.rolling_mean (in-frame-order windowed sum so
+    floats match SQL's windowed AVG)."""
+    from typesense_ray.functions.relational import rolling_mean
+
+    ds = _read(sf_dir, "events")
+    out = rolling_mean(ds, window=4).sort("event_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "rmean": pa.array(
+                [_round_half_up(v, 4) if v >= 0 else -_round_half_up(-v, 4)
+                 for v in t["rmean"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Distributed anti-join (SQL NOT EXISTS): customers with no URGENT
+    order, via functions/relational.hash_join(how='anti') — both sides
+    co-partition in ONE bucket exchange; no side is ever broadcast, so
+    the shape survives a build side too big for one node. The priority
+    predicate is pushed into the parquet scan."""
+    import pyarrow.dataset as pds
+
+    from typesense_ray.functions.relational import hash_join
+
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pds.field("o_orderpriority") == "1-URGENT",
+    )
+    out = hash_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        left_cols=("c_name",), right_cols={}, how="anti",
+    ).sort("c_custkey")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {"c_custkey": t["c_custkey"].cast(pa.int64()), "c_name": t["c_name"]}
+    )
+
+
+def q_orders_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(priority, status) over orders — agg.rollup_aggregate:
+    leaf cells from one combiner pass, super-aggregate levels re-merged
+    from the leaf grid (input scanned once). Revenue summed in exact
+    integer cents so every level is order-independent."""
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.agg import rollup_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            cents=np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        )
+        return df.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).agg(n=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    out = rollup_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        ),
+        partial,
+        ["o_orderpriority", "o_orderstatus"],
+        {"n": "sum", "revenue_cents": "sum"},
+    )
+    out = out.rename(
+        columns={"o_orderpriority": "priority", "o_orderstatus": "status"}
+    ).sort_values(["priority", "status"], ignore_index=True)
+    return pa.table(
+        {
+            "priority": pa.array(out["priority"], pa.string()),
+            "status": pa.array(out["status"], pa.string()),
+            "n": pa.array(out["n"].astype(np.int64), pa.int64()),
+            "revenue_cents": pa.array(
+                out["revenue_cents"].astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1549,6 +1661,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_priority": q_join_priority,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "user_deltas": q_user_deltas,
+        "rolling_events": q_rolling_events,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_rollup": q_orders_rollup,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "typo_search": q_typo_search,
@@ -2088,6 +2204,41 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
+""",
+        "user_deltas": """
+WITH d AS (
+  SELECT event_id, user_id,
+         epoch(ts - lag(ts) OVER w) AS dt_s,
+         value - lag(value) OVER w AS dv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, dt_s, dv FROM d
+WHERE dt_s IS NOT NULL ORDER BY event_id
+""",
+        "rolling_events": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             4) AS rmean
+FROM events ORDER BY event_id
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+        "orders_rollup": """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY priority, status
 """,
         "sessionize": """
 WITH e AS (

@@ -1311,3 +1311,128 @@ def test_chunking_tiles_token_stream(texts, window):
             assert len(mine) == 0
         else:
             assert len(mine) == -(-len(toks) // window)  # ceil
+
+
+def test_hash_join_semi_and_anti(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5, 2], pa.int64()),
+         "lv": pa.array(list("abcdef"))}
+    )
+    right = pa.table({"rk": pa.array([2, 2, 4, 9], pa.int64())})
+    semi = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                  "k", "rk", ("lv",), {}, how="semi", n_buckets=4)
+        .to_pandas().sort_values(["k", "lv"], ignore_index=True)
+    )
+    # semi never fans out: k=2 appears twice on the left, twice on the
+    # right, but each left row is emitted exactly once
+    assert list(semi["k"]) == [2, 2, 4]
+    assert semi["k"].dtype == np.int64
+    anti = (
+        hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                  "k", "rk", ("lv",), {}, how="anti", n_buckets=4)
+        .to_pandas().sort_values(["k", "lv"], ignore_index=True)
+    )
+    assert list(anti["k"]) == [1, 3, 5]
+    assert list(anti["lv"]) == ["a", "c", "e"]
+
+
+def test_windowed_lag_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import windowed_lag
+
+    rng = np.random.RandomState(7)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 9, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**6, n), unit="s"
+            ).astype("datetime64[us]"),
+            "value": rng.randn(n),
+        }
+    )
+    out = (
+        windowed_lag(rd.from_pandas(df))
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+    g = ref.groupby("user_id")
+    ref = ref.assign(
+        dt_s=(ref["ts"] - g["ts"].shift()).dt.total_seconds(),
+        dv=ref["value"] - g["value"].shift(),
+    ).dropna(subset=["dt_s"]).sort_values("event_id", ignore_index=True)
+    assert list(out["event_id"]) == list(ref["event_id"])
+    assert np.allclose(out["dt_s"], ref["dt_s"])
+    assert np.allclose(out["dv"], ref["dv"])
+
+
+def test_rolling_mean_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import rolling_mean
+
+    rng = np.random.RandomState(11)
+    n = 150
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 5, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.randint(0, 10**5, n), unit="s"
+            ).astype("datetime64[us]"),
+            "value": rng.randn(n) * 50,
+        }
+    )
+    out = (
+        rolling_mean(rd.from_pandas(df), window=4)
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"])
+    r = (
+        ref.groupby("user_id")["value"]
+        .rolling(4, min_periods=1).mean()
+        .reset_index(level=0, drop=True)
+    )
+    ref = ref.assign(rmean=r).sort_values("event_id", ignore_index=True)
+    assert np.allclose(out["rmean"], ref["rmean"])
+
+
+def test_rollup_aggregate_levels(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.agg import rollup_aggregate
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": ["p", "q", "p", "p", "q"],
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        return d.groupby(["a", "b"], as_index=False).agg(
+            n=("v", "size"), s=("v", "sum")
+        )
+
+    out = rollup_aggregate(
+        rd.from_pandas(df), partial, ["a", "b"], {"n": "sum", "s": "sum"}
+    ).sort_values(["a", "b"], ignore_index=True)
+    # 4 leaf cells + 2 level-1 rows + 1 grand total
+    assert len(out) == 7
+    total = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert int(total["n"].iloc[0]) == 5 and int(total["s"].iloc[0]) == 15
+    x_all = out[(out["a"] == "x") & (out["b"] == "ALL")]
+    assert int(x_all["s"].iloc[0]) == 3
+    leaf_yp = out[(out["a"] == "y") & (out["b"] == "p")]
+    assert int(leaf_yp["n"].iloc[0]) == 2 and int(leaf_yp["s"].iloc[0]) == 7

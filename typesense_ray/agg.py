@@ -53,3 +53,37 @@ def combiner_aggregate(
         return pd.DataFrame(columns=group_cols + list(merges))
     agg_map = {c: (c, _MERGE_FNS[how]) for c, how in merges.items()}
     return allp.groupby(group_cols, as_index=False).agg(**agg_map)
+
+
+def rollup_aggregate(
+    ds,
+    partial_fn,
+    group_cols: list[str],
+    merges: dict[str, str],
+    label: str = "ALL",
+    mode: str = "stream",
+) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP(group_cols)``: the leaf cells come from ONE
+    :func:`combiner_aggregate` pass over the input; every super-aggregate
+    level (prefixes of ``group_cols``, down to the grand total) is then
+    re-merged from the |leaf|-bounded frame on the driver — the input is
+    never re-scanned and nothing bigger than the leaf grid moves.
+    Rolled-up key columns carry ``label`` (the COALESCE'd NULL)."""
+    leaf = combiner_aggregate(ds, partial_fn, group_cols, merges, mode=mode)
+    agg_map = {c: (c, _MERGE_FNS[how]) for c, how in merges.items()}
+    frames = [leaf[group_cols + list(merges)].copy()]
+    for lvl in range(len(group_cols) - 1, -1, -1):
+        keys = group_cols[:lvl]
+        if keys:
+            f = leaf.groupby(keys, as_index=False).agg(**agg_map)
+        else:
+            f = (
+                leaf.assign(_g=0)
+                .groupby("_g", as_index=False)
+                .agg(**agg_map)
+                .drop(columns="_g")
+            )
+        for c in group_cols[lvl:]:
+            f[c] = label
+        frames.append(f[group_cols + list(merges)])
+    return pd.concat(frames, ignore_index=True)

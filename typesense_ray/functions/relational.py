@@ -91,6 +91,91 @@ def sessionize(
 
     return events_ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
 
+def windowed_lag(
+    events_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Per-key lag deltas (the feature-engineering step behind
+    inter-arrival-time and value-change features): for every event with
+    a predecessor in its key's (ts, id)-ordered history, emit seconds
+    since the previous event and the value delta.
+
+    Shape: ONE ``groupby(key).map_groups`` exchange (the same contract
+    as :func:`sessionize` — one key's history fits a task), vectorized
+    diff inside each group. Rows without a predecessor are dropped
+    (SQL's ``lag() IS NULL``)."""
+    import pandas as pd
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 key_col: pd.Series([], dtype=np.int64),
+                 "dt_s": pd.Series([], dtype=np.float64),
+                 "dv": pd.Series([], dtype=np.float64)}
+            )
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[1:],
+                key_col: g[key_col].iloc[0],
+                "dt_s": (ts[1:] - ts[:-1]) / 1e6,
+                "dv": v[1:] - v[:-1],
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(deltas, batch_format="pandas")
+
+
+def rolling_mean(
+    events_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 4,
+):
+    """Per-key rolling mean over the last ``window`` rows (current row
+    inclusive), rows ordered by (ts, id) — SQL's
+    ``AVG(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    One ``groupby(key)`` exchange; the per-group kernel accumulates the
+    ``window`` shifted copies oldest-first so the float addition order
+    matches an in-order windowed sum."""
+    import pandas as pd
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 key_col: pd.Series([], dtype=np.int64),
+                 "rmean": pd.Series([], dtype=np.float64)}
+            )
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        s = np.zeros(n, dtype=np.float64)
+        for k in range(window - 1, 0, -1):
+            s[k:] += v[:-k]
+        s += v
+        cnt = np.minimum(np.arange(n, dtype=np.float64) + 1.0, float(window))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].iloc[0],
+                "rmean": s / cnt,
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -306,7 +391,9 @@ def hash_join(
     Output columns: ``left_on`` (the join key), ``left_cols`` verbatim,
     and ``right_cols`` values (src → output rename; must not collide).
     ``how``: 'inner' or 'left' (left-join null fills become pandas NaN,
-    so int right-payloads surface as float64 — the SQL NULL analogue).
+    so int right-payloads surface as float64 — the SQL NULL analogue),
+    or 'semi' / 'anti' (left rows with ≥1 / no key match — SQL
+    EXISTS / NOT EXISTS; right payload ignored, output never fans out).
 
     Partitioning assumption: a single (bucket, salt) cell fits a task.
     ``salt > 1`` is the hot-key mitigation: left rows spread round-robin
@@ -376,6 +463,15 @@ def hash_join(
     def join_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         left = g.loc[g["_side"] == 0, [left_on, *lpay]]
         right = g.loc[g["_side"] == 1, [left_on, *rpay_out]]
+        if how in ("semi", "anti"):
+            hit = left[left_on].isin(right[left_on].unique())
+            out = (left[hit] if how == "semi" else left[~hit]).reset_index(
+                drop=True
+            )
+            # no nulls in a kept left row — undo the union-stage drift
+            for c in (left_on, *lpay):
+                out[c] = out[c].astype(out_types[c].to_pandas_dtype())
+            return out
         out = pd.merge(left, right, on=left_on, how=how).reset_index(drop=True)
         if how == "inner":
             # no nulls survive an inner join — undo the float64 drift the

@@ -1593,6 +1593,93 @@ def q_orders_rollup(sf_dir: str) -> pa.Table:
     )
 
 
+def q_oov_rate(sf_dir: str) -> pa.Table:
+    """Per-doc OOV token rate vs the corpus top-50-df vocabulary —
+    functions/text.oov_rate (broadcast vocab, C-hash isin probe over
+    the flattened occurrence stream)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import oov_rate
+
+    vocab = q_term_df_top50(sf_dir)["term"].to_pylist()
+    out = oov_rate(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        vocab,
+    ).sort("doc_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_toks": t["n_toks"].cast(pa.int64()),
+            "oov_rate": pa.array(
+                [_round_half_up(v, 6) for v in t["oov_rate"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_bigram_top30(sf_dir: str) -> pa.Table:
+    """Corpus word-bigram top-30 — functions/text.top_bigrams
+    (per-batch shifted-concat combiners, vocab-bounded merge)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import top_bigrams
+
+    out = top_bigrams(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        k=30,
+    )
+    return pa.table(
+        {
+            "bigram": pa.array(out["bigram"], pa.string()),
+            "cnt": pa.array(out["cnt"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_trim_outliers(sf_dir: str) -> pa.Table:
+    """Keep events inside the per-type exact [p05, p95] value band —
+    functions/relational.quantile_trim (distributed rank selection for
+    the bounds, broadcast filter; no value arithmetic so floats match
+    SQL exactly)."""
+    from typesense_ray.functions.relational import quantile_trim
+
+    ds = _read(sf_dir, "events")
+    out = quantile_trim(ds, lo=0.05, hi=0.95).sort("event_id")
+    t = pa.Table.from_pandas(
+        out.to_pandas()[["event_id", "event_type", "value"]]
+    )
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "event_type": t["event_type"],
+            "value": t["value"].cast(pa.float64()),
+        }
+    )
+
+
+def q_lang_pivot(sf_dir: str) -> pa.Table:
+    """Docs-per-source × language crosstab — agg.pivot_counts (one
+    combiner pass to the |sources|×|langs| grid, driver-side widen)."""
+    import ray.data as rd
+
+    from typesense_ray.agg import pivot_counts
+
+    out = pivot_counts(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+        ),
+        "source", "lang", ("de", "en", "es", "fr", "zh"),
+    )
+    cols = {"source": pa.array(out["source"], pa.string())}
+    for lang in ("de", "en", "es", "fr", "zh"):
+        cols[f"n_{lang}"] = pa.array(out[f"n_{lang}"], pa.int64())
+    return pa.table(cols)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1665,6 +1752,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_events": q_rolling_events,
         "customers_without_orders": q_customers_without_orders,
         "orders_rollup": q_orders_rollup,
+        "oov_rate": q_oov_rate,
+        "bigram_top30": q_bigram_top30,
+        "trim_outliers": q_trim_outliers,
+        "lang_pivot": q_lang_pivot,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "typo_search": q_typo_search,
@@ -2204,6 +2295,46 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
+""",
+        "oov_rate": _TOKS_CTE
+        + """
+, df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY term),
+vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 50)
+SELECT doc_id, count(*) AS n_toks,
+       round(count(*) FILTER (WHERE term NOT IN (SELECT term FROM vocab))
+             * 1.0 / count(*), 6) AS oov_rate
+FROM toks2 GROUP BY doc_id ORDER BY doc_id
+""",
+        "bigram_top30": _TOKLIST_CTE
+        + """
+SELECT lt.toks[i] || ' ' || lt.toks[i + 1] AS bigram, count(*) AS cnt
+FROM lt, unnest(range(1, len(toks))) AS u(i)
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 30
+""",
+        "trim_outliers": """
+WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+      FROM events),
+b AS (SELECT r.event_type,
+             max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                 THEN value END) AS lo,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                 THEN value END) AS hi
+      FROM r JOIN n USING (event_type) GROUP BY r.event_type)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN b USING (event_type)
+WHERE e.value >= b.lo AND e.value <= b.hi
+ORDER BY e.event_id
+""",
+        "lang_pivot": """
+SELECT source,
+       count(*) FILTER (WHERE lang = 'de') AS n_de,
+       count(*) FILTER (WHERE lang = 'en') AS n_en,
+       count(*) FILTER (WHERE lang = 'es') AS n_es,
+       count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+       count(*) FILTER (WHERE lang = 'zh') AS n_zh
+FROM documents GROUP BY source ORDER BY source
 """,
         "user_deltas": """
 WITH d AS (

@@ -1436,3 +1436,80 @@ def test_rollup_aggregate_levels(ray_session):
     assert int(x_all["s"].iloc[0]) == 3
     leaf_yp = out[(out["a"] == "y") & (out["b"] == "p")]
     assert int(leaf_yp["n"].iloc[0]) == 2 and int(leaf_yp["s"].iloc[0]) == 7
+
+
+def test_oov_rate_broadcast_vocab(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.text import oov_rate
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["the cat sat", "dog dog unknownword", "   "])}
+    )
+    out = (
+        oov_rate(rd.from_arrow(t), ["the", "cat", "dog"])
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    # doc 2 has zero tokens -> dropped
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["n_toks"]) == [3, 3]
+    assert out["oov_rate"][0] == pytest.approx(1 / 3)  # "sat" is OOV
+    assert out["oov_rate"][1] == pytest.approx(1 / 3)  # "unknownword"
+
+
+def test_top_bigrams_counts(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.text import top_bigrams
+
+    t = pa.table(
+        {"text": pa.array(["a b a b", "a b c", "x", ""])}
+    )
+    out = top_bigrams(rd.from_arrow(t), k=10)
+    got = dict(zip(out["bigram"], out["cnt"]))
+    # "a b" occurs twice in doc0 + once in doc1; no cross-doc windows
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    assert list(out["bigram"])[0] == "a b"  # count-desc ordering
+
+
+def test_quantile_trim_bounds(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import quantile_trim
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(400, dtype=np.int64),
+            "event_type": np.repeat(["a", "b"], 200),
+            "value": np.r_[rng.randn(200) * 10, rng.randn(200) * 3 + 50],
+        }
+    )
+    out = quantile_trim(rd.from_pandas(df), lo=0.1, hi=0.9).to_pandas()
+    # scalar reference: rank-ceil quantiles per group
+    for g, sub in df.groupby("event_type"):
+        v = np.sort(sub["value"].to_numpy())
+        lo_v = v[int(np.ceil(0.1 * len(v))) - 1]
+        hi_v = v[int(np.ceil(0.9 * len(v))) - 1]
+        mine = out[out["event_type"] == g]["value"]
+        want = sub[(sub["value"] >= lo_v) & (sub["value"] <= hi_v)]["value"]
+        assert sorted(mine) == sorted(want)
+
+
+def test_pivot_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.agg import pivot_counts
+
+    df = pd.DataFrame(
+        {"src": ["s1", "s1", "s2", "s2", "s2"],
+         "lang": ["en", "de", "en", "en", "xx"]}
+    )
+    out = pivot_counts(rd.from_pandas(df), "src", "lang", ("de", "en", "fr"))
+    assert list(out.columns) == ["src", "n_de", "n_en", "n_fr"]
+    assert out.set_index("src").loc["s1"].tolist() == [1, 1, 0]
+    # value outside col_values ("xx") is ignored; missing cell is 0
+    assert out.set_index("src").loc["s2"].tolist() == [0, 2, 0]

@@ -87,3 +87,30 @@ def rollup_aggregate(
             f[c] = label
         frames.append(f[group_cols + list(merges)])
     return pd.concat(frames, ignore_index=True)
+
+
+def pivot_counts(
+    ds,
+    row_col: str,
+    col_col: str,
+    col_values: tuple,
+    prefix: str = "n_",
+) -> pd.DataFrame:
+    """Crosstab / PIVOT: count of rows per (row_col, col_col), widened to
+    one column per ``col_values`` entry (missing cells 0). One combiner
+    pass reduces every block to its |rows|×|cols| grid; the driver pivot
+    touches only that grid — the input is never shuffled."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([row_col, col_col], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    leaf = combiner_aggregate(ds, partial, [row_col, col_col], {"c": "sum"})
+    wide = (
+        leaf.pivot(index=row_col, columns=col_col, values="c")
+        .reindex(columns=list(col_values))
+        .fillna(0)
+        .astype("int64")
+    )
+    wide.columns = [f"{prefix}{v}" for v in col_values]
+    return wide.reset_index().sort_values(row_col, ignore_index=True)

@@ -359,6 +359,45 @@ def grouped_quantiles(
     )
 
 
+def quantile_trim(
+    ds,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    n_ranges: int = 256,
+):
+    """Per-group percentile outlier trim (the standard numeric-cleaning
+    pass): compute the exact [lo, hi] quantile bounds per group with
+    :func:`grouped_quantiles` (distributed rank selection — never a full
+    sort), broadcast the |groups|×2 bound table, and filter with one
+    vectorized comparison map. Keeps rows with
+    ``q_lo(group) <= value <= q_hi(group)``; no value arithmetic, so
+    float equality with a SQL oracle is exact."""
+    import pandas as pd
+    import ray
+
+    q = grouped_quantiles(
+        ds, group_col, value_col, ps=(lo, hi), n_ranges=n_ranges
+    ).to_pandas()
+    bounds = {
+        g: (float(sub[sub["p"] == lo][value_col].iloc[0]),
+            float(sub[sub["p"] == hi][value_col].iloc[0]))
+        for g, sub in q.groupby(group_col)
+    }
+    ref = ray.put(bounds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        groups = pd.Series(batch[group_col].to_pylist())
+        los = groups.map(lambda g: b[g][0]).to_numpy(np.float64)
+        his = groups.map(lambda g: b[g][1]).to_numpy(np.float64)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v >= los) & (v <= his)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _bucket_of(a: np.ndarray, n: int) -> np.ndarray:
     """Deterministic join bucket for int or string keys (internal —
     both sides just need to agree)."""

@@ -465,3 +465,60 @@ def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.drop_columns([text_col])
     out = out.append_column(text_col, pa.array(s.tolist(), pa.string()))
     return out.append_column("pii_hits", pa.array(hits, pa.int64()))
+
+
+def oov_rate(ds, vocab_terms, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc out-of-vocabulary token-occurrence rate against a
+    broadcast vocabulary (the tokenizer-coverage report run before any
+    BPE/vocab decision): the vocab is ``ray.put`` once and probed with a
+    C-level hash ``isin`` over the flattened occurrence stream — no
+    per-token Python, no shuffle. Docs with zero tokens are dropped
+    (rate undefined). Returns (id, n_toks, oov_rate)."""
+    import ray
+
+    ref = ray.put(np.asarray(list(vocab_terms), dtype=object))
+
+    def rate(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat, unit = batch_term_stream(texts)
+        n = np.bincount(unit, minlength=len(texts))
+        inv = pd.Series(flat, dtype=object).isin(ray.get(ref)).to_numpy()
+        oovs = np.bincount(unit[~inv], minlength=len(texts))
+        keep = n > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_toks": pa.array(n[keep], pa.int64()),
+                "oov_rate": pa.array(
+                    oovs[keep] * 1.0 / n[keep], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(rate, batch_format="pyarrow")
+
+
+def top_bigrams(ds, text_col: str = "text", k: int = 30) -> pd.DataFrame:
+    """Corpus-wide word-bigram counts, top-k by (count desc, bigram asc)
+    — the co-occurrence table LM data reports start from. Per-batch
+    bigram-count combiners (vectorized shifted string concat), then a
+    vocab-bounded merge; ties broken lexicographically."""
+    from typesense_ray.agg import combiner_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams, _ = batch_ngram_stream(df[text_col].tolist(), 2)
+        if not len(grams):
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        g = pd.Series(grams, dtype=object).value_counts()
+        return pd.DataFrame({"bigram": g.index.to_numpy(object),
+                             "cnt": g.to_numpy(np.int64)})
+
+    out = combiner_aggregate(ds, partial, ["bigram"], {"cnt": "sum"})
+    return (
+        out.sort_values(["cnt", "bigram"], ascending=[False, True],
+                        kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1680,6 +1680,55 @@ def q_lang_pivot(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def q_synonym_search(sf_dir: str) -> pa.Table:
+    """Synonym expansion under the hard oracle: query 'data join' with
+    the one-way synonym join→merge returns the UNION of both variants'
+    conjunctive id sets (reference searches variants identically,
+    src/collection.cpp:767-787)."""
+    from typesense_ray.collection import RayCollection, SynonymIndex
+
+    coll = _docs_index(sf_dir)
+    syn = SynonymIndex()
+    syn.add_synonym("join", ["merge"])
+    c2 = RayCollection(
+        coll._local.index_dir, default_sorting_field="n_chars", synonyms=syn
+    )
+    return c2.matching_ids("data join", apply_synonyms=True)
+
+
+def q_override_search(sf_dir: str) -> pa.Table:
+    """Curation rules under the hard oracle: a matching override
+    force-includes ids {1, 2} and hides {5, 6} on the final id set
+    (reference include/exclude weave, src/collection.cpp:532-588)."""
+    from typesense_ray.collection import Override, RayCollection
+
+    coll = _docs_index(sf_dir)
+    ov = Override(
+        rule_query="window", match="exact",
+        includes=[(1, 1), (2, 2)], excludes=[5, 6],
+    )
+    c2 = RayCollection(
+        coll._local.index_dir, default_sorting_field="n_chars", overrides=[ov]
+    )
+    return c2.matching_ids("window", apply_overrides=True)
+
+
+def q_facet_query_counts(sf_dir: str) -> pa.Table:
+    """facet_query filtering (reference Index::do_facets facet_query
+    path): facet counts for lang restricted to values prefix-matching
+    'e' over the docs matching the main query."""
+    coll = _docs_index(sf_dir)
+    r = coll.search(
+        "data", facet_by="lang", facet_query="lang: e", per_page=1,
+        highlight=False, max_facet_values=100,
+    )
+    counts = r["facet_counts"][0]["counts"]
+    return pa.table(
+        {"value": pa.array([c["value"] for c in counts], pa.string()),
+         "cnt": pa.array([c["count"] for c in counts], pa.int64())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1756,6 +1805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top30": q_bigram_top30,
         "trim_outliers": q_trim_outliers,
         "lang_pivot": q_lang_pivot,
+        "synonym_search": q_synonym_search,
+        "override_search": q_override_search,
+        "facet_query_counts": q_facet_query_counts,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "typo_search": q_typo_search,
@@ -2295,6 +2347,31 @@ FROM (SELECT * FROM events WHERE event_type = 'click') c
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
+""",
+        "synonym_search": _TOKS_CTE
+        + """
+, m1 AS (SELECT doc_id FROM toks2 WHERE term IN ('data', 'join')
+         GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+m2 AS (SELECT doc_id FROM toks2 WHERE term IN ('data', 'merge')
+       GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+SELECT doc_id FROM (SELECT doc_id FROM m1 UNION SELECT doc_id FROM m2)
+ORDER BY doc_id
+""",
+        "override_search": _TOKS_CTE
+        + """
+, base AS (SELECT DISTINCT doc_id FROM toks2 WHERE term = 'window'),
+curated AS (
+  SELECT doc_id FROM base
+  UNION SELECT * FROM (VALUES (1), (2)) v(doc_id)
+)
+SELECT doc_id FROM curated WHERE doc_id NOT IN (5, 6) ORDER BY doc_id
+""",
+        "facet_query_counts": _TOKS_CTE
+        + """
+SELECT lang AS value, count(*) AS cnt FROM documents
+WHERE doc_id IN (SELECT doc_id FROM toks2 WHERE term = 'data')
+  AND lang LIKE 'e%'
+GROUP BY lang ORDER BY value
 """,
         "oov_rate": _TOKS_CTE
         + """

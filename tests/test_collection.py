@@ -231,3 +231,26 @@ def test_filter_parse_errors(coll):
         parse_filter("nosuchfield:1", coll.field_types)
     with pytest.raises(ValueError):
         parse_filter("size", coll.field_types)
+
+
+def test_matching_ids_synonyms_and_overrides(coll):
+    syn = SynonymIndex()
+    syn.add_synonym("crimson", ["red"])
+    c2 = RayCollection(coll._local.index_dir, default_sorting_field="size",
+                       synonyms=syn)
+    plain = c2.matching_ids("crimson")["doc_id"].to_pylist()
+    expanded = c2.matching_ids("crimson", apply_synonyms=True)[
+        "doc_id"
+    ].to_pylist()
+    reds = c2.matching_ids("red")["doc_id"].to_pylist()
+    assert set(expanded) == set(plain) | set(reds)
+
+    ov = Override(rule_query="red", match="exact",
+                  includes=[(999, 1)], excludes=[reds[0]])
+    c3 = RayCollection(coll._local.index_dir, default_sorting_field="size",
+                       overrides=[ov])
+    curated = c3.matching_ids("red", apply_overrides=True)["doc_id"].to_pylist()
+    assert 999 in curated and reds[0] not in curated
+    # non-matching rule leaves the set alone
+    same = c3.matching_ids("blue", apply_overrides=True)["doc_id"].to_pylist()
+    assert same == c3.matching_ids("blue")["doc_id"].to_pylist()

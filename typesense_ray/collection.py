@@ -468,6 +468,8 @@ class RayCollection:
         *,
         query_by: list[str] | None = None,
         num_typos: int = 0,
+        apply_synonyms: bool = False,
+        apply_overrides: bool = False,
     ) -> pa.Table:
         """All matching doc_ids for a query+filter (no top-k cap) — the
         export / bulk-delete-resolution path (``src/core_api.cpp:880-985``
@@ -480,9 +482,19 @@ class RayCollection:
         some candidate per token — the id-set view of fuzzy search, exactly
         the ``damerau_levenshtein`` oracle's semantics (unlike the top-k
         path, which applies the reference's 3-candidate/10-combination
-        caps, ``src/index.cpp:1673-1755``)."""
+        caps, ``src/index.cpp:1673-1755``).
+
+        ``apply_synonyms`` unions the id sets of every synonym-expanded
+        query variant (the reference searches variants identically,
+        ``src/collection.cpp:767-787``); ``apply_overrides`` applies
+        matching curation rules' include/exclude ids to the final set
+        (``src/collection.cpp:532-588``). Both are the id-set view of the
+        corresponding ``search`` features."""
         primary = self.stats["config"]["text_field"]
         include, exclude = tokenize_query(q)
+        variants = [include]
+        if apply_synonyms and include != ["*"]:
+            variants += self.synonyms.expand(include)
         if num_typos and include and include != ["*"]:
             per_token = self.typo_resolver.candidates_per_token(include, num_typos)
             if not per_token:
@@ -507,10 +519,16 @@ class RayCollection:
                 )
                 pexcl = [pref(e) for e in exclude]
                 if token_terms is None:
-                    pterms = (
-                        include if include == ["*"] else [pref(t) for t in include]
-                    )
-                    cand, _ = seg.candidates(pterms, pexcl, mask, False)
+                    cand = None
+                    for inc in variants:
+                        pterms = (
+                            inc if inc == ["*"] else [pref(t) for t in inc]
+                        )
+                        c, _ = seg.candidates(pterms, pexcl, mask, False)
+                        if c.size:
+                            cand = c if cand is None else np.union1d(cand, c)
+                    if cand is None:
+                        cand = np.empty(0, np.int64)
                 else:
                     # per token: union of candidate-term postings; across
                     # tokens: intersection (some-candidate-per-token)
@@ -558,7 +576,19 @@ class RayCollection:
         all_ids = (
             np.sort(np.concatenate(ids)) if ids else np.empty(0, np.uint64)
         )
-        return pa.table({"doc_id": pa.array(all_ids.astype(np.int64), pa.int64())})
+        out = all_ids.astype(np.int64)
+        if apply_overrides and self.overrides:
+            inc_ids: list[int] = []
+            exc_ids: list[int] = []
+            for ov in self.overrides:
+                if ov.matches(q):
+                    inc_ids += [int(d) for d, _ in ov.includes]
+                    exc_ids += [int(d) for d in ov.excludes]
+            if inc_ids:
+                out = np.union1d(out, np.array(inc_ids, np.int64))
+            if exc_ids:
+                out = np.setdiff1d(out, np.array(exc_ids, np.int64))
+        return pa.table({"doc_id": pa.array(out, pa.int64())})
 
     # -- internals ---------------------------------------------------------
 

@@ -1729,6 +1729,50 @@ def q_facet_query_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sampling (Efraimidis–Spirakis keys from a
+    hash-derived uniform; inclusion ∝ n_chars) — functions/sampling.
+    weighted_sample: per-block partial top-k, k×blocks driver merge."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import weighted_sample
+
+    out = weighted_sample(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        weight_col="n_chars", k=20,
+    ).sort_values("doc_id", ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64), pa.int64()),
+            "n_chars": pa.array(out["n_chars"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_running_total(sf_dir: str) -> pa.Table:
+    """Per-user running total of value in (ts, id) order —
+    functions/relational.running_total (sequential cumsum matches the
+    SQL window's in-order accumulation)."""
+    from typesense_ray.functions.relational import running_total
+
+    ds = _read(sf_dir, "events")
+    out = running_total(ds).sort("event_id")
+    t = pa.Table.from_pandas(out.to_pandas())
+    return pa.table(
+        {
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "cum": pa.array(
+                [_round_half_up(v, 4) if v >= 0 else -_round_half_up(-v, 4)
+                 for v in t["cum"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1808,6 +1852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search": q_synonym_search,
         "override_search": q_override_search,
         "facet_query_counts": q_facet_query_counts,
+        "weighted_sample": q_weighted_sample,
+        "running_total": q_running_total,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "typo_search": q_typo_search,
@@ -2412,6 +2458,21 @@ SELECT source,
        count(*) FILTER (WHERE lang = 'fr') AS n_fr,
        count(*) FILTER (WHERE lang = 'zh') AS n_zh
 FROM documents GROUP BY source ORDER BY source
+""",
+        "weighted_sample": """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((((doc_id * 2654435761) % 4294967296) + 1) / 4294967296.0,
+             1.0 / n_chars) AS key
+  FROM documents
+  ORDER BY key DESC, doc_id LIMIT 20
+) ORDER BY doc_id
+""",
+        "running_total": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS cum
+FROM events ORDER BY event_id
 """,
         "user_deltas": """
 WITH d AS (

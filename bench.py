@@ -241,6 +241,17 @@ def main() -> None:
         "prepare_corpus",
         "zscore_events",
         "label_centroids",
+        "user_deltas",
+        "rolling_events",
+        "customers_without_orders",
+        "orders_rollup",
+        "oov_rate",
+        "bigram_top30",
+        "trim_outliers",
+        "lang_pivot",
+        "synonym_search",
+        "override_search",
+        "facet_query_counts",
     ]:
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)

@@ -1513,3 +1513,60 @@ def test_pivot_counts(ray_session):
     assert out.set_index("src").loc["s1"].tolist() == [1, 1, 0]
     # value outside col_values ("xx") is ignored; missing cell is 0
     assert out.set_index("src").loc["s2"].tolist() == [0, 2, 0]
+
+
+def test_weighted_sample_deterministic_and_weighted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.sampling import _MOD, _hash_ids, weighted_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(500, dtype=np.int64),
+         "w": np.r_[np.full(250, 1.0), np.full(250, 50.0)]}
+    )
+    out1 = weighted_sample(rd.from_pandas(df), "w", k=25)
+    out2 = weighted_sample(rd.from_pandas(df.sample(frac=1, random_state=0)),
+                           "w", k=25)
+    # deterministic: same winners regardless of input order/partitioning
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    # scalar reference: global A-ES top-k
+    u = (_hash_ids(df["doc_id"].to_numpy()).astype(np.float64) + 1.0) / float(
+        _MOD
+    )
+    key = u ** (1.0 / df["w"].to_numpy())
+    want = df.assign(key=key).sort_values(
+        ["key", "doc_id"], ascending=[False, True]
+    ).head(25)
+    assert sorted(out1["doc_id"]) == sorted(want["doc_id"])
+    # weight-50 rows should dominate the sample
+    assert (out1["doc_id"] >= 250).sum() > 18
+
+
+def test_running_total_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import running_total
+
+    rng = np.random.RandomState(5)
+    n = 120
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 4, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**5, n), unit="s").astype(
+                "datetime64[us]"
+            ),
+            "value": rng.randn(n),
+        }
+    )
+    out = (
+        running_total(rd.from_pandas(df))
+        .to_pandas().sort_values("event_id", ignore_index=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"])
+    ref = ref.assign(cum=ref.groupby("user_id")["value"].cumsum()).sort_values(
+        "event_id", ignore_index=True
+    )
+    assert np.allclose(out["cum"], ref["cum"])

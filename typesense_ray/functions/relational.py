@@ -664,3 +664,36 @@ def zscore_normalize(
         )
 
     return ds.map_batches(z, batch_format="pyarrow")
+
+
+def running_total(
+    events_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Per-key running total of ``value_col`` in (ts, id) order — SQL's
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``, the cumulative-feature pass. ONE ``groupby(key)``
+    exchange, sequential ``np.cumsum`` per group (same in-order float
+    accumulation as the SQL window)."""
+    import pandas as pd
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=np.int64),
+                 key_col: pd.Series([], dtype=np.int64),
+                 "cum": pd.Series([], dtype=np.float64)}
+            )
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].iloc[0],
+                "cum": np.cumsum(g[value_col].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(cum, batch_format="pandas")

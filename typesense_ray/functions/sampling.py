@@ -190,3 +190,45 @@ def rate_sample(
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    weight_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row gets key ``u ** (1/w)`` with ``u`` a
+    hash-derived uniform in (0, 1] — inclusion probability ∝ weight —
+    and the k largest keys win. No RNG state: the sample is a pure
+    function of the data (reruns, resumes and the SQL oracle agree).
+
+    Distributed shape: per-block vectorized partial top-k (each block
+    forwards ≤ k rows), driver merges k × blocks candidates. Returns
+    (id_col, weight_col, key) for the winners."""
+    import pandas as pd
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (_hash_ids(ids.astype(np.int64)).astype(np.float64) + 1.0) / float(
+            _MOD
+        )
+        key = u ** (1.0 / w)
+        df = pd.DataFrame({id_col: ids, weight_col: batch[weight_col],
+                           "key": key})
+        top = df.sort_values(
+            ["key", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(top.reset_index(drop=True))
+
+    parts = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["key", id_col], ascending=[False, True],
+                     kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return parts

@@ -1189,10 +1189,17 @@ def q_tpch_q5ish(sf_dir: str) -> pa.Table:
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
+    # size-aware plan (what a cost-based engine does): the customer side
+    # and the orders⋈customer product are both ≤ the broadcast threshold
+    # at bench scale → map-side broadcast probes, NO exchange; past the
+    # threshold (real TPC-H scale) the same call degrades gracefully to
+    # the bucket-co-partitioned shuffle join.
+    bcast = 300_000
     j1 = hash_join(
         orders, cust, left_on="o_custkey", right_on="c_custkey",
         left_cols=("o_orderkey",), right_cols={"c_nationkey": "nationkey"},
-    )
+        broadcast_threshold=bcast,
+    ).materialize()
     # partial-aggregate pushdown: revenue per orderkey BEFORE the join —
     # the second exchange then moves ~orders-many partials instead of the
     # 4×-larger raw lineitem rows (sum-before-inner-join is sound here:
@@ -1213,6 +1220,7 @@ def q_tpch_q5ish(sf_dir: str) -> pa.Table:
         line_rev, j1, left_on="l_orderkey", right_on="o_orderkey",
         left_cols=("revenue",),
         right_cols={"nationkey": "nationkey"},
+        broadcast_threshold=bcast,
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -1570,3 +1570,36 @@ def test_running_total_matches_pandas(ray_session):
         "event_id", ignore_index=True
     )
     assert np.allclose(out["cum"], ref["cum"])
+
+
+def test_hash_join_broadcast_plan_equals_shuffle(ray_session):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 2, 9], pa.int64()),
+         "lv": pa.array(list("abcdef"))}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 3, 3, 9], pa.int64()),
+         "rv": pa.array([20, 30, 31, 90], pa.int64())}
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        rc = {} if how in ("semi", "anti") else {"rv": "rv"}
+        shuf = (
+            hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                      "k", "rk", ("lv",), rc, how=how, n_buckets=4)
+            .to_pandas()
+        )
+        bcast = (
+            hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                      "k", "rk", ("lv",), rc, how=how,
+                      broadcast_threshold=1000)
+            .to_pandas()
+        )
+        cols = list(bcast.columns)
+        a = shuf[cols].sort_values(cols, ignore_index=True)
+        b = bcast.sort_values(cols, ignore_index=True)
+        assert a.astype(object).where(a.notna(), None).values.tolist() == \
+            b.astype(object).where(b.notna(), None).values.tolist(), how

@@ -398,6 +398,43 @@ def quantile_trim(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _broadcast_join(
+    left_ds, right_ds, left_on, right_on, lpay, right_cols, how, l_types
+):
+    """Map-side join against a broadcast right frame (the small-side
+    plan hash_join switches to under ``broadcast_threshold``): the right
+    table is collected once, key cast to the left key type, renamed to
+    the output payload names, and ``ray.put`` — every left batch probes
+    it with one vectorized ``pd.merge`` / ``isin``. Left batches keep
+    their native dtypes (no union padding), so inner-join outputs need
+    no dtype restoration."""
+    import pandas as pd
+    import ray
+
+    rt = pa.Table.from_pandas(right_ds.to_pandas())
+    cols = {left_on: rt[right_on].cast(l_types[left_on])}
+    for src, out in right_cols.items():
+        cols[out] = rt[src]
+    rframe = pa.table(cols).to_pandas()
+    if how in ("semi", "anti"):
+        rframe = rframe[[left_on]].drop_duplicates()
+    ref = ray.put(rframe)
+
+    def probe(batch: "pd.DataFrame") -> "pd.DataFrame":
+        right = ray.get(ref)
+        left = batch[[left_on, *lpay]]
+        if how in ("semi", "anti"):
+            hit = left[left_on].isin(right[left_on].to_numpy())
+            return (left[hit] if how == "semi" else left[~hit]).reset_index(
+                drop=True
+            )
+        return pd.merge(left, right, on=left_on, how=how).reset_index(
+            drop=True
+        )
+
+    return left_ds.map_batches(probe, batch_format="pandas")
+
+
 def _bucket_of(a: np.ndarray, n: int) -> np.ndarray:
     """Deterministic join bucket for int or string keys (internal —
     both sides just need to agree)."""
@@ -420,12 +457,20 @@ def hash_join(
     how: str = "inner",
     n_buckets: int = 64,
     salt: int = 1,
+    broadcast_threshold: int = 0,
 ):
     """Distributed shuffle hash join (repartition join): both sides are
     padded to one unified schema, tagged with ``_side`` and a
     ``_bucket = hash(key) % n_buckets`` column, unioned, and
     co-partitioned by ONE ``groupby(_bucket)`` exchange; each bucket
     task runs a vectorized ``pd.merge`` over its 1/n_buckets slice.
+
+    ``broadcast_threshold > 0`` enables the Spark-style auto-broadcast
+    plan: when ``right_ds.count()`` is at or under the threshold, the
+    right side is collected once, ``ray.put``, and probed map-side per
+    left batch — NO exchange touches the big side. Counting a derived
+    (non-source) right Dataset executes it, so materialize such inputs
+    first if they feed other consumers; output is identical either way.
 
     Output columns: ``left_on`` (the join key), ``left_cols`` verbatim,
     and ``right_cols`` values (src → output rename; must not collide).
@@ -450,6 +495,12 @@ def hash_join(
     lpay = [c for c in left_cols if c != left_on]
     rpay_out = list(right_cols.values())
 
+    if broadcast_threshold > 0 and right_ds.count() <= broadcast_threshold:
+        return _broadcast_join(
+            left_ds, right_ds, left_on, right_on, lpay, right_cols,
+            how, l_types,
+        )
+
     def pad_left(t: pa.Table) -> pa.Table:
         k = t[left_on].to_numpy(zero_copy_only=False)
         cols = {left_on: t[left_on]}
@@ -465,6 +516,11 @@ def hash_join(
         return pa.table(cols)
 
     def pad_right(t: pa.Table) -> pa.Table:
+        if how in ("semi", "anti"):
+            # payload is ignored — forward each key once per block
+            import pyarrow.compute as pc
+
+            t = pa.table({right_on: pc.unique(t[right_on])})
         # bucket AFTER casting to the left key type: a float64 key (int
         # column gone through a null-padded pandas stage upstream) must
         # hash identically to the left side's int64 values

@@ -312,9 +312,8 @@ def q_token_counts(sf_dir: str) -> pa.Table:
         _read(sf_dir, "documents")
         .map_batches(lambda b: token_count_batch(b, "text"), batch_format="pyarrow")
         .select_columns(["doc_id", "ws_tokens"])
-        .sort("doc_id")
     )
-    return pa.Table.from_pandas(out.to_pandas()).select(["doc_id", "ws_tokens"])
+    return pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True)).select(["doc_id", "ws_tokens"])
 
 
 def q_quality(sf_dir: str) -> pa.Table:
@@ -324,9 +323,8 @@ def q_quality(sf_dir: str) -> pa.Table:
         _read(sf_dir, "documents")
         .map_batches(lambda b: quality_batch(b, "text"), batch_format="pyarrow")
         .select_columns(["doc_id", "n_tokens", "digit_ratio", "punct_ratio"])
-        .sort("doc_id")
     )
-    return pa.Table.from_pandas(out.to_pandas()).select(
+    return pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True)).select(
         ["doc_id", "n_tokens", "digit_ratio", "punct_ratio"]
     )
 
@@ -342,8 +340,8 @@ def q_seq_packing(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = pack_sequences(ds, budget=512, group_rows=1024).sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = pack_sequences(ds, budget=512, group_rows=1024)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return t.select(["doc_id", "n_tokens", "pack_id", "pack_off"]).cast(
         pa.schema(
             [
@@ -385,9 +383,8 @@ def q_redact_pii(sf_dir: str) -> pa.Table:
         .map_batches(inject, batch_format="pyarrow")
         .map_batches(lambda b: redact_pii_batch(b, "text"),
                      batch_format="pyarrow")
-        .sort("doc_id")
     )
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -467,8 +464,8 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = flag_contaminated(ds, bench, n=8).sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = flag_contaminated(ds, bench, n=8)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -493,9 +490,8 @@ def q_rep_filter(sf_dir: str) -> pa.Table:
         .select_columns(
             ["doc_id", "top_unigram_frac", "dup_2gram_frac", "keep_rep"]
         )
-        .sort("doc_id")
     )
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -528,9 +524,8 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
             lambda b: chunk_docs_batch(b, window=64, stride=48),
             batch_format="pyarrow",
         )
-        .sort(["doc_id", "chunk_id"])
     )
-    t = pa.Table.from_pandas(out.to_pandas())
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id", "chunk_id"], ignore_index=True))
     return t.cast(
         pa.schema(
             [
@@ -555,8 +550,8 @@ def q_source_mix(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
-    out = rate_sample(ds, rates, group_col="source").sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = rate_sample(ds, rates, group_col="source")
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -622,8 +617,8 @@ def q_dup_spans(sf_dir: str) -> pa.Table:
     (functions/decontam.py dup_span_flags)."""
     from typesense_ray.functions.decontam import dup_span_flags
 
-    out = dup_span_flags(_augmented_docs(sf_dir), n=10).sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = dup_span_flags(_augmented_docs(sf_dir), n=10)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -662,8 +657,8 @@ def q_zscore_events(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "value"],
     )
-    out = zscore_normalize(ds).sort("event_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = zscore_normalize(ds)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(
         {
             "event_id": t["event_id"].cast(pa.int64()),
@@ -709,8 +704,8 @@ def q_prepare_corpus(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = prepare_corpus(ds).sort(["doc_id", "chunk_id"])
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = prepare_corpus(ds)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id", "chunk_id"], ignore_index=True))
     return t.cast(
         pa.schema(
             [
@@ -757,8 +752,8 @@ def q_char_lm_score(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    out = char_lm_score(ds).sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = char_lm_score(ds)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -781,8 +776,8 @@ def q_global_shuffle(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.sampling import shard_shuffle
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    out = shard_shuffle(ds, n_shards=8).sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = shard_shuffle(ds, n_shards=8)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return t.select(["doc_id", "shard", "pos"]).cast(
         pa.schema(
             [("doc_id", pa.int64()), ("shard", pa.int64()),
@@ -959,9 +954,8 @@ def q_langid(sf_dir: str) -> pa.Table:
         _read(sf_dir, "documents")
         .map_batches(LangId, batch_format="pyarrow", concurrency=2)
         .select_columns(["doc_id", "lang_pred", "lang_conf"])
-        .sort("doc_id")
     )
-    return pa.Table.from_pandas(out.to_pandas()).select(
+    return pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True)).select(
         ["doc_id", "lang_pred", "lang_conf"]
     )
 
@@ -973,9 +967,8 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
         _read(sf_dir, "documents")
         .map_batches(lambda b: fingerprint_batch(b, "text"), batch_format="pyarrow")
         .select_columns(["doc_id", "fingerprint"])
-        .sort("doc_id")
     )
-    return pa.Table.from_pandas(out.to_pandas()).select(["doc_id", "fingerprint"])
+    return pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True)).select(["doc_id", "fingerprint"])
 
 
 def q_typo_search(sf_dir: str) -> pa.Table:
@@ -1160,9 +1153,8 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
             ImageDecode(), batch_format="pyarrow", batch_size=8, concurrency=2,
         )
         .select_columns(["media_id", "height", "width", "channels"])
-        .sort("media_id")
     )
-    return pa.Table.from_pandas(out.to_pandas())
+    return pa.Table.from_pandas(out.to_pandas().sort_values(["media_id"], ignore_index=True))
 
 
 # ---------------------------------------------------------------------------
@@ -1497,8 +1489,8 @@ def q_user_deltas(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.relational import windowed_lag
 
     ds = _read(sf_dir, "events")
-    out = windowed_lag(ds).sort("event_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = windowed_lag(ds)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(
         {
             "event_id": t["event_id"].cast(pa.int64()),
@@ -1516,8 +1508,8 @@ def q_rolling_events(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.relational import rolling_mean
 
     ds = _read(sf_dir, "events")
-    out = rolling_mean(ds, window=4).sort("event_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = rolling_mean(ds, window=4)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(
         {
             "event_id": t["event_id"].cast(pa.int64()),
@@ -1552,8 +1544,8 @@ def q_customers_without_orders(sf_dir: str) -> pa.Table:
     out = hash_join(
         cust, orders, left_on="c_custkey", right_on="o_custkey",
         left_cols=("c_name",), right_cols={}, how="anti",
-    ).sort("c_custkey")
-    t = pa.Table.from_pandas(out.to_pandas())
+    )
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["c_custkey"], ignore_index=True))
     return pa.table(
         {"c_custkey": t["c_custkey"].cast(pa.int64()), "c_name": t["c_name"]}
     )
@@ -1615,8 +1607,8 @@ def q_oov_rate(sf_dir: str) -> pa.Table:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         vocab,
-    ).sort("doc_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    )
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True))
     return pa.table(
         {
             "doc_id": t["doc_id"].cast(pa.int64()),
@@ -1656,9 +1648,9 @@ def q_trim_outliers(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.relational import quantile_trim
 
     ds = _read(sf_dir, "events")
-    out = quantile_trim(ds, lo=0.05, hi=0.95).sort("event_id")
+    out = quantile_trim(ds, lo=0.05, hi=0.95)
     t = pa.Table.from_pandas(
-        out.to_pandas()[["event_id", "event_type", "value"]]
+        out.to_pandas().sort_values(["event_id"], ignore_index=True)[["event_id", "event_type", "value"]]
     )
     return pa.table(
         {
@@ -1766,8 +1758,8 @@ def q_running_total(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.relational import running_total
 
     ds = _read(sf_dir, "events")
-    out = running_total(ds).sort("event_id")
-    t = pa.Table.from_pandas(out.to_pandas())
+    out = running_total(ds)
+    t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(
         {
             "event_id": t["event_id"].cast(pa.int64()),

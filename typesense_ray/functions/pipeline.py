@@ -75,36 +75,34 @@ def clean_corpus(
     )
 
 
-class _RedactScoreFilter:
-    """Actor-pool stage fusing three per-row passes over ONE decoded
+def _redact_score_filter(
+    batch: pa.Table, min_tokens: int, max_tokens: int
+) -> pa.Table:
+    """Stateless stage fusing three per-row passes over ONE decoded
     batch: PII redaction, repetition stats, token count — then the
     vectorized keep predicate. One read, one decode, no intermediate
-    materialization between passes."""
+    materialization between passes. A plain task (not an actor pool):
+    the regexes are compiled once per worker process at module import,
+    so there is no per-actor state to justify spawn latency."""
+    import pyarrow.compute as pc
 
-    def __init__(self, min_tokens: int, max_tokens: int):
-        self.min_tokens = min_tokens
-        self.max_tokens = max_tokens
+    from typesense_ray.functions.text import (
+        redact_pii_batch,
+        repetition_stats_batch,
+        token_count_batch,
+    )
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from typesense_ray.functions.text import (
-            redact_pii_batch,
-            repetition_stats_batch,
-            token_count_batch,
-        )
-
-        red = redact_pii_batch(batch, "text")
-        scored = repetition_stats_batch(red, "text")
-        scored = token_count_batch(scored, "text")
-        keep = pc.and_(
-            pc.equal(scored["keep_rep"], 1),
-            pc.and_(
-                pc.greater_equal(scored["ws_tokens"], self.min_tokens),
-                pc.less_equal(scored["ws_tokens"], self.max_tokens),
-            ),
-        )
-        return scored.filter(keep).select(["doc_id", "text"])
+    red = redact_pii_batch(batch, "text")
+    scored = repetition_stats_batch(red, "text")
+    scored = token_count_batch(scored, "text")
+    keep = pc.and_(
+        pc.equal(scored["keep_rep"], 1),
+        pc.and_(
+            pc.greater_equal(scored["ws_tokens"], min_tokens),
+            pc.less_equal(scored["ws_tokens"], max_tokens),
+        ),
+    )
+    return scored.filter(keep).select(["doc_id", "text"])
 
 
 def prepare_corpus(
@@ -128,13 +126,16 @@ def prepare_corpus(
     from typesense_ray.functions.text import chunk_docs_batch
 
     filtered = ds.map_batches(
-        _RedactScoreFilter,
-        fn_constructor_kwargs={
-            "min_tokens": min_tokens, "max_tokens": max_tokens,
-        },
+        _redact_score_filter,
+        fn_kwargs={"min_tokens": min_tokens, "max_tokens": max_tokens},
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
+    # exact_dedup consumes its input three times (row count for the
+    # auto reduce, the hash pass, the winner semi-join). For a SOURCE
+    # dataset that's three cheap parquet re-reads; for this computed
+    # stage it would re-run the regex-heavy redaction 3× — materialize
+    # once instead (object-store blocks, spills at scale).
+    filtered = filtered.materialize()
     winners = exact_dedup(filtered, text_col="text", id_col="doc_id")
     return winners.map_batches(
         lambda b: chunk_docs_batch(b, window=window, stride=stride),

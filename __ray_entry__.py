@@ -646,6 +646,77 @@ def q_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hll_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog register table over events.user_id (p=8, m=256
+    registers): per-batch partial max -> one m-bounded groupby(bucket)
+    Max exchange (functions/sketch.py). The registers ARE the sketch —
+    integer-exact, so the DuckDB oracle recomputes them bit-for-bit;
+    the float estimate (within ~1/sqrt(m) of exact distinct) is covered
+    by pytest against the exact count."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sketch import hll_register_rows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = hll_register_rows(ds, "user_id", p=8).to_pandas()
+    out = out.sort_values("bucket", ignore_index=True)
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "max_rho": pa.array(out["max_rho"], pa.int64()),
+        }
+    )
+
+
+def q_bloom_decontaminate(sf_dir: str) -> pa.Table:
+    """Bloom-filter benchmark decontamination (the fixed-size-broadcast
+    scale path of `decontaminate`): the first-30-docs benchmark n-grams
+    set two FNV-derived bits each in a 2^20-bit array; docs are flagged
+    by occurrence count of n-grams whose both bits are set.
+    Deterministic false positives are mirrored exactly by the oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from typesense_ray.functions.decontam import (
+        benchmark_ngram_set,
+        bloom_flag_contaminated,
+    )
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    head = next(pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]))
+    bt = pa.Table.from_batches([head]).sort_by("doc_id").slice(0, 30)
+    bench = benchmark_ngram_set(bt["text"].to_pylist(), n=8)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = bloom_flag_contaminated(ds, bench, n=8)
+    t = pa.Table.from_pandas(
+        out.to_pandas().sort_values(["doc_id"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "bloom_hits": t["bloom_hits"].cast(pa.int64()),
+        }
+    )
+
+
+def q_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """One deterministic Lloyd iteration over the embeddings table
+    (seeds = 4 smallest vec_ids, recomputed means rounded to 6dp,
+    re-assign) — functions/similarity.kmeans_assign. Broadcast centroid
+    matrix + per-batch partial (sum, count) combiner rows; no shuffle."""
+    import ray.data as rd
+
+    from typesense_ray.functions.similarity import kmeans_assign
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(ds, k=4, vec_col="embedding", id_col="vec_id")
+
+
 def q_zscore_events(sf_dir: str) -> pa.Table:
     """Per-event_type z-score normalization of value (two-pass moment
     broadcast, functions/relational.zscore_normalize)."""
@@ -1822,6 +1893,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_histogram": q_event_histogram,
         "knn_filtered": q_knn_filtered,
         "distinct_users": q_distinct_users,
+        "hll_users": q_hll_users,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "kmeans_clusters": q_kmeans_clusters,
         "prepare_corpus": q_prepare_corpus,
         "zscore_events": q_zscore_events,
         "label_centroids": q_label_centroids,
@@ -2322,6 +2396,83 @@ ORDER BY label, i
         "distinct_users": """
 SELECT event_type, count(DISTINCT user_id) AS users
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+        # HLL registers: bucket = low 8 bits of the 32-bit Knuth hash,
+        # rho = rank of first 1-bit of the 24-bit suffix (floor(log2) is
+        # exact for integers < 2^24 in IEEE double on both engines)
+        "hll_users": """
+WITH h AS (SELECT (user_id * 2654435761) % 4294967296 AS h FROM events),
+r AS (SELECT h % 256 AS bucket,
+             CASE WHEN h // 256 = 0 THEN 25
+                  ELSE 24 - CAST(floor(log2(h // 256)) AS BIGINT) END AS rho
+      FROM h)
+SELECT bucket, MAX(rho) AS max_rho FROM r GROUP BY bucket ORDER BY bucket
+""",
+        # Bloom decontamination: both bit positions derive from ONE
+        # FNV-1a of the n-gram (p1 = h mod 2^20, p2 = (h // 2^20) mod
+        # 2^20); the bench bitset is the union of both positions of every
+        # benchmark n-gram. Deterministic false positives match the
+        # engine's by construction.
+        "bloom_decontaminate": """
+WITH lt AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(replace(text, chr(10), ' '), ' '),
+             t -> lower(regexp_replace(t, '[^a-zA-Z0-9]', '', 'g'))),
+           t -> t <> '') AS toks
+  FROM documents
+), ng AS (
+  SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS ng
+  FROM lt, unnest(CASE WHEN len(toks) >= 8
+                       THEN range(1, len(toks) - 6) ELSE [] END) AS u(i)
+), hv AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(14695981039346656037::UBIGINT,
+        list_transform(regexp_split_to_array(ng, ''),
+                       c -> unicode(c)::UBIGINT)),
+      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                % 18446744073709551616 AS UBIGINT)) AS h
+  FROM ng
+), pos AS (
+  SELECT doc_id, h % 1048576 AS p1, (h // 1048576) % 1048576 AS p2 FROM hv
+), bbits AS (
+  SELECT DISTINCT p FROM (
+    SELECT p1 AS p FROM pos
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30)
+    UNION ALL
+    SELECT p2 AS p FROM pos
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30))
+)
+SELECT doc_id, count(*) AS bloom_hits
+FROM pos
+WHERE p1 IN (SELECT p FROM bbits) AND p2 IN (SELECT p FROM bbits)
+GROUP BY doc_id ORDER BY doc_id
+""",
+        # One deterministic Lloyd iteration (seeds = 4 smallest vec_ids,
+        # means rounded to 6dp, re-assign; ties -> lower cluster id)
+        "kmeans_clusters": f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS c
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+), a0 AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS x,
+         (SELECT s.cid FROM seeds s
+          ORDER BY list_distance(e.embedding::DOUBLE[], s.c), s.cid
+          LIMIT 1) AS cid
+  FROM embeddings e
+), m AS (
+  SELECT cid,
+         [{", ".join(f"round(avg(x[{i}]), 6)" for i in range(1, 65))}]
+           ::DOUBLE[] AS c
+  FROM a0 GROUP BY cid
+)
+SELECT e.vec_id,
+       (SELECT m.cid FROM m
+        ORDER BY list_distance(e.embedding::DOUBLE[], m.c), m.cid
+        LIMIT 1) AS cluster
+FROM embeddings e ORDER BY e.vec_id
 """,
         "value_quantiles": """
 WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type),

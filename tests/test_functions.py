@@ -1603,3 +1603,113 @@ def test_hash_join_broadcast_plan_equals_shuffle(ray_session):
         b = bcast.sort_values(cols, ignore_index=True)
         assert a.astype(object).where(a.notna(), None).values.tolist() == \
             b.astype(object).where(b.notna(), None).values.tolist(), how
+
+
+def test_hll_estimate_accuracy(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from typesense_ray.functions.sketch import (
+        hll_estimate,
+        hll_register_rows,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    regs = hll_register_rows(ds, "user_id", p=8).to_pandas()
+    est = hll_estimate(
+        regs["bucket"].to_numpy(), regs["max_rho"].to_numpy(), p=8
+    )
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.20  # ~1/sqrt(256) = 6.25% expected
+
+    # merging two half-corpus sketches == the full-corpus sketch
+    import pandas as pd
+
+    full = duckdb.sql(
+        f"SELECT user_id FROM read_parquet('{sf_dir}/events.parquet')"
+    ).df()
+    mid = len(full) // 2
+    a = hll_register_rows(
+        rd.from_pandas(full.iloc[:mid]), "user_id", p=8
+    ).to_pandas()
+    b = hll_register_rows(
+        rd.from_pandas(full.iloc[mid:]), "user_id", p=8
+    ).to_pandas()
+    merged = (
+        pd.concat([a, b])
+        .groupby("bucket", as_index=False)["max_rho"]
+        .max()
+        .sort_values("bucket", ignore_index=True)
+    )
+    whole = regs.sort_values("bucket", ignore_index=True)
+    assert merged.values.tolist() == whole.values.tolist()
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from typesense_ray.functions.decontam import (
+        benchmark_ngram_set,
+        bloom_flag_contaminated,
+        flag_contaminated,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    bench = benchmark_ngram_set(t["text"].to_pylist()[:20], n=8)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = flag_contaminated(ds, bench, n=8).to_pandas()
+    bloom = bloom_flag_contaminated(ds, bench, n=8).to_pandas()
+    exact_map = dict(zip(exact["doc_id"], exact["ngram_hits"]))
+    bloom_map = dict(zip(bloom["doc_id"], bloom["bloom_hits"]))
+    # no false negatives: every exact hit is a bloom hit with >= count
+    for did, c in exact_map.items():
+        assert bloom_map.get(did, 0) >= c
+    # false-positive overshoot is bounded (tiny bitset load here)
+    extra = sum(bloom_map.values()) - sum(exact_map.values())
+    assert extra <= max(5, 0.01 * sum(exact_map.values()))
+
+
+def test_kmeans_assign_is_argmin_of_final_centroids(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from typesense_ray.functions.similarity import kmeans_assign
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = kmeans_assign(ds, k=4).to_pandas()
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    lab = out.set_index("vec_id").loc[ids, "cluster"].to_numpy()
+    assert set(np.unique(lab)) <= set(range(4))
+    # recompute the construction independently: seeds -> assign -> means
+    # (rounded) -> assign; labels must match exactly
+    order = np.argsort(ids)[:4]
+    seeds = X[order]
+    d2 = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    l0 = np.argmin(d2, axis=1)
+    means = np.stack(
+        [
+            np.round(X[l0 == c].mean(axis=0), 6)
+            if (l0 == c).any() else seeds[c]
+            for c in range(4)
+        ]
+    )
+    d2b = ((X[:, None, :] - means[None, :, :]) ** 2).sum(axis=2)
+    assert (np.argmin(d2b, axis=1) == lab).all()
+    # determinism across runs
+    out2 = kmeans_assign(ds, k=4).to_pandas()
+    assert out2.values.tolist() == out.values.tolist()

@@ -101,6 +101,77 @@ def dup_span_flags(
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def bloom_bitset(bench_ngrams, m_bits: int = 1 << 20) -> np.ndarray:
+    """Bloom bit array (bool, ``m_bits`` long) for a benchmark n-gram
+    set: two positions per n-gram, both derived from ONE 64-bit FNV-1a
+    of the n-gram string (p1 = h mod m, p2 = (h // m) mod m — standard
+    double hashing from independent bit ranges). FNV is the repo's
+    SQL-expressible string hash, so a DuckDB oracle can rebuild the
+    exact same bitset and membership answers, false positives included."""
+    from typesense_ray.functions.text import fnv1a_ascii_batch
+
+    bits = np.zeros(m_bits, dtype=bool)
+    grams = list(bench_ngrams)
+    if grams:
+        h = fnv1a_ascii_batch(grams)
+        mm = np.uint64(m_bits)
+        bits[(h % mm).astype(np.int64)] = True
+        bits[((h // mm) % mm).astype(np.int64)] = True
+    return bits
+
+
+def bloom_flag_contaminated(
+    ds,
+    bench_ngrams,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+):
+    """Bloom-filter variant of :func:`flag_contaminated` — the 100-TB
+    scale path when even the benchmark n-gram SET is too wide to
+    broadcast as Python strings: the broadcast is a fixed ``m_bits``-bit
+    array (128 KiB at the default) regardless of benchmark size, probed
+    with two vectorized gathers per batch. Deterministic: false
+    positives are a pure function of the hash, mirrored exactly by the
+    SQL oracle. Returns (id_col, bloom_hits) per doc with >= 1 n-gram
+    occurrence whose both bloom bits are set."""
+    import ray
+
+    from typesense_ray.functions.text import (
+        batch_ngram_stream,
+        fnv1a_ascii_batch,
+    )
+
+    bits_ref = ray.put(np.packbits(bloom_bitset(bench_ngrams, m_bits)))
+    mm = np.uint64(m_bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = np.unpackbits(ray.get(bits_ref)).view(bool)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ng, unit = batch_ngram_stream(batch[text_col].to_pylist(), n)
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "bloom_hits": pa.array([], pa.int64())}
+        )
+        if len(ng) == 0:
+            return empty
+        h = fnv1a_ascii_batch(ng.tolist())
+        hit = bits[(h % mm).astype(np.int64)] & bits[
+            ((h // mm) % mm).astype(np.int64)
+        ]
+        counts = np.bincount(unit[hit], minlength=len(ids))
+        keep = counts > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "bloom_hits": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def flag_contaminated(
     ds,
     bench_ngrams: frozenset,

@@ -385,3 +385,99 @@ class PQIndex:
         ).head(k)
         return [(float(s), int(i))
                 for s, i in zip(parts["score"], parts[id_col])]
+
+
+def kmeans_assign(
+    ds,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+):
+    """One deterministic Lloyd iteration of k-means over an embedding
+    column, returning a pyarrow Table (id_col, cluster) sorted by id.
+
+    Deterministic construction (no RNG, so a DuckDB oracle can replay
+    it): seeds are the embeddings of the k SMALLEST ids; every vector is
+    assigned to the nearest seed (squared L2, ties to the lower cluster
+    id); cluster means are recomputed and rounded to ``round_to``
+    decimals (rounding pins the float result so both engines agree);
+    vectors are re-assigned against the updated centroids.
+
+    Distributed shape: seed selection is a per-block partial min-k (no
+    sort/all-to-all); each assignment pass is a broadcast of the (k, d)
+    centroid matrix + one vectorized distance matmul per batch; the mean
+    recomputation is the combiner pattern — each batch emits k partial
+    (sum, count) rows, the driver folds k x blocks tiny rows. No data
+    rows ever shuffle.
+    """
+    import ray
+
+    # --- seeds: k smallest ids (per-block partial min-k, driver merge)
+    def min_k(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")[:k]
+        return batch.take(order).select([id_col, vec_col])
+
+    head = ds.map_batches(min_k, batch_format="pyarrow").to_pandas()
+    head = head.sort_values(id_col, ignore_index=True).head(k)
+    seeds = np.array(head[vec_col].tolist(), dtype=np.float64)
+
+    def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # squared L2 per (row, centroid) via explicit subtract-square-sum
+        # (matches the oracle's elementwise distance; argmin ties go to
+        # the first = lowest cluster id)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    c_ref = ray.put(seeds)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        X = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        lab = assign(X, C)
+        sums = np.zeros_like(C)
+        np.add.at(sums, lab, X)
+        counts = np.bincount(lab, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(np.arange(k), pa.int64()),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial_sums, batch_format="pyarrow"
+    ).to_pandas()
+    dim = seeds.shape[1]
+    sums = np.zeros((k, dim), dtype=np.float64)
+    counts = np.zeros(k, dtype=np.int64)
+    for cid, vsum, n in zip(parts["cid"], parts["vsum"], parts["n"]):
+        sums[cid] += np.asarray(vsum, dtype=np.float64)
+        counts[cid] += n
+    means = seeds.copy()
+    nz = counts > 0
+    means[nz] = np.round(sums[nz] / counts[nz, None], round_to)
+
+    m_ref = ray.put(means)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(m_ref)
+        X = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(assign(X, C), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(final_assign, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(id_col, ignore_index=True)
+    return pa.table(
+        {
+            id_col: pa.array(out[id_col], pa.int64()),
+            "cluster": pa.array(out["cluster"], pa.int64()),
+        }
+    )

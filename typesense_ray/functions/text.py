@@ -173,6 +173,41 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
 
 
+def fnv1a_ascii_batch(strings: list) -> np.ndarray:
+    """Vectorized FNV-1a over a batch of ASCII strings (one uint64 per
+    string). Same lane-parallel shape as :func:`fingerprint_batch`:
+    concatenate once, slice into a padded (n, max_len) byte matrix, then
+    max_len vectorized xor-multiply steps — no per-string Python hashing.
+    Bit-identical to hashing each string's bytes with FNV-1a, and to the
+    DuckDB ``list_reduce`` FNV fold used by the oracles."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    cat = "".join(strings)
+    if cat.isascii():
+        joined = cat.encode("ascii")
+        lens = np.fromiter(map(len, strings), dtype=np.int64, count=n)
+    else:
+        # rare non-ASCII path: byte lengths differ from char lengths
+        encoded = [s.encode("utf-8") for s in strings]
+        joined = b"".join(encoded)
+        lens = np.fromiter(map(len, encoded), dtype=np.int64, count=n)
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    max_len = int(lens.max()) if n else 0
+    h = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    if max_len == 0 or buf.size == 0:
+        return h
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = np.minimum(offs[:, None] + np.arange(max_len)[None, :],
+                     buf.size - 1)
+    arr = buf[idx]
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            alive = lens > j
+            h[alive] = (h[alive] ^ arr[alive, j].astype(np.uint64)) * _FP_BASE
+    return h
+
+
 def batch_term_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a batch of texts into one (term, unit_index) occurrence
     stream using the index tokenizer's normalization — the same

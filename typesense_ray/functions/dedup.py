@@ -55,6 +55,32 @@ def _pair_part(a: np.ndarray, b: np.ndarray, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int32)
 
 
+def _bucket_pairs(keys: np.ndarray, ids: np.ndarray):
+    """All within-bucket (a, b) id pairs (a < b) for rows grouped by
+    ``keys`` — fully vectorized: lexsort by (key, id), find bucket runs,
+    then ONE triu per DISTINCT bucket size over a (buckets, size) id
+    matrix. No per-bucket Python loop. Returns (a, b) int64 arrays."""
+    order = np.lexsort((ids, keys))
+    k = keys[order]
+    d = ids[order]
+    _, idx_start, counts = np.unique(k, return_index=True,
+                                     return_counts=True)
+    multi = counts >= 2
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    starts_m = idx_start[multi]
+    counts_m = counts[multi]
+    for s in np.unique(counts_m):
+        sel = starts_m[counts_m == s]
+        mat = d[sel[:, None] + np.arange(int(s))[None, :]]
+        ia, ib = np.triu_indices(int(s), k=1)
+        out_a.append(mat[:, ia].ravel())
+        out_b.append(mat[:, ib].ravel())
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _dedup_pairs_dataset(pairs_ds, n_parts: int = 64):
     """Distinct (a, b) rows without materializing on the driver: pair-keyed
     coarse exchange → per-partition vectorized drop_duplicates (pairs never
@@ -371,21 +397,10 @@ def minhash_lsh_pairs(
     # buckets; the driver only ever sees the candidate-pair set (bounded
     # by true-dup density).
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # drop singleton buckets FIRST (one vectorized duplicated() pass):
-        # almost every bucket has one member, and iterating them through a
-        # pandas groupby costs ~300µs each
-        g = g[g.duplicated("band_hash", keep=False)]
-        out_a, out_b = [], []
-        for _, grp in g.groupby("band_hash")[id_col]:
-            ids = np.sort(grp.to_numpy())
-            ia, ib = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        a, b = _bucket_pairs(
+            g["band_hash"].to_numpy(), g[id_col].to_numpy()
         )
+        return pd.DataFrame({"a": a, "b": b})
 
     sig_ds = ds.map_batches(
         compute_sigs, batch_format="pyarrow"
@@ -1028,18 +1043,10 @@ def simhash_near_pairs(
         )
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated("band_hash", keep=False)]
-        out_a, out_b = [], []
-        for _, grp in g.groupby("band_hash")[id_col]:
-            ids = np.sort(grp.to_numpy())
-            ia, ib = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        a, b = _bucket_pairs(
+            g["band_hash"].to_numpy(), g[id_col].to_numpy()
         )
+        return pd.DataFrame({"a": a, "b": b})
 
     cand_ds = (
         ds.map_batches(to_bands, batch_format="pyarrow")

@@ -238,6 +238,9 @@ def main() -> None:
         "event_histogram",
         "knn_filtered",
         "distinct_users",
+        "hll_users",
+        "bloom_decontaminate",
+        "kmeans_clusters",
         "prepare_corpus",
         "zscore_events",
         "label_centroids",

@@ -668,6 +668,30 @@ def q_hll_users(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cms_terms(sf_dir: str) -> pa.Table:
+    """Count-min sketch registers of term occurrence frequencies over
+    documents.text (d=2 rows x m=4096 buckets, functions/sketch.py):
+    per-batch partials -> one (d*m)-bounded groupby Sum exchange.
+    Integer registers, so the DuckDB oracle recomputes them exactly;
+    point-estimate bounds are pytest-checked against exact counts."""
+    import ray.data as rd
+
+    from typesense_ray.functions.sketch import cms_register_rows
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    out = cms_register_rows(ds, "text", d=2, m=4096).to_pandas()
+    out = out.sort_values(["row", "bucket"], ignore_index=True)
+    return pa.table(
+        {
+            "row": pa.array(out["row"], pa.int64()),
+            "bucket": pa.array(out["bucket"], pa.int64()),
+            "c": pa.array(out["c"], pa.int64()),
+        }
+    )
+
+
 def q_bloom_decontaminate(sf_dir: str) -> pa.Table:
     """Bloom-filter benchmark decontamination (the fixed-size-broadcast
     scale path of `decontaminate`): the first-30-docs benchmark n-grams
@@ -1894,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": q_knn_filtered,
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
+        "cms_terms": q_cms_terms,
         "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_clusters": q_kmeans_clusters,
         "prepare_corpus": q_prepare_corpus,
@@ -2407,6 +2432,29 @@ r AS (SELECT h % 256 AS bucket,
                   ELSE 24 - CAST(floor(log2(h // 256)) AS BIGINT) END AS rho
       FROM h)
 SELECT bucket, MAX(rho) AS max_rho FROM r GROUP BY bucket ORDER BY bucket
+""",
+        # Count-min registers: d=2 rows, both bucket positions from ONE
+        # FNV-1a per distinct term (row_i = (h // m^i) mod m); registers
+        # are occurrence-count sums, integer-exact on both engines
+        "cms_terms": _TOKS_CTE
+        + """
+, tf AS (SELECT term, count(*) AS c FROM toks2 GROUP BY term),
+hv AS (
+  SELECT c,
+    list_reduce(
+      list_prepend(14695981039346656037::UBIGINT,
+        list_transform(regexp_split_to_array(term, ''),
+                       ch -> unicode(ch)::UBIGINT)),
+      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                % 18446744073709551616 AS UBIGINT)) AS h
+  FROM tf
+), r0 AS (
+  SELECT 0 AS "row", CAST(h % 4096 AS BIGINT) AS bucket, c FROM hv
+  UNION ALL
+  SELECT 1 AS "row", CAST((h // 4096) % 4096 AS BIGINT) AS bucket, c FROM hv
+)
+SELECT "row", bucket, CAST(SUM(c) AS BIGINT) AS c FROM r0
+GROUP BY "row", bucket ORDER BY "row", bucket
 """,
         # Bloom decontamination: both bit positions derive from ONE
         # FNV-1a of the n-gram (p1 = h mod 2^20, p2 = (h // 2^20) mod

@@ -239,6 +239,7 @@ def main() -> None:
         "knn_filtered",
         "distinct_users",
         "hll_users",
+        "cms_terms",
         "bloom_decontaminate",
         "kmeans_clusters",
         "prepare_corpus",

@@ -1713,3 +1713,36 @@ def test_kmeans_assign_is_argmin_of_final_centroids(ray_session, sf_dir):
     # determinism across runs
     out2 = kmeans_assign(ds, k=4).to_pandas()
     assert out2.values.tolist() == out.values.tolist()
+
+
+def test_cms_point_estimates_bound_exact_counts(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from typesense_ray.functions.sketch import (
+        cms_estimate,
+        cms_register_rows,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    regs = cms_register_rows(ds, "text", d=2, m=4096).to_pandas()
+    exact = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT lower(regexp_replace(u.tok, '[^a-zA-Z0-9]', '', 'g')) AS t
+          FROM read_parquet('{sf_dir}/documents.parquet'),
+               unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(tok))
+        SELECT t, count(*) AS c FROM toks WHERE t <> ''
+        GROUP BY t ORDER BY c DESC LIMIT 50
+    """).df()
+    total = duckdb.sql(f"""
+        WITH toks AS (
+          SELECT lower(regexp_replace(u.tok, '[^a-zA-Z0-9]', '', 'g')) AS t
+          FROM read_parquet('{sf_dir}/documents.parquet'),
+               unnest(string_split(replace(text, chr(10), ' '), ' ')) AS u(tok))
+        SELECT count(*) FROM toks WHERE t <> ''
+    """).fetchone()[0]
+    est = cms_estimate(regs, exact["t"].tolist(), d=2, m=4096)
+    true = exact["c"].to_numpy()
+    # CMS never underestimates; overestimate bounded by ~e*N/m w.h.p.
+    assert (est >= true).all()
+    assert (est - true <= 3 * total / 4096 + 1).all()

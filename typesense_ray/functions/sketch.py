@@ -85,3 +85,90 @@ def hll_estimate(buckets: np.ndarray, max_rho: np.ndarray, p: int = 8) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def cms_register_rows(ds, text_col: str = "text", d: int = 2,
+                      m: int = 4096):
+    """Count-min sketch of TERM OCCURRENCE frequencies over a text
+    column: ``d`` hash rows x ``m`` buckets, every register the SUM of
+    occurrence counts of the terms that hash into it. Registers merge
+    additively, so the shape matches :func:`hll_register_rows`: each
+    batch folds its occurrence stream into <= d*m (row, bucket, c)
+    partials, and one (d*m)-bounded ``groupby((row, bucket)).Sum``
+    exchange produces the global sketch — data rows never shuffle, and
+    the sketch is fixed-size however wide the corpus vocabulary grows
+    (the 100-TB path for heavy-hitter term stats where exact df tables
+    are vocabulary-sized).
+
+    Bucket positions derive from ONE FNV-1a per DISTINCT term (row_i =
+    (h // m^i) mod m — independent bit ranges, same double-hash trick as
+    the Bloom filter), so a DuckDB oracle recomputes every register
+    exactly. Point estimates (min over rows) come from
+    :func:`cms_estimate`.
+    """
+    from ray.data.aggregate import Sum
+
+    from typesense_ray.functions.text import (
+        batch_term_stream,
+        fnv1a_ascii_batch,
+    )
+
+    mm = np.uint64(m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = batch_term_stream(batch[text_col].to_pylist())
+        empty = pa.table(
+            {"row": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if len(flat) == 0:
+            return empty
+        import pandas as pd
+
+        codes, uniq = pd.factorize(flat)
+        occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        h = fnv1a_ascii_batch(uniq.tolist())
+        rows_out = []
+        buckets_out = []
+        counts_out = []
+        for r in range(d):
+            pos = ((h // (mm ** np.uint64(r))) % mm).astype(np.int64)
+            regs = np.zeros(m, dtype=np.int64)
+            np.add.at(regs, pos, occ)
+            hit = np.flatnonzero(regs)
+            rows_out.append(np.full(hit.size, r, dtype=np.int64))
+            buckets_out.append(hit)
+            counts_out.append(regs[hit])
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows_out), pa.int64()),
+                "bucket": pa.array(np.concatenate(buckets_out), pa.int64()),
+                "c": pa.array(np.concatenate(counts_out), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def cms_estimate(reg_df, terms: list, d: int = 2, m: int = 4096) -> np.ndarray:
+    """Point-estimate occurrence counts for ``terms`` from a register
+    frame (columns row, bucket, c): min over the d rows' registers.
+    Never underestimates the true count."""
+    from typesense_ray.functions.text import fnv1a_ascii_batch
+
+    mm = np.uint64(m)
+    regs = np.zeros((d, m), dtype=np.int64)
+    regs[reg_df["row"].to_numpy(), reg_df["bucket"].to_numpy()] = (
+        reg_df["c"].to_numpy()
+    )
+    h = fnv1a_ascii_batch(list(terms))
+    est = np.full(len(terms), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        pos = ((h // (mm ** np.uint64(r))) % mm).astype(np.int64)
+        est = np.minimum(est, regs[r, pos])
+    return est

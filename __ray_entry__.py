@@ -1471,12 +1471,17 @@ def q_asof_join(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.relational import asof_join
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    import pyarrow.dataset as pds
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pds.field("event_type") == "click"),
     )
-    clicks = ev.filter(expr="event_type == 'click'")
-    views = ev.filter(expr="event_type == 'view'")
+    views = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pds.field("event_type") == "view"),
+    )
     out = asof_join(
         clicks, views, key_col="user_id", ts_col="ts",
         left_cols=("event_id",),

@@ -194,11 +194,14 @@ def asof_join(
 
     Shape: both sides are padded to ONE unified schema (typed null
     columns for the other side's payload) so they union into a single
-    Dataset; ONE ``groupby(key).map_groups`` co-partitions — the
-    unavoidable exchange — and a vectorized ``pd.merge_asof`` (a C
-    merge over two time-sorted frames) joins within each key.
-    Partitioning assumption: one key's history fits a task — the same
-    contract as sessionize.
+    Dataset; ONE COARSE-partitioned ``groupby(hash(key) % 64)``
+    co-partitions — the unavoidable exchange, but 64 ``map_groups``
+    callbacks instead of one per key (a per-key groupby pays ~300µs of
+    Python per key — measured 2-3 s at 10^4 keys) — and a single
+    vectorized ``pd.merge_asof(..., by=key)`` (a C merge over two
+    time-sorted frames) joins every key in the partition at once.
+    Partitioning assumption: one PARTITION (corpus/64) fits a task;
+    keys never split across partitions.
     """
     import pandas as pd
 
@@ -210,11 +213,20 @@ def asof_join(
     lpay = [c for c in left_cols if c not in (key_col, ts_col)]
     rpay_out = list(right_cols.values())
 
+    n_parts = 64
+
+    def _part(keys: pa.ChunkedArray) -> pa.Array:
+        h = pd.util.hash_array(
+            keys.to_numpy(zero_copy_only=False)
+        )
+        return pa.array((h % np.uint64(n_parts)).astype(np.int32))
+
     def pad_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in (key_col, ts_col, *lpay)}
         for src, out in right_cols.items():
             cols[out] = pa.nulls(t.num_rows, r_types[src])
         cols["_side"] = pa.array(np.zeros(t.num_rows, np.int8))
+        cols["_part"] = _part(t[key_col])
         return pa.table(cols)
 
     def pad_right(t: pa.Table) -> pa.Table:
@@ -224,23 +236,31 @@ def asof_join(
         for src, out in right_cols.items():
             cols[out] = t[src]
         cols["_side"] = pa.array(np.ones(t.num_rows, np.int8))
+        cols["_part"] = _part(t[key_col])
         return pa.table(cols)
 
     both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
         right_ds.map_batches(pad_right, batch_format="pyarrow")
     )
+    # filtered inputs often arrive as many tiny blocks (one per upstream
+    # block); the groupby sort pays fixed per-block cost, so coalesce to
+    # a row-count target — scale-neutral: big inputs keep big blocks
+    both = both.repartition(target_num_rows_per_block=65536)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g.loc[g["_side"] == 0, [key_col, ts_col, *lpay]]
-        right = g.loc[g["_side"] == 1, [ts_col, *rpay_out]]
+        right = g.loc[g["_side"] == 1, [key_col, ts_col, *rpay_out]]
         return pd.merge_asof(
             left.sort_values(ts_col, kind="mergesort"),
             right.sort_values(ts_col, kind="mergesort"),
             on=ts_col,
+            by=key_col,
             direction="backward",
         )
 
-    return both.groupby(key_col).map_groups(join_group, batch_format="pandas")
+    return both.groupby("_part").map_groups(
+        join_part, batch_format="pandas"
+    )
 
 
 def grouped_quantiles(

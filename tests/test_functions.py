@@ -1746,3 +1746,21 @@ def test_cms_point_estimates_bound_exact_counts(ray_session, sf_dir):
     # CMS never underestimates; overestimate bounded by ~e*N/m w.h.p.
     assert (est >= true).all()
     assert (est - true <= 3 * total / 4096 + 1).all()
+
+
+def test_grouped_quantiles_fallback_matches_fast_path(ray_session, sf_dir):
+    import ray.data as rd
+
+    from typesense_ray.functions.relational import grouped_quantiles
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    fast = grouped_quantiles(ds).to_pandas().sort_values(
+        ["event_type", "p"], ignore_index=True
+    )
+    # stream_max_rows=0 forces the distributed per-cell groupby path
+    slow = grouped_quantiles(ds, stream_max_rows=0).to_pandas().sort_values(
+        ["event_type", "p"], ignore_index=True
+    )
+    assert fast.values.tolist() == slow.values.tolist()

@@ -356,6 +356,58 @@ def grouped_quantiles(
         g: {int(np.ceil(p * n)) - 1: p for p in ps}
         for g, n in totals.items()
     }
+    # locate the exact cells holding each target rank — known from the
+    # cell-count table, so we can also bound the fast path BEFORE moving
+    # any data: the target cells' total row count is already on the driver
+    tcells: dict[tuple, dict[int, float]] = {}
+    tcell_rows = 0
+    by_group = {g: sub for g, sub in cells.groupby(group_col)}
+    for g, want in targets.items():
+        sub = by_group[g]
+        cum = sub["c"].cumsum().to_numpy()
+        for r, p in want.items():
+            i = int(np.searchsorted(cum, r, side="right"))
+            b = int(sub["bucket"].iloc[i])
+            off = int(cum[i - 1]) if i else 0
+            cell = tcells.setdefault((g, b), {})
+            if not cell:
+                tcell_rows += int(sub["c"].iloc[i])
+            cell[r - off] = p
+
+    if tcell_rows <= stream_max_rows:
+        # FAST PATH: no second all-to-all — one broadcast filter pass
+        # collects ONLY the |groups|·|ps| target cells' values (each
+        # bounded by a 1/n_ranges value slice; the check above guards
+        # pathological skew), then a tiny driver sort per cell.
+        tref = ray.put(frozenset(tcells))
+
+        def collect(batch: pa.Table) -> pa.Table:
+            want_cells = ray.get(tref)
+            gser = pd.Series(batch[group_col].to_pylist(), dtype=object)
+            bser = batch["bucket"].to_numpy()
+            mask = pd.Series(
+                list(zip(gser, bser.tolist())), dtype=object
+            ).isin(want_cells).to_numpy()
+            return batch.filter(pa.array(mask))
+
+        vals = keyed.map_batches(
+            collect, batch_format="pyarrow"
+        ).to_pandas()
+        rows = []
+        for (g, b), want in sorted(tcells.items(), key=lambda kv: kv[0]):
+            sub = vals[(vals[group_col] == g) & (vals["bucket"] == b)]
+            v = np.sort(sub[value_col].to_numpy(np.float64),
+                        kind="mergesort")
+            for ric, p in want.items():
+                rows.append((g, p, float(v[ric])))
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(rows, columns=[group_col, "p", value_col])
+        )
+
+    # FALLBACK: distributed per-cell rank pick (one more all-to-all, but
+    # no cell ever materializes on the driver)
     ref = ray.put((off_map, targets))
 
     def pick(g: "pd.DataFrame") -> "pd.DataFrame":

@@ -57,6 +57,19 @@ def timed(fn, *args, **kwargs):
     return out, time.perf_counter() - t0
 
 
+def cpu_probe_ms() -> float:
+    """Single-core speed probe: a fixed 10^7-iteration Python loop. This
+    host's delivered CPU fluctuates 2-6x between windows (co-tenant
+    hypervisor; see BASELINE.md) — recording the probe next to every
+    bench result lets cross-run comparisons separate code changes from
+    host-speed changes (~450-500 ms in a quiet window)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10**7):
+        x += i
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     import ray
 
@@ -79,6 +92,11 @@ def main() -> None:
     from typesense_ray.query import LocalIndexSearcher, search_index
 
     results: dict[str, float] = {}
+    probe_ms = cpu_probe_ms()
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        load1 = -1.0
 
     # -- worker warm-up --------------------------------------------------
     # Ray starts worker processes lazily and each one pays a cold
@@ -138,6 +156,8 @@ def main() -> None:
             "queries": results,
             "sf": _sf_tag(),
             "num_cpus": NUM_CPUS,
+            "cpu_probe_ms": probe_ms,
+            "load_avg_start": load1,
             "n_corpus_docs": stats["n_docs"],
             "docs_per_s": docs_per_s,
         }
@@ -172,6 +192,8 @@ def main() -> None:
             "queries": results,
             "sf": _sf_tag(),
             "num_cpus": NUM_CPUS,
+            "cpu_probe_ms": probe_ms,
+            "load_avg_start": load1,
             "n_corpus_docs": stats["n_docs"],
             "docs_per_s": docs_per_s,
             "query_p50_ms": round(p50, 2),
@@ -267,6 +289,8 @@ def main() -> None:
         "queries": results,
         "sf": _sf_tag(),
         "num_cpus": NUM_CPUS,
+            "cpu_probe_ms": probe_ms,
+            "load_avg_start": load1,
         "n_corpus_docs": stats["n_docs"],
         "docs_per_s": docs_per_s,
         "query_p50_ms": round(p50, 2),

@@ -242,10 +242,6 @@ def asof_join(
     both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
         right_ds.map_batches(pad_right, batch_format="pyarrow")
     )
-    # filtered inputs often arrive as many tiny blocks (one per upstream
-    # block); the groupby sort pays fixed per-block cost, so coalesce to
-    # a row-count target — scale-neutral: big inputs keep big blocks
-    both = both.repartition(target_num_rows_per_block=65536)
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g.loc[g["_side"] == 0, [key_col, ts_col, *lpay]]

@@ -45,6 +45,26 @@ def broadcast_semi_join(
     return big_ds.map_batches(probe, batch_format="pyarrow")
 
 
+def _by_key_partition(ds, key_col: str, fn, n_parts: int = 64):
+    """ONE coarse ``hash(key) % n_parts`` exchange instead of a raw
+    per-key groupby: Ray's per-key ``map_groups`` pays one Python
+    callback per key (~300 µs each — minutes of pure overhead at 10^6+
+    keys), while ``n_parts`` callbacks cost nothing and keys still never
+    split across partitions. ``fn`` receives each partition's frame
+    (with a ``_part`` column it may ignore) and must handle MULTIPLE
+    keys vectorized."""
+    import pandas as pd
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(t[key_col].to_numpy(zero_copy_only=False))
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(n_parts)).astype(np.int32))
+        )
+
+    keyed = ds.map_batches(add_part, batch_format="pyarrow")
+    return keyed.groupby("_part").map_groups(fn, batch_format="pandas")
+
+
 def sessionize(
     events_ds,
     key_col: str = "user_id",
@@ -56,8 +76,11 @@ def sessionize(
     row per session: (key, session_idx, n_events, start_ts, end_ts,
     sum_value) with session_idx numbered 0.. per key in time order.
 
-    Shape: ``groupby(key).map_groups`` — the one all-to-all — then a
-    fully vectorized per-group kernel (sort, diff, cumsum, reduceat).
+    Shape: ONE coarse ``hash(key) % 64`` exchange
+    (:func:`_by_key_partition` — a per-key groupby pays one Python
+    callback per key), then a fully vectorized MULTI-key kernel per
+    partition (one sort by (key, ts), key-boundary-aware session
+    breaks, reduceat per session).
     """
     import pandas as pd
 
@@ -69,19 +92,26 @@ def sessionize(
                  "end_ts": pd.Series([], dtype="datetime64[us]"),
                  "sum_value": []}
             )
-        g = g.sort_values(ts_col, kind="stable")
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
         ts = g[ts_col].to_numpy()
-        gaps = np.diff(ts.astype("datetime64[us]").astype(np.int64)) / 1e6
-        new_session = np.r_[True, gaps > gap_s]  # first event opens session 0
-        sid = np.cumsum(new_session) - 1
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        gaps = np.r_[0.0, (ts_us[1:] - ts_us[:-1]) / 1e6]
+        new_session = new_key | (gaps > gap_s)
         starts = np.flatnonzero(new_session)
-        assert (sid[starts] == np.arange(len(starts))).all()
         counts = np.diff(np.append(starts, len(g)))
+        # session ordinal within its key: start index minus the index of
+        # its key's FIRST session start
+        key_first = np.flatnonzero(new_key[starts])
+        sess_idx = np.arange(starts.size) - np.repeat(
+            key_first, np.diff(np.append(key_first, starts.size))
+        )
         vals = g["value"].to_numpy(dtype=np.float64)
         return pd.DataFrame(
             {
-                key_col: g[key_col].iloc[0],
-                "session_idx": np.arange(len(starts), dtype=np.int64),
+                key_col: keys[starts],
+                "session_idx": sess_idx.astype(np.int64),
                 "n_events": counts.astype(np.int64),
                 "start_ts": ts[starts],
                 "end_ts": ts[np.append(starts[1:], len(g)) - 1],
@@ -89,7 +119,7 @@ def sessionize(
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return _by_key_partition(events_ds, key_col, sessions)
 
 def windowed_lag(
     events_ds,
@@ -103,10 +133,10 @@ def windowed_lag(
     a predecessor in its key's (ts, id)-ordered history, emit seconds
     since the previous event and the value delta.
 
-    Shape: ONE ``groupby(key).map_groups`` exchange (the same contract
-    as :func:`sessionize` — one key's history fits a task), vectorized
-    diff inside each group. Rows without a predecessor are dropped
-    (SQL's ``lag() IS NULL``)."""
+    Shape: ONE coarse hash(key)%64 exchange (:func:`_by_key_partition`),
+    vectorized multi-key diff per partition — a row's predecessor is the
+    previous row iff the key matches. Rows without a predecessor are
+    dropped (SQL's ``lag() IS NULL``)."""
     import pandas as pd
 
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
@@ -117,19 +147,21 @@ def windowed_lag(
                  "dt_s": pd.Series([], dtype=np.float64),
                  "dv": pd.Series([], dtype=np.float64)}
             )
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
         ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         v = g[value_col].to_numpy(dtype=np.float64)
+        same = keys[1:] == keys[:-1]
         return pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy()[1:],
-                key_col: g[key_col].iloc[0],
-                "dt_s": (ts[1:] - ts[:-1]) / 1e6,
-                "dv": v[1:] - v[:-1],
+                id_col: g[id_col].to_numpy()[1:][same],
+                key_col: keys[1:][same],
+                "dt_s": ((ts[1:] - ts[:-1]) / 1e6)[same],
+                "dv": (v[1:] - v[:-1])[same],
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(deltas, batch_format="pandas")
+    return _by_key_partition(events_ds, key_col, deltas)
 
 
 def rolling_mean(
@@ -145,9 +177,10 @@ def rolling_mean(
     ``AVG(v) OVER (PARTITION BY key ORDER BY ts, id
     ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
 
-    One ``groupby(key)`` exchange; the per-group kernel accumulates the
-    ``window`` shifted copies oldest-first so the float addition order
-    matches an in-order windowed sum."""
+    ONE coarse hash(key)%64 exchange (:func:`_by_key_partition`); the
+    multi-key kernel accumulates the ``window`` shifted copies
+    oldest-first (key-boundary-masked) so the float addition order per
+    row is IDENTICAL to an in-order per-key windowed sum."""
     import pandas as pd
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
@@ -157,23 +190,32 @@ def rolling_mean(
                  key_col: pd.Series([], dtype=np.int64),
                  "rmean": pd.Series([], dtype=np.float64)}
             )
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
         v = g[value_col].to_numpy(dtype=np.float64)
         n = len(v)
+        # position of each row within its key (rows of one key are
+        # contiguous after the sort)
+        new_key = np.r_[True, keys[1:] != keys[:-1]]
+        kstarts = np.flatnonzero(new_key)
+        pos = np.arange(n) - np.repeat(
+            kstarts, np.diff(np.append(kstarts, n))
+        )
         s = np.zeros(n, dtype=np.float64)
         for k in range(window - 1, 0, -1):
-            s[k:] += v[:-k]
+            in_key = pos[k:] >= k  # v[i-k] is the same key's row
+            s[k:][in_key] += v[:-k][in_key]
         s += v
-        cnt = np.minimum(np.arange(n, dtype=np.float64) + 1.0, float(window))
+        cnt = np.minimum(pos.astype(np.float64) + 1.0, float(window))
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
-                key_col: g[key_col].iloc[0],
+                key_col: keys,
                 "rmean": s / cnt,
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(roll, batch_format="pandas")
+    return _by_key_partition(events_ds, key_col, roll)
 
 
 def asof_join(
@@ -799,9 +841,12 @@ def running_total(
 ):
     """Per-key running total of ``value_col`` in (ts, id) order — SQL's
     ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
-    PRECEDING)``, the cumulative-feature pass. ONE ``groupby(key)``
-    exchange, sequential ``np.cumsum`` per group (same in-order float
-    accumulation as the SQL window)."""
+    PRECEDING)``, the cumulative-feature pass. ONE coarse hash(key)%64
+    exchange (:func:`_by_key_partition`); pandas' C segmented
+    ``groupby(key).cumsum`` accumulates sequentially WITHIN each key —
+    bit-identical floats to a per-key ``np.cumsum`` (a global cumsum
+    minus per-key offsets would round differently and break the SQL
+    hash match)."""
     import pandas as pd
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
@@ -811,13 +856,44 @@ def running_total(
                  key_col: pd.Series([], dtype=np.int64),
                  "cum": pd.Series([], dtype=np.float64)}
             )
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
-                key_col: g[key_col].iloc[0],
-                "cum": np.cumsum(g[value_col].to_numpy(dtype=np.float64)),
+                key_col: g[key_col].to_numpy(),
+                "cum": g[value_col].astype(np.float64)
+                .groupby(g[key_col].to_numpy(), sort=False)
+                .cumsum()
+                .to_numpy(),
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(cum, batch_format="pandas")
+    return _by_key_partition(events_ds, key_col, cum)
+
+
+def json_int_field(ds, col: str = "props", key: str = "k",
+                   out_col: str | None = None):
+    """Extract an integer field from a JSON-string column — the
+    streaming parser shape for semi-structured sidecar columns (event
+    properties, request metadata): one COMPILED-regex vectorized pass
+    per batch (pandas ``str.extract`` — a C scan), never per-row
+    ``json.loads``. Scoped to scalar integer fields at a fixed key,
+    which is the hot case for event payloads; missing keys become
+    nulls."""
+    import re
+
+    import pandas as pd
+
+    out_col = out_col or key
+    pattern = re.compile(rf'"{re.escape(key)}"\s*:\s*(-?\d+)')
+
+    def ex(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[col].to_pylist(), dtype=object)
+        v = pd.to_numeric(
+            s.str.extract(pattern, expand=False), errors="coerce"
+        )
+        return batch.append_column(
+            out_col, pa.Array.from_pandas(v.astype("Int64"), type=pa.int64())
+        )
+
+    return ds.map_batches(ex, batch_format="pyarrow")

@@ -741,6 +741,42 @@ def q_kmeans_clusters(sf_dir: str) -> pa.Table:
     return kmeans_assign(ds, k=4, vec_col="embedding", id_col="vec_id")
 
 
+def q_props_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured parsing at scale: extract the integer `k` field
+    from the events.props JSON-string column (one compiled-regex C scan
+    per batch, functions/relational.json_int_field — never per-row
+    json.loads), then per-event_type count/sum/min/max over it."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from typesense_ray.functions.relational import json_int_field
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    out = (
+        json_int_field(ds, col="props", key="k")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="k_sum"),
+            Min("k", alias_name="k_min"),
+            Max("k", alias_name="k_max"),
+        )
+        .to_pandas()
+        .sort_values("event_type", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "k_sum": pa.array(out["k_sum"], pa.int64()),
+            "k_min": pa.array(out["k_min"], pa.int64()),
+            "k_max": pa.array(out["k_max"], pa.int64()),
+        }
+    )
+
+
 def q_zscore_events(sf_dir: str) -> pa.Table:
     """Per-event_type z-score normalization of value (two-pass moment
     broadcast, functions/relational.zscore_normalize)."""
@@ -1924,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "hll_users": q_hll_users,
         "cms_terms": q_cms_terms,
+        "props_stats": q_props_stats,
         "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_clusters": q_kmeans_clusters,
         "prepare_corpus": q_prepare_corpus,
@@ -2460,6 +2497,16 @@ hv AS (
 )
 SELECT "row", bucket, CAST(SUM(c) AS BIGINT) AS c FROM r0
 GROUP BY "row", bucket ORDER BY "row", bucket
+""",
+        "props_stats": """
+WITH kk AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max
+FROM kk GROUP BY event_type ORDER BY event_type
 """,
         # Bloom decontamination: both bit positions derive from ONE
         # FNV-1a of the n-gram (p1 = h mod 2^20, p2 = (h // 2^20) mod

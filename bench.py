@@ -262,6 +262,7 @@ def main() -> None:
         "distinct_users",
         "hll_users",
         "cms_terms",
+        "props_stats",
         "bloom_decontaminate",
         "kmeans_clusters",
         "prepare_corpus",

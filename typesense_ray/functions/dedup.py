@@ -1105,8 +1105,21 @@ def simhash_near_pairs(
              "hamming": pa.array(out["hamming"], pa.int64())}
         )
 
-    pairs = cand_ds.to_pandas()
-    pairs = pairs.drop_duplicates(ignore_index=True).astype(np.int64)
+    pairs = cand_ds.to_pandas().astype(np.int64)
+    aa0 = pairs["a"].to_numpy()
+    bb0 = pairs["b"].to_numpy()
+    if aa0.size and max(aa0.max(), bb0.max()) < (1 << 31) and aa0.min() >= 0:
+        # packed single-key unique: ~3x faster than a two-column
+        # drop_duplicates at 10^6 pairs (same trick as minhash)
+        key = np.unique(
+            (aa0.astype(np.uint64) << np.uint64(32)) | bb0.astype(np.uint64)
+        )
+        pairs = pd.DataFrame(
+            {"a": (key >> np.uint64(32)).astype(np.int64),
+             "b": (key & np.uint64(0xFFFFFFFF)).astype(np.int64)}
+        )
+    else:
+        pairs = pairs.drop_duplicates(ignore_index=True)
 
     need_ref = ray.put(
         frozenset(pairs["a"].tolist()) | frozenset(pairs["b"].tolist())

@@ -179,6 +179,48 @@ def q_bm25_or_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hybrid_search(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval (the modern lexical+vector pipeline): BM25
+    top-100 candidates from the inverted index, then embedding-cosine
+    rerank against the query vector (vec 0) with a bounded broadcast
+    probe (functions/similarity.rerank_by_cosine — only the 100
+    candidates' embeddings ever leave the scan), final top-10 by
+    (cosine desc, doc_id desc)."""
+    import pyarrow.parquet as pq
+
+    from typesense_ray.functions.similarity import rerank_by_cosine
+
+    coll = _docs_index(sf_dir)
+    res = coll._local.search(_BM25_QUERY, k=100, mode="bm25")
+    bm = {
+        int(d): float(s)
+        for d, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist())
+    }
+    q0 = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qvec = np.array(
+        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
+        dtype=np.float64,
+    )
+    emb = _read(sf_dir, "embeddings")
+    cos = rerank_by_cosine(emb, list(bm), qvec).to_pandas()
+    cos = cos.sort_values(
+        ["cosine", "vec_id"], ascending=[False, False], ignore_index=True
+    ).head(10)
+    return pa.table(
+        {
+            "doc_id": pa.array(cos["vec_id"], pa.int64()),
+            "bm25": pa.array(
+                [round(bm[int(d)], 4) for d in cos["vec_id"]], pa.float64()
+            ),
+            "cosine": pa.array(
+                [round(c, 5) for c in cos["cosine"]], pa.float64()
+            ),
+        }
+    )
+
+
 def q_more_like_this(sf_dir: str) -> pa.Table:
     """Top-20 docs most similar to doc 0 by Σ tf·ln(N/df) over the
     seed's distinct terms (LocalIndexSearcher.more_like_this)."""
@@ -1936,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_or_topk": q_bm25_or_topk,
         "exact_and_search": q_exact_and_search,
         "more_like_this": q_more_like_this,
+        "hybrid_search": q_hybrid_search,
         "filter_dsl": q_filter_dsl,
         "facet_lang_counts": q_facet_lang_counts,
         "facet_stats_by_lang": q_facet_stats_by_lang,
@@ -2091,6 +2134,47 @@ scores AS (
 )
 SELECT doc_id, round(raw_score, 4) AS score
 FROM scores ORDER BY raw_score DESC, doc_id DESC LIMIT 10
+""",
+        # hybrid retrieval: BM25 top-100 (same scores CTE as bm25_topk)
+        # -> cosine rerank against vec 0's embedding -> top-10
+        "hybrid_search": _TOKS_CTE
+        + f"""
+, tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2
+  WHERE term IN ({bm25_terms}) GROUP BY doc_id, term
+), dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) * 1.0 / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cand AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = {len(_BM25_TERMS)}),
+scores AS (
+  SELECT c.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+         ) AS raw_score
+  FROM cand c
+  JOIN tf ON tf.doc_id = c.doc_id
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY c.doc_id
+),
+cand100 AS (
+  SELECT doc_id, raw_score FROM scores
+  ORDER BY raw_score DESC, doc_id DESC LIMIT 100
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT c.doc_id, round(c.raw_score, 4) AS bm25,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT q::DOUBLE[] FROM qv)), 5)
+         AS cosine
+FROM cand100 c JOIN embeddings e ON e.vec_id = c.doc_id
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT q::DOUBLE[] FROM qv)) DESC,
+         c.doc_id DESC
+LIMIT 10
 """,
         "bm25_or_topk": _TOKS_CTE
         + f"""
@@ -2419,10 +2503,10 @@ ORDER BY event_type, bin
         "knn_filtered": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)), 5) AS score
 FROM embeddings
 WHERE label = 3
-ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id DESC
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)) DESC, vec_id DESC
 LIMIT 10
 """,
         "dup_spans": _AUG_CTE
@@ -2589,9 +2673,9 @@ ORDER BY r.event_type, p.p
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)), 5) AS score
 FROM embeddings
-ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id DESC
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)) DESC, vec_id DESC
 LIMIT 10
 """,
         "tpch_q1ish": """
@@ -2936,7 +3020,7 @@ WITH aug AS (
 ),
 pairs AS (
   SELECT x.vec_id AS a, y.vec_id AS b,
-         list_cosine_similarity(x.embedding, y.embedding) AS c
+         list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS c
   FROM aug x JOIN aug y ON x.vec_id < y.vec_id
 )
 SELECT a, b, round(c, 4) AS cosine FROM pairs
@@ -2946,9 +3030,9 @@ WHERE c >= 0.99 ORDER BY a, b
         "ann_ivf": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       round(list_cosine_similarity(embedding, (SELECT qv FROM q)), 5) AS score
+       round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)), 5) AS score
 FROM embeddings
-ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) DESC, vec_id DESC
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)) DESC, vec_id DESC
 LIMIT 10
 """,
         # cross-field conjunctive match for 'src8 data' (a doc hits when

@@ -263,6 +263,7 @@ def main() -> None:
         "hll_users",
         "cms_terms",
         "props_stats",
+        "hybrid_search",
         "bloom_decontaminate",
         "kmeans_clusters",
         "prepare_corpus",

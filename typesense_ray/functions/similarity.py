@@ -481,3 +481,44 @@ def kmeans_assign(
             "cluster": pa.array(out["cluster"], pa.int64()),
         }
     )
+
+
+def rerank_by_cosine(
+    emb_ds,
+    cand_ids,
+    qvec: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Cosine scores for a BOUNDED candidate id set — the rerank stage
+    of hybrid retrieval (lexical top-N -> vector rerank): broadcast the
+    id set once, probe every batch with a vectorized ``pc.is_in``, and
+    compute the float64 normalized dot only for hits. Only
+    |candidates| rows ever leave the scan; the big side streams."""
+    import ray
+
+    ids = np.unique(np.asarray(list(cand_ids), dtype=np.int64))
+    ids_ref = ray.put(pa.array(ids, pa.int64()))
+    qn = np.asarray(qvec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    q_ref = ray.put(qn)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(
+            pc.is_in(batch[id_col], value_set=ray.get(ids_ref))
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        v = vecs_to_numpy(t[vec_col])
+        cos = _normalize(v) @ ray.get(q_ref)
+        return pa.table(
+            {id_col: t[id_col].cast(pa.int64()),
+             "cosine": pa.array(cos, pa.float64())}
+        )
+
+    return emb_ds.map_batches(probe, batch_format="pyarrow")

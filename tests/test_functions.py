@@ -1764,3 +1764,20 @@ def test_grouped_quantiles_fallback_matches_fast_path(ray_session, sf_dir):
         ["event_type", "p"], ignore_index=True
     )
     assert fast.values.tolist() == slow.values.tolist()
+
+
+def test_hybrid_rerank_subset_and_deterministic(ray_session, sf_dir):
+    import __ray_entry__ as entrymod
+
+    out = entrymod.q_hybrid_search(sf_dir)
+    assert out.num_rows == 10
+    bm25 = entrymod._docs_index(sf_dir)._local.search(
+        entrymod._BM25_QUERY, k=100, mode="bm25"
+    )
+    cand = set(bm25["doc_id"].to_pylist())
+    assert set(out["doc_id"].to_pylist()) <= {int(x) for x in cand}
+    # cosine is the rerank key: output sorted desc
+    cos = out["cosine"].to_pylist()
+    assert cos == sorted(cos, reverse=True)
+    out2 = entrymod.q_hybrid_search(sf_dir)
+    assert out2.to_pylist() == out.to_pylist()

@@ -61,6 +61,13 @@ class SegmentSearcher:
         # query, a handful of terms at a time
         self._tbl: pa.Table | None = None
         self._row_of: dict[str, int] | None = None
+        # decoded-postings cache: segments are IMMUTABLE (content-addressed
+        # dirs; merges/upserts write new segments), so decoded (ids, tfs)
+        # arrays never go stale within a searcher. Byte-budgeted FIFO —
+        # repeated query terms skip the varbyte decode entirely.
+        self._dec_cache: dict[str, dict | None] = {}
+        self._dec_cache_bytes = 0
+        self._dec_cache_budget = 8 << 20
         if preload:
             t = pq.read_table(self._postings_path).combine_chunks()
             self._tbl = t
@@ -108,14 +115,41 @@ class SegmentSearcher:
             cand = np.arange(self.n_docs, dtype=np.int64)
             post = {}
         else:
-            post = self.postings(list(include_terms))
-            if len(post) < len(set(include_terms)):
-                return np.empty(0, np.int64), {}
+            want = set(include_terms)
             decoded = {}
-            for t, p in post.items():
-                ids = decode_posting_ids(p["ids_vb"], p["df"]).astype(np.int64)
-                tfs = varbyte_decode(p["tfs_vb"], p["df"]).astype(np.int64)
-                decoded[t] = {"ids": ids, "tfs": tfs, "raw": p}
+            misses = []
+            for t in want:
+                hit = self._dec_cache.get(t, False)
+                if hit is False:
+                    misses.append(t)
+                elif hit is not None:  # None = known-absent
+                    decoded[t] = hit
+            if misses:
+                fresh = self.postings(misses)
+                for t in misses:
+                    p = fresh.get(t)
+                    if p is None:
+                        self._dec_cache[t] = None
+                        continue
+                    ids = decode_posting_ids(
+                        p["ids_vb"], p["df"]
+                    ).astype(np.int64)
+                    tfs = varbyte_decode(p["tfs_vb"], p["df"]).astype(
+                        np.int64
+                    )
+                    entry = {"ids": ids, "tfs": tfs, "raw": p}
+                    decoded[t] = entry
+                    self._dec_cache[t] = entry
+                    self._dec_cache_bytes += ids.nbytes + tfs.nbytes
+                while (self._dec_cache_bytes > self._dec_cache_budget
+                       and self._dec_cache):
+                    old = self._dec_cache.pop(next(iter(self._dec_cache)))
+                    if old is not None:
+                        self._dec_cache_bytes -= (
+                            old["ids"].nbytes + old["tfs"].nbytes
+                        )
+            if len(decoded) < len(want):
+                return np.empty(0, np.int64), {}
             post = decoded
             # intersect smallest-df first
             order = sorted(post, key=lambda t: post[t]["ids"].size)

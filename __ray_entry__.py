@@ -1034,6 +1034,40 @@ def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_near_dedup(sf_dir: str) -> pa.Table:
+    """Composed near-dup corpus cleaning — the full fuzzy-dedup pipeline
+    a pre-training run needs: exact word-3-gram Jaccard pairs (>= 0.6)
+    over the augmented corpus -> transitive duplicate clusters
+    (connected components, min-label) -> DROP every cluster member
+    except the minimum id, via a broadcast loser-set filter (the big
+    side streams; only cluster members move)."""
+    import ray
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import word_ngram_jaccard_pairs
+    from typesense_ray.functions.graph import connected_components
+
+    ds = _augmented_docs(sf_dir)
+    pairs = word_ngram_jaccard_pairs(
+        ds, text_col="text", id_col="doc_id", n=3, threshold=0.6, df_cap=64
+    )
+    cc = connected_components(
+        rd.from_arrow(pairs), a_col="a", b_col="b"
+    ).to_pandas()
+    losers = cc.loc[cc["node"] != cc["cluster"], "node"].to_numpy(np.int64)
+    ref = ray.put(pa.array(losers, pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        drop = pc.is_in(batch["doc_id"], value_set=ray.get(ref))
+        return batch.filter(pc.invert(drop)).select(["doc_id"])
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64())})
+
+
 def q_clean_corpus(sf_dir: str) -> pa.Table:
     """Composed cleaning pipeline: exact-dedup winners → fused
     langid + token-count actor-pool pass → keep en docs with ≥10
@@ -2014,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "near_dedup": q_near_dedup,
         "clean_corpus": q_clean_corpus,
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "simhash_groups": q_simhash_groups,
@@ -3121,6 +3156,27 @@ reach(src, dst) AS (
   SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
 )
 SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src ORDER BY node
+"""
+    # near_dedup: the same clusters, but emitting the CLEANED corpus —
+    # every augmented doc except non-minimum cluster members
+    _aug_body = _AUG_CTE.strip().removeprefix("WITH ")
+    d["near_dedup"] = f"""
+WITH RECURSIVE pairs AS (
+{_pairs_sql}
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+cc AS (SELECT src AS node, MIN(dst) AS cluster FROM reach GROUP BY src),
+{_aug_body}
+SELECT g.doc_id FROM aug g
+WHERE g.doc_id NOT IN (SELECT node FROM cc WHERE node > cluster)
+ORDER BY g.doc_id
 """
     # redact_pii: the SAME compiled patterns, applied in the same order;
     # per-stage hit counts replicate python's count-then-replace sequence

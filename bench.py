@@ -264,6 +264,7 @@ def main() -> None:
         "cms_terms",
         "props_stats",
         "hybrid_search",
+        "near_dedup",
         "bloom_decontaminate",
         "kmeans_clusters",
         "prepare_corpus",

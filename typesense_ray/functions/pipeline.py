@@ -51,7 +51,7 @@ def clean_corpus(
     id_col: str = "doc_id",
     keep_langs: tuple[str, ...] = ("en",),
     min_tokens: int = 10,
-    concurrency: int = 4,
+    concurrency: int = 8,
 ):
     # the pool autoscales from ONE actor so it can never reserve every
     # logical CPU and starve the upstream read tasks (a fixed pool of
@@ -111,7 +111,7 @@ def prepare_corpus(
     max_tokens: int = 100_000,
     window: int = 64,
     stride: int = 48,
-    concurrency: int = 4,
+    concurrency: int = 8,
 ):
     """The full training-data prep chain as ONE streaming pipeline:
 

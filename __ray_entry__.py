@@ -482,12 +482,34 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
     )
 
 
+def _bench_texts_30(sf_dir: str) -> list[str]:
+    """Texts of the 30 smallest doc_ids, robust to file row order: scan
+    ONLY the doc_id column (row-group statistics pruning applies), find
+    the 30th-smallest id, then read text with the `doc_id <= threshold`
+    predicate pushed into the parquet scan — never the whole text
+    column on the driver."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy(zero_copy_only=False)
+    cut = int(np.partition(ids, min(29, ids.size - 1))[min(29, ids.size - 1)])
+    bt = (
+        pds.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"],
+                  filter=pds.field("doc_id") <= cut)
+        .sort_by("doc_id")
+        .slice(0, 30)
+    )
+    return bt["text"].to_pylist()
+
+
 def q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination: the first-30-docs-by-id stand in for
     the (inherently small, external) eval set; their distinct word
     8-grams are broadcast and every corpus doc with an overlapping
     8-gram occurrence is flagged with its hit count."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from typesense_ray.functions.decontam import (
@@ -495,13 +517,8 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
         flag_contaminated,
     )
 
-    # Benchmark side: tiny by nature (real use: its own file). The sf
-    # files are doc_id-ascending, so the first row-group batch contains
-    # the 30 smallest ids without a full-table driver read.
-    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
-    head = next(pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]))
-    bt = pa.Table.from_batches([head]).sort_by("doc_id").slice(0, 30)
-    bench = benchmark_ngram_set(bt["text"].to_pylist(), n=8)
+    # Benchmark side: tiny by nature (real use: its own file).
+    bench = benchmark_ngram_set(_bench_texts_30(sf_dir), n=8)
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -740,7 +757,6 @@ def q_bloom_decontaminate(sf_dir: str) -> pa.Table:
     set two FNV-derived bits each in a 2^20-bit array; docs are flagged
     by occurrence count of n-grams whose both bits are set.
     Deterministic false positives are mirrored exactly by the oracle."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from typesense_ray.functions.decontam import (
@@ -748,10 +764,7 @@ def q_bloom_decontaminate(sf_dir: str) -> pa.Table:
         bloom_flag_contaminated,
     )
 
-    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
-    head = next(pf.iter_batches(batch_size=4096, columns=["doc_id", "text"]))
-    bt = pa.Table.from_batches([head]).sort_by("doc_id").slice(0, 30)
-    bench = benchmark_ngram_set(bt["text"].to_pylist(), n=8)
+    bench = benchmark_ngram_set(_bench_texts_30(sf_dir), n=8)
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -2681,11 +2694,15 @@ WITH seeds AS (
           ORDER BY list_distance(e.embedding::DOUBLE[], s.c), s.cid
           LIMIT 1) AS cid
   FROM embeddings e
-), m AS (
+), g AS (
   SELECT cid,
          [{", ".join(f"round(avg(x[{i}]), 6)" for i in range(1, 65))}]
            ::DOUBLE[] AS c
   FROM a0 GROUP BY cid
+), m AS (
+  -- empty cluster keeps its seed centroid (engine's seed fallback)
+  SELECT s.cid, coalesce(g.c, s.c) AS c
+  FROM seeds s LEFT JOIN g USING (cid)
 )
 SELECT e.vec_id,
        (SELECT m.cid FROM m
@@ -2847,7 +2864,7 @@ FROM events ORDER BY event_id
         "user_deltas": """
 WITH d AS (
   SELECT event_id, user_id,
-         epoch(ts - lag(ts) OVER w) AS dt_s,
+         epoch_us(ts - lag(ts) OVER w) / 1000000.0 AS dt_s,
          value - lag(value) OVER w AS dv
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -496,12 +496,23 @@ class RayCollection:
         if apply_synonyms and include != ["*"]:
             variants += self.synonyms.expand(include)
         if num_typos and include and include != ["*"]:
-            per_token = self.typo_resolver.candidates_per_token(include, num_typos)
-            if not per_token:
+            # fuzzy path: EVERY synonym-expanded variant gets its own
+            # per-token candidate-term sets (the reference runs each
+            # variant through the same fuzzy search,
+            # src/collection.cpp:767-787); variant id sets union below
+            token_terms_variants = []
+            for inc in variants:
+                per_token = self.typo_resolver.candidates_per_token(
+                    inc, num_typos
+                )
+                if per_token:
+                    token_terms_variants.append(
+                        [[t for t, _ in cands] for cands in per_token]
+                    )
+            if not token_terms_variants:
                 return pa.table({"doc_id": pa.array([], pa.int64())})
-            token_terms = [[t for t, _ in cands] for cands in per_token]
         else:
-            token_terms = None  # exact terms, conjunctive
+            token_terms_variants = None  # exact terms, conjunctive
         fields = query_by or [primary]
         clauses = parse_filter(filter_by, self.field_types) if filter_by else []
         ids = []
@@ -518,7 +529,7 @@ class RayCollection:
                     lambda t, f=field: f + FIELD_SEP + t
                 )
                 pexcl = [pref(e) for e in exclude]
-                if token_terms is None:
+                if token_terms_variants is None:
                     cand = None
                     for inc in variants:
                         pterms = (
@@ -531,30 +542,41 @@ class RayCollection:
                         cand = np.empty(0, np.int64)
                 else:
                     # per token: union of candidate-term postings; across
-                    # tokens: intersection (some-candidate-per-token)
+                    # tokens: intersection (some-candidate-per-token);
+                    # across synonym variants: union of the id sets
                     cand = None
-                    for cands in token_terms:
-                        post = seg.postings([pref(t) for t in cands])
-                        if not post:
-                            cand = np.empty(0, np.int64)
-                            break
-                        tok_ids = np.unique(
-                            np.concatenate(
-                                [
-                                    decode_posting_ids(
-                                        p["ids_vb"], p["df"]
-                                    ).astype(np.int64)
-                                    for p in post.values()
-                                ]
+                    for token_terms in token_terms_variants:
+                        vcand = None
+                        for cands in token_terms:
+                            post = seg.postings([pref(t) for t in cands])
+                            if not post:
+                                vcand = np.empty(0, np.int64)
+                                break
+                            tok_ids = np.unique(
+                                np.concatenate(
+                                    [
+                                        decode_posting_ids(
+                                            p["ids_vb"], p["df"]
+                                        ).astype(np.int64)
+                                        for p in post.values()
+                                    ]
+                                )
                             )
-                        )
-                        cand = (
-                            tok_ids
-                            if cand is None
-                            else np.intersect1d(cand, tok_ids, assume_unique=True)
-                        )
-                        if cand.size == 0:
-                            break
+                            vcand = (
+                                tok_ids
+                                if vcand is None
+                                else np.intersect1d(
+                                    vcand, tok_ids, assume_unique=True
+                                )
+                            )
+                            if vcand.size == 0:
+                                break
+                        if vcand is not None and vcand.size:
+                            cand = (
+                                vcand
+                                if cand is None
+                                else np.union1d(cand, vcand)
+                            )
                     if cand is None:
                         cand = np.empty(0, np.int64)
                     if cand.size and pexcl:

@@ -598,6 +598,11 @@ def hash_join(
     import pandas as pd
 
     right_cols = right_cols or {}
+    if how in ("semi", "anti"):
+        # right payload never appears in semi/anti output; dropping it
+        # here keeps pad_right's key-only fast path from KeyError-ing
+        # on a payload column that no longer exists in the slimmed table
+        right_cols = {}
     r_schema = right_ds.schema()
     l_schema = left_ds.schema()
     l_types = dict(zip(l_schema.names, l_schema.types))

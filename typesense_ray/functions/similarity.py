@@ -422,6 +422,9 @@ def kmeans_assign(
     head = ds.map_batches(min_k, batch_format="pyarrow").to_pandas()
     head = head.sort_values(id_col, ignore_index=True).head(k)
     seeds = np.array(head[vec_col].tolist(), dtype=np.float64)
+    # fewer rows than clusters: every row is its own seed (k shrinks);
+    # downstream closures size everything off the shipped seed matrix
+    k = seeds.shape[0]
 
     def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
         # squared L2 per (row, centroid) via explicit subtract-square-sum
@@ -434,14 +437,15 @@ def kmeans_assign(
 
     def partial_sums(batch: pa.Table) -> pa.Table:
         C = ray.get(c_ref)
+        kk = C.shape[0]
         X = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         lab = assign(X, C)
         sums = np.zeros_like(C)
         np.add.at(sums, lab, X)
-        counts = np.bincount(lab, minlength=k).astype(np.int64)
+        counts = np.bincount(lab, minlength=kk).astype(np.int64)
         return pa.table(
             {
-                "cid": pa.array(np.arange(k), pa.int64()),
+                "cid": pa.array(np.arange(kk), pa.int64()),
                 "vsum": pa.array(sums.tolist(),
                                  pa.list_(pa.float64())),
                 "n": pa.array(counts, pa.int64()),

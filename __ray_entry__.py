@@ -997,30 +997,51 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
 
 
 def _augmented_docs(sf_dir: str):
-    """documents ∪ perturbed copies of the first 20 docs (doc_id+10^6) —
-    a deterministic near-dup injection so dedup ops have work to do."""
-    import ray.data as rd
+    """documents ∪ perturbed copies of the 20 smallest-doc_id docs
+    (doc_id+10^6) — a deterministic near-dup injection so dedup ops have
+    work to do. The corpus side STAYS a streaming ``read_parquet`` (no
+    driver materialization); only the 20-row head is read on the driver,
+    via a doc_id-column scan + pushed-down threshold filter (robust to
+    file row order, matching the oracle's ORDER BY doc_id LIMIT 20)."""
+    import pyarrow.dataset as pds
     import pyarrow.parquet as pq
+    import ray.data as rd
 
-    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    head = base.slice(0, 20)
-    mut_texts = []
-    for t in head["text"].to_pylist():
-        words = (t or "").split(" ")
-        if len(words) > 3:
-            words[len(words) // 2] = "mutatedword"
-        mut_texts.append(" ".join(words))
-    mutated = pa.table(
-        {
-            "doc_id": pa.array(
-                [d + 1_000_000 for d in head["doc_id"].to_pylist()], pa.int64()
-            ),
-            "text": pa.array(mut_texts, pa.string()),
-        }
+    ck = f"aughead:{sf_dir}"
+    mutated = _CACHE.get(ck)
+    if mutated is None:
+        ids = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        kth = min(19, ids.size - 1)
+        cut = int(np.partition(ids, kth)[kth])
+        head = (
+            pds.dataset(f"{sf_dir}/documents.parquet")
+            .to_table(columns=["doc_id", "text"],
+                      filter=pds.field("doc_id") <= cut)
+            .sort_by("doc_id")
+            .slice(0, 20)
+        )
+        mut_texts = []
+        for t in head["text"].to_pylist():
+            words = (t or "").split(" ")
+            if len(words) > 3:
+                words[len(words) // 2] = "mutatedword"
+            mut_texts.append(" ".join(words))
+        mutated = pa.table(
+            {
+                "doc_id": pa.array(
+                    [d + 1_000_000 for d in head["doc_id"].to_pylist()],
+                    pa.int64(),
+                ),
+                "text": pa.array(mut_texts, pa.string()),
+            }
+        )
+        _CACHE[ck] = mutated
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return rd.from_arrow(
-        pa.concat_tables([base.select(["doc_id", "text"]), mutated])
-    ).repartition(16)
+    return base.union(rd.from_arrow(mutated))
 
 
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:

@@ -46,6 +46,20 @@ def _hash64_bytes(s: str) -> int:
 PAIR_STREAM_MAX_ROWS = 5_000_000
 
 
+def _profile(label: str, t0: float) -> float:
+    """GRAFT_PROFILE=1 stage-timing hook (the reproducible breakdown the
+    bench discrepancies are diagnosed with): prints one stderr line per
+    stage boundary and returns a fresh t0. No-op otherwise."""
+    import os
+    import sys
+    import time
+
+    t1 = time.perf_counter()
+    if os.environ.get("GRAFT_PROFILE"):
+        print(f"[profile] {label}: {t1 - t0:.3f}s", file=sys.stderr)
+    return t1
+
+
 def _pair_part(a: np.ndarray, b: np.ndarray, n_parts: int) -> np.ndarray:
     """Partition key over (a, b) pairs — mixes both ids so hot ids spread."""
     with np.errstate(over="ignore"):
@@ -864,11 +878,15 @@ def word_ngram_jaccard_pairs(
             columns={"size": "c"}
         )
 
+    import time
+
+    t0 = time.perf_counter()
     cooc = (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_cooc, batch_format="pandas")
     ).materialize()
+    t0 = _profile("ngram shingle+cooc exchange", t0)
     n_partial = cooc.count()
     if mode == "auto":
         mode = "stream" if n_partial <= stream_max_rows else "groupby"
@@ -903,6 +921,7 @@ def word_ngram_jaccard_pairs(
         pairs = pairs.sort_values(["a", "b"]).reset_index(drop=True)
     else:
         pairs = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    _profile("ngram stream fold", t0)
     return pa.table(
         {
             "a": pa.array(pairs["a"], pa.int64()),

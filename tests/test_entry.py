@@ -74,3 +74,23 @@ def test_rows_only_queries_run(ray_session, name):
     res = entrymod.queries()[name](SF_DIR)
     df = _to_df(res)
     assert len(df) >= 1, f"{name} returned no rows"
+
+
+def test_near_dedup_cc_groupby_mode_equivalent(ray_session):
+    """The near_dedup/dup_clusters composition stays correct with the
+    connected-components reduce forced to the fully distributed
+    large-star/small-star mode (the 100-TB shape): identical label
+    table in both modes over the real augmented-docs pair graph."""
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import word_ngram_jaccard_pairs
+    from typesense_ray.functions.graph import connected_components
+
+    pairs = word_ngram_jaccard_pairs(
+        entrymod._augmented_docs(SF_DIR),
+        text_col="text", id_col="doc_id", n=3, threshold=0.6, df_cap=64,
+    )
+    assert pairs.num_rows > 0
+    s = connected_components(rd.from_arrow(pairs), mode="stream").to_pandas()
+    g = connected_components(rd.from_arrow(pairs), mode="groupby").to_pandas()
+    pd.testing.assert_frame_equal(s, g)

@@ -224,9 +224,39 @@ def _segment_delete_work(seg_dir: str, filter_by: str, want_ids: np.ndarray,
     return res
 
 
+def refresh_typo_artifacts(index_dir: str) -> None:
+    """Rebuild whichever fuzzy-search sidecars exist after an index
+    mutation, replaying the recorded build parameters: the
+    deletion-neighborhood table (``global/typo``) from the refreshed
+    ``global/df``, and the per-term max-static table
+    (``global/term_stats``) from the surviving segments. The reference
+    never goes stale here because its ART trie IS the index
+    (``src/art.cpp:411-427`` maintains fuzzy structures on insert);
+    the rebuild is vocab-sized — ≪ corpus — so every commit path can
+    afford it."""
+    from typesense_ray.typo import (
+        TERM_STATS_META,
+        TYPO_DIR,
+        TYPO_META,
+        build_term_max_static,
+        build_typo_table,
+        read_meta,
+    )
+
+    if os.path.exists(os.path.join(index_dir, TYPO_DIR)):
+        meta = read_meta(index_dir, TYPO_META) or {}
+        build_typo_table(index_dir, **meta)
+    stats_meta = read_meta(index_dir, TERM_STATS_META)
+    if stats_meta:
+        build_term_max_static(index_dir, stats_meta["static_field"])
+
+
 def _refresh_global_df(index_dir: str, seg_ids: list[str]) -> None:
     """Rewrite ``global/df`` by re-merging the per-segment ``(term, df)``
-    partials (one Arrow groupby-sum — vocab ≪ corpus)."""
+    partials (one Arrow groupby-sum — vocab ≪ corpus), then refresh the
+    fuzzy-search sidecars that derive from it (typo/prefix search must
+    see vocabulary added by an upsert and must stop resolving deleted
+    terms)."""
     import shutil
 
     from typesense_ray.index_build import _merge_term_df
@@ -246,6 +276,7 @@ def _refresh_global_df(index_dir: str, seg_ids: list[str]) -> None:
         )
     )
     pq.write_table(tbl, os.path.join(df_dir, "df.parquet"))
+    refresh_typo_artifacts(index_dir)
 
 
 def _merge_group(seg_dirs: list[str], seg_root: str, cfg_fp: str,
@@ -365,7 +396,11 @@ def merge_segments(index_dir: str, target_docs: int = 65536) -> dict:
     group merges in a parallel Ray task (postings surgery, no original
     text needed). Global stats (n_docs, df sums, avgdl) are invariant
     under merging, so only the segment list and the manifest change;
-    stale inputs are GC'd after commit."""
+    stale inputs are GC'd after commit. The fuzzy-search sidecars
+    (``global/typo``, ``global/term_stats``) derive from global df /
+    per-term maxima — both invariant under merge — so unlike
+    upsert/delete (which refresh them via ``_refresh_global_df``) no
+    rebuild is needed here."""
     import ray
 
     from typesense_ray.index_build import gc_segments

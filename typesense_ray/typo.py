@@ -92,6 +92,28 @@ def deletes(token: str, max_deletes: int = MAX_COST,
 
 TYPO_DIR = os.path.join("global", "typo")
 TERM_STATS_DIR = os.path.join("global", "term_stats")
+# build-parameter sidecars, so index-mutation commits (ops.upsert /
+# delete / merge) can replay the builds without the caller's arguments;
+# kept OUTSIDE the parquet dirs so dataset scans never see them
+TYPO_META = os.path.join("global", "typo_meta.json")
+TERM_STATS_META = os.path.join("global", "term_stats_meta.json")
+
+
+def _write_meta(index_dir: str, rel: str, payload: dict) -> None:
+    import json
+
+    with open(os.path.join(index_dir, rel), "w") as f:
+        json.dump(payload, f)
+
+
+def read_meta(index_dir: str, rel: str) -> dict | None:
+    import json
+
+    p = os.path.join(index_dir, rel)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def build_term_max_static(index_dir: str, static_field: str) -> str:
@@ -147,6 +169,7 @@ def build_term_max_static(index_dir: str, static_field: str) -> str:
         ),
         os.path.join(out_dir, "term_stats.parquet"),
     )
+    _write_meta(index_dir, TERM_STATS_META, {"static_field": static_field})
     return out_dir
 
 
@@ -182,6 +205,7 @@ def build_typo_table(index_dir: str, max_deletes: int = MAX_COST) -> str:
         .sort("variant")
         .write_parquet(out_dir)
     )
+    _write_meta(index_dir, TYPO_META, {"max_deletes": max_deletes})
     return out_dir
 
 

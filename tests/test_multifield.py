@@ -268,3 +268,43 @@ def test_array_offsets_element_boundary_parity(ray_session, tmp_path):
     # "of temple" never
     assert seg.phrase_candidates([t("temple"), t("of")]).tolist() == [2]
     assert seg.phrase_candidates([t("of"), t("temple")]).size == 0
+
+
+def test_array_offsets_uint16_wrap_and_no_bleed(ray_session, tmp_path):
+    """Degenerate >=2^16-slot elements: the reference stores full offsets
+    but DECODES every position as uint16 (src/index.cpp:1995-2013), so
+    positions wrap within an element; and element scoping must still
+    hold — a long element must never bleed position-adjacency into the
+    next element (the pre-r4 stride encoding bled: slot 65536 of element
+    0 collided with slot 0 of element 1)."""
+    import ray.data as rd
+
+    from typesense_ray.index_build import FIELD_SEP, build_index
+
+    filler = " ".join(f"f{i % 7}" for i in range(65534))
+    elem0 = f"alpha beta {filler} gamma delta"  # gamma@65536, delta@65537
+    rows = [{"docnum": 0, "title": "t", "tags": [elem0, "epsilon zeta"],
+             "points": 1}]
+    out = str(tmp_path / "wrap")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=4,
+        meta_fields=("docnum", "title", "tags", "points"),
+        indexed_fields=("tags",),
+    )
+    build_index(rd.from_items(rows), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+    seg = coll.segments[0]
+    t = lambda tok: f"tags{FIELD_SEP}{tok}"
+
+    # plain in-element adjacency
+    assert seg.phrase_candidates([t("alpha"), t("beta")]).tolist() == [0]
+    # uint16 wrap: gamma lands on wrapped slot 0, delta on wrapped slot 1
+    # -> adjacent to each other AND to beta (slot 1), exactly as the
+    # reference's uint16 cast makes them
+    assert seg.phrase_candidates([t("gamma"), t("delta")]).tolist() == [0]
+    assert seg.phrase_candidates([t("gamma"), t("beta")]).tolist() == [0]
+    # no bleed across the element boundary in either direction
+    assert seg.phrase_candidates([t("delta"), t("epsilon")]).size == 0
+    assert seg.phrase_candidates([t("epsilon"), t("delta")]).size == 0
+    # the second element's own adjacency is intact
+    assert seg.phrase_candidates([t("epsilon"), t("zeta")]).tolist() == [0]

@@ -377,10 +377,20 @@ class SegmentWriter:
             pos_in_unit = (
                 np.arange(total, dtype=np.int64) - np.repeat(slot_off, lens)
             )
+            # within-unit positions wrap to 16 bits: the reference stores
+            # full offsets but its decode casts every position to uint16
+            # (src/index.cpp:1995-2013 populate_token_positions), so the
+            # observable (element, position) sets — and therefore phrase
+            # adjacency and proximity windows — wrap identically there.
+            # With the wrap, stride-composed positions are decode-
+            # equivalent to the reference's repeated-last-offset +
+            # array-index sentinel encoding for EVERY input, not just
+            # elements under 2^16 tokens.
             return (
                 flat[nonempty],
                 docs_of[unit_ix[nonempty]],
-                pos_in_unit[nonempty] + base_pos[unit_ix[nonempty]],
+                (pos_in_unit[nonempty] & 0xFFFF)
+                + base_pos[unit_ix[nonempty]],
             )
 
         all_docs = np.arange(n, dtype=np.int64)

@@ -204,17 +204,48 @@ class SegmentSearcher:
         cand, post = self.candidates(list(phrase_terms), (), filter_mask, True)
         if cand.size == 0:
             return np.empty(0, np.uint64)
-        posmap = self.term_positions_for(post, cand)
-        cols = [posmap[t] for t in phrase_terms]
-        keep = np.zeros(cand.size, dtype=bool)
-        for i in range(cand.size):
-            p = cols[0][i]
-            for off in range(1, len(cols)):
-                p = np.intersect1d(p, cols[off][i] - off, assume_unique=True)
-                if p.size == 0:
-                    break
-            keep[i] = p.size > 0
-        return self.doc_ids[cand[keep]]
+        if len(phrase_terms) == 1:
+            return self.doc_ids[cand]
+
+        # Vectorized across ALL candidates at once (no per-candidate
+        # Python loop): per term, gather its candidate position slices
+        # into one flat array of (candidate, shifted-position) keys
+        # packed into int64 — candidate ordinal in the high bits,
+        # ``pos - term_offset`` in the low 42 (positions are
+        # (element << 16) | uint16-slot, so 42 bits hold ~67M array
+        # elements per doc) — then the phrase test is a progressive
+        # sorted-key intersection: a key surviving every term's set is a
+        # phrase start. Cost stays bounded by the rarest term's df.
+        shift = np.int64(42)
+        k_terms = len(phrase_terms)
+        surv: np.ndarray | None = None
+        for i, t in enumerate(phrase_terms):
+            p = post[t]
+            tfs = p["tfs"]
+            allpos = decode_positions(p["raw"]["pos_vb"], tfs)
+            starts = np.zeros(len(tfs), dtype=np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            idx = np.searchsorted(p["ids"], cand)
+            lens = tfs[idx].astype(np.int64)
+            offs = starts[idx]
+            tot = int(lens.sum())
+            grp_off = np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+            within = np.arange(tot, dtype=np.int64) - grp_off
+            flat_pos = allpos[np.repeat(offs, lens) + within].astype(
+                np.int64
+            )
+            cidx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+            # +k_terms keeps the low field positive for every term offset
+            keys = (cidx << shift) | (flat_pos - i + k_terms)
+            # duplicates possible (uint16 position wrap) — intersect1d
+            # dedups both sides
+            surv = keys if surv is None else np.intersect1d(surv, keys)
+            if surv.size == 0:
+                return np.empty(0, np.uint64)
+        keep_idx = np.unique(surv >> shift)
+        return self.doc_ids[cand[keep_idx]]
 
     def search_bm25(
         self,

@@ -999,14 +999,21 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
 def _augmented_docs(sf_dir: str):
     """documents ∪ perturbed copies of the 20 smallest-doc_id docs
     (doc_id+10^6) — a deterministic near-dup injection so dedup ops have
-    work to do. The corpus side STAYS a streaming ``read_parquet`` (no
-    driver materialization); only the 20-row head is read on the driver,
-    via a doc_id-column scan + pushed-down threshold filter (robust to
-    file row order, matching the oracle's ORDER BY doc_id LIMIT 20)."""
+    work to do. The corpus never touches the driver: the parquet is read
+    distributed, union'd with the 20-row mutated head, MATERIALIZED into
+    the object store once per sf_dir and shared by every dedup query
+    (multi-pass consumers would otherwise re-execute the read per pass;
+    object-store blocks spill under pressure, unlike a driver table).
+    Only the 20-row head is read on the driver, via a doc_id-column scan
+    + pushed-down threshold filter (robust to file row order, matching
+    the oracle's ORDER BY doc_id LIMIT 20)."""
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    dk = f"augds:{sf_dir}"
+    if dk in _CACHE:
+        return _CACHE[dk]
     ck = f"aughead:{sf_dir}"
     mutated = _CACHE.get(ck)
     if mutated is None:
@@ -1041,7 +1048,9 @@ def _augmented_docs(sf_dir: str):
     base = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return base.union(rd.from_arrow(mutated))
+    ds = base.union(rd.from_arrow(mutated)).materialize()
+    _CACHE[dk] = ds
+    return ds
 
 
 def q_minhash_dup_pairs(sf_dir: str) -> pa.Table:

@@ -416,14 +416,19 @@ def minhash_lsh_pairs(
         )
         return pd.DataFrame({"a": a, "b": b})
 
+    import time
+
+    t0 = time.perf_counter()
     sig_ds = ds.map_batches(
         compute_sigs, batch_format="pyarrow"
     ).materialize()
+    t0 = _profile("minhash signatures", t0)
     cand_ds = (
         sig_ds.map_batches(to_bands, batch_format="pyarrow")
         .groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
     ).materialize()
+    t0 = _profile("minhash band exchange", t0)
     n_cand = cand_ds.count()
     empty_out = pa.table({"a": pa.array([], pa.int64()),
                           "b": pa.array([], pa.int64()),
@@ -482,17 +487,24 @@ def minhash_lsh_pairs(
     # driver-side in fixed-size chunks: ~10^8 uint64 compares, far cheaper
     # than one object-store round trip of the pair table.
     cand_ids = np.unique(np.concatenate([aa, bb]))
-    cand_ids_ref = ray.put(cand_ids)
+    if cand_ids.size * 2 >= sig_ds.count():
+        # candidate set ≈ corpus (dup-heavy input): a map-side filter
+        # pass would keep nearly every row — skip the extra Ray stage
+        # and pull the materialized signature blocks directly; the
+        # searchsorted probe below ignores non-candidate rows
+        sig_tab = sig_ds.to_pandas()
+    else:
+        cand_ids_ref = ray.put(cand_ids)
 
-    def only_cands(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def only_cands(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        want = pa.array(ray.get(cand_ids_ref), pa.int64())
-        return t.filter(pc.is_in(t[id_col], value_set=want))
+            want = pa.array(ray.get(cand_ids_ref), pa.int64())
+            return t.filter(pc.is_in(t[id_col], value_set=want))
 
-    sig_tab = sig_ds.map_batches(
-        only_cands, batch_format="pyarrow"
-    ).to_pandas()
+        sig_tab = sig_ds.map_batches(
+            only_cands, batch_format="pyarrow"
+        ).to_pandas()
     sig_ids = sig_tab[id_col].to_numpy()
     sig_mat = np.frombuffer(
         b"".join(sig_tab["sig"].tolist()), dtype=np.uint64
@@ -527,6 +539,7 @@ def minhash_lsh_pairs(
         keep_parts.append(k)
     keep_mask = np.concatenate(keep_parts)
     aa, bb = aa[keep_mask], bb[keep_mask]
+    t0 = _profile("minhash sig prefilter", t0)
     if aa.size == 0:
         return empty_out
     pairs_df = pd.DataFrame({"a": aa, "b": bb})
@@ -581,12 +594,14 @@ def minhash_lsh_pairs(
         return pa.table({"a": pa.array(aa[keep]), "b": pa.array(bb[keep]),
                          "jaccard": pa.array(jac[keep], pa.float64())})
 
+    t0 = _profile("minhash cand shingles", t0)
     verified = (
         rd.from_pandas(pairs_df)
         .repartition(max(1, min(64, len(pairs_df) // 20_000 + 1)))
         .map_batches(verify, batch_format="pyarrow")
         .to_pandas()
     )
+    _profile("minhash verify", t0)
     if len(verified) == 0:
         return empty_out
     verified = verified.sort_values(["a", "b"], ignore_index=True)

@@ -54,10 +54,13 @@ def _docs_index(sf_dir: str):
     return coll
 
 
-def _read(sf_dir: str, table: str):
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Streaming parquet read; pass ``columns`` so only the consumed
+    columns leave storage (events.props — the fat JSON column — must
+    never ride along with a window aggregate that ignores it)."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _i64(tbl: pa.Table, col: str) -> pa.Table:
@@ -203,7 +206,7 @@ def q_hybrid_search(sf_dir: str) -> pa.Table:
         q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
         dtype=np.float64,
     )
-    emb = _read(sf_dir, "embeddings")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cos = rerank_by_cosine(emb, list(bm), qvec).to_pandas()
     cos = cos.sort_values(
         ["cosine", "vec_id"], ascending=[False, False], ignore_index=True
@@ -342,7 +345,8 @@ def q_group_top2_per_lang(sf_dir: str) -> pa.Table:
 def q_exact_dedup(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.dedup import exact_dedup
 
-    out = exact_dedup(_read(sf_dir, "documents"), text_col="text", id_col="doc_id")
+    out = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                      text_col="text", id_col="doc_id")
     ids = sorted(r["doc_id"] for r in out.select_columns(["doc_id"]).take_all())
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
@@ -351,7 +355,7 @@ def q_token_counts(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.text import token_count_batch
 
     out = (
-        _read(sf_dir, "documents")
+        _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(lambda b: token_count_batch(b, "text"), batch_format="pyarrow")
         .select_columns(["doc_id", "ws_tokens"])
     )
@@ -362,7 +366,7 @@ def q_quality(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.text import quality_batch
 
     out = (
-        _read(sf_dir, "documents")
+        _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(lambda b: quality_batch(b, "text"), batch_format="pyarrow")
         .select_columns(["doc_id", "n_tokens", "digit_ratio", "punct_ratio"])
     )
@@ -864,7 +868,7 @@ def q_label_centroids(sf_dir: str) -> pa.Table:
     centroid)."""
     from typesense_ray.functions.similarity import label_centroids
 
-    df = label_centroids(_read(sf_dir, "embeddings"))
+    df = label_centroids(_read(sf_dir, "embeddings", ["label", "embedding"]))
     df = df.sort_values(["label", "dim"], ignore_index=True)
     return pa.table(
         {
@@ -977,7 +981,7 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.similarity import knn_bruteforce
 
-    emb = _read(sf_dir, "embeddings")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q0 = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -1201,7 +1205,7 @@ def q_langid(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.text import LangId
 
     out = (
-        _read(sf_dir, "documents")
+        _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(LangId, batch_format="pyarrow", concurrency=(2, 8))
         .select_columns(["doc_id", "lang_pred", "lang_conf"])
     )
@@ -1214,7 +1218,7 @@ def q_fingerprints(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.text import fingerprint_batch
 
     out = (
-        _read(sf_dir, "documents")
+        _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(lambda b: fingerprint_batch(b, "text"), batch_format="pyarrow")
         .select_columns(["doc_id", "fingerprint"])
     )
@@ -1318,7 +1322,7 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.similarity import IVFIndex
 
-    emb = _read(sf_dir, "embeddings")
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     idx = IVFIndex(n_centroids=8, n_iter=4).fit(emb)
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.array(
@@ -1562,7 +1566,10 @@ def q_join_priority(sf_dir: str) -> pa.Table:
     keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
         "c_custkey"
     ].to_numpy()
-    joined = broadcast_semi_join(_read(sf_dir, "orders"), keys, "o_custkey")
+    joined = broadcast_semi_join(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"]),
+        keys, "o_custkey")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_orderpriority", as_index=False).agg(
@@ -1594,7 +1601,8 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.relational import sessionize
 
     out = sessionize(
-        _read(sf_dir, "events"), key_col="user_id", ts_col="ts", gap_s=1800.0
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", gap_s=1800.0
     ).to_pandas()
     out = out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
     return pa.table(
@@ -1681,7 +1689,8 @@ def q_events_hopping(sf_dir: str) -> pa.Table:
         )
 
     out = combiner_aggregate(
-        _read(sf_dir, "events"), partial, ["wstart", "event_type"],
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        partial, ["wstart", "event_type"],
         {"sum_value": "sum", "cnt": "sum"},
     )
     return pa.table(
@@ -1718,7 +1727,7 @@ def q_events_tumbling(sf_dir: str) -> pa.Table:
     from typesense_ray.agg import combiner_aggregate
 
     out = combiner_aggregate(
-        _read(sf_dir, "events"),
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
         window_partials, ["window", "event_type"],
         {"sum_value": "sum", "cnt": "sum"},
     )
@@ -1743,7 +1752,7 @@ def q_user_deltas(sf_dir: str) -> pa.Table:
     dropped."""
     from typesense_ray.functions.relational import windowed_lag
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     out = windowed_lag(ds)
     t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(
@@ -1762,7 +1771,7 @@ def q_rolling_events(sf_dir: str) -> pa.Table:
     floats match SQL's windowed AVG)."""
     from typesense_ray.functions.relational import rolling_mean
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     out = rolling_mean(ds, window=4)
     t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(
@@ -1902,7 +1911,7 @@ def q_trim_outliers(sf_dir: str) -> pa.Table:
     SQL exactly)."""
     from typesense_ray.functions.relational import quantile_trim
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
     out = quantile_trim(ds, lo=0.05, hi=0.95)
     t = pa.Table.from_pandas(
         out.to_pandas().sort_values(["event_id"], ignore_index=True)[["event_id", "event_type", "value"]]
@@ -2012,7 +2021,7 @@ def q_running_total(sf_dir: str) -> pa.Table:
     SQL window's in-order accumulation)."""
     from typesense_ray.functions.relational import running_total
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     out = running_total(ds)
     t = pa.Table.from_pandas(out.to_pandas().sort_values(["event_id"], ignore_index=True))
     return pa.table(

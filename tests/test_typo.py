@@ -201,3 +201,40 @@ def test_typo_table_refreshed_on_upsert_and_delete(ray_session, tmp_path):
     r2 = TypoResolver(out)
     assert r2.fuzzy("quasr", 2) == []
     assert r2.prefix("quas") == []
+
+
+def test_typo_table_valid_after_merge(ray_session, tmp_path):
+    """merge_segments leaves the fuzzy sidecars untouched (global df and
+    per-term maxima are invariant under merge) — fuzzy + prefix results
+    must be identical before and after compaction."""
+    import ray.data as rd
+
+    from typesense_ray.ops import merge_segments
+    from typesense_ray.typo import TypoResolver
+
+    tbl = pa.table(
+        {
+            "docnum": pa.array(list(range(8)), pa.int64()),
+            "title": pa.array(
+                [f"quasar telescope alpha{i} beta{i % 3}" for i in range(8)]
+            ),
+            "points": pa.array([i * 10 for i in range(8)], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=2,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_arrow(tbl), out, cfg, concurrency=2)
+    build_typo_table(out)
+    before = TypoResolver(out)
+    fz_before = before.fuzzy("quasr", 2)
+    pf_before = before.prefix("tele")
+
+    stats = merge_segments(out, target_docs=100)
+    assert stats["n_segments"] < 4  # compaction actually happened
+
+    after = TypoResolver(out)
+    assert after.fuzzy("quasr", 2) == fz_before
+    assert after.prefix("tele") == pf_before

@@ -670,7 +670,19 @@ def hash_join(
     out_types.update({c: l_types[c] for c in lpay})
     out_types.update({out: r_types[src] for src, out in right_cols.items()})
 
-    def join_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+    # typed empty output (left joins keep right payload nullable/float —
+    # the pandas NULL analogue): an untyped empty pandas block trips
+    # Ray's size estimator (np.vectorize over 0 rows) on string columns
+    empty_schema = pa.schema(
+        [
+            (c, (pa.float64()
+                 if how == "left" and c in rpay_out
+                 and pa.types.is_integer(t) else t))
+            for c, t in out_types.items()
+        ]
+    )
+
+    def join_bucket(g: "pd.DataFrame"):
         left = g.loc[g["_side"] == 0, [left_on, *lpay]]
         right = g.loc[g["_side"] == 1, [left_on, *rpay_out]]
         if how in ("semi", "anti"):
@@ -678,11 +690,15 @@ def hash_join(
             out = (left[hit] if how == "semi" else left[~hit]).reset_index(
                 drop=True
             )
+            if len(out) == 0:
+                return empty_schema.empty_table()
             # no nulls in a kept left row — undo the union-stage drift
             for c in (left_on, *lpay):
                 out[c] = out[c].astype(out_types[c].to_pandas_dtype())
             return out
         out = pd.merge(left, right, on=left_on, how=how).reset_index(drop=True)
+        if len(out) == 0:
+            return empty_schema.empty_table()
         if how == "inner":
             # no nulls survive an inner join — undo the float64 drift the
             # null-padded union stage forced onto int columns

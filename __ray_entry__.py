@@ -1322,8 +1322,12 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.similarity import IVFIndex
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    idx = IVFIndex(n_centroids=8, n_iter=4).fit(emb)
+    key = f"ivf:{sf_dir}"
+    idx = _CACHE.get(key)
+    if idx is None:
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = IVFIndex(n_centroids=8, n_iter=4).fit(emb)
+        _CACHE[key] = idx  # built once per sf_dir, like _docs_index
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.array(
         q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0]

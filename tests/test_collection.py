@@ -254,3 +254,66 @@ def test_matching_ids_synonyms_and_overrides(coll):
     # non-matching rule leaves the set alone
     same = c3.matching_ids("blue", apply_overrides=True)["doc_id"].to_pylist()
     assert same == c3.matching_ids("blue")["doc_id"].to_pylist()
+
+
+def test_numeric_filter_matrix_reference_parity(ray_session, tmp_path):
+    """Ports CollectionFilteringTest.FilterOnNumericFields +
+    ComparatorsOnMultiValuedNumericalField (reference
+    test/collection_filtering_test.cpp:320-478,618-680, corpus
+    test/numeric_array_documents.jsonl): scalar + int32[]/int64[] array
+    filters, =, ranges, IN-lists, mixed comparators inside lists, and
+    whitespace-padded expressions. Array semantics: a doc matches when
+    ANY element satisfies the clause."""
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    docs = [
+        {"docnum": 0, "name": "Jeremy Howard", "age": 24,
+         "years": [2014, 2015, 2016],
+         "timestamps": [1390354022, 1421890022, 1453426022]},
+        {"docnum": 1, "name": "Jeremy Howard", "age": 44,
+         "years": [2015, 2016], "timestamps": [1421890022, 1453426022]},
+        {"docnum": 2, "name": "Jeremy Howard", "age": 21,
+         "years": [2016], "timestamps": [1453426022]},
+        {"docnum": 3, "name": "Jeremy Howard", "age": 63,
+         "years": [1981, 1985], "timestamps": [348974822, 475205222]},
+        {"docnum": 4, "name": "Jeremy Howard", "age": 32,
+         "years": [1999, 2000, 2001, 2002],
+         "timestamps": [916968422, 948504422, 980126822, 1011662822]},
+    ]
+    out = str(tmp_path / "numfilter")
+    cfg = IndexConfig(
+        text_field="name", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "name", "age", "years", "timestamps"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="age")
+
+    def got(filter_by):
+        r = coll.search("jeremy", filter_by=filter_by, per_page=10)
+        return [h["document"]["docnum"] for h in r["hits"]]
+
+    # baseline order: score ties -> age desc
+    assert got("") == [3, 1, 4, 0, 2]
+    assert got("age:>24") == [3, 1, 4]
+    assert got("age:>=24") == [3, 1, 4, 0]
+    assert got("age:24") == [0]
+    assert got("age:=24") == [0]
+    assert got("age:= 24") == [0]
+    # int32[] array fields: ANY element matches
+    assert got("years:>2002") == [1, 0, 2]
+    assert got("years:<1989") == [3]
+    assert got("years:<2005 && years:>1987") == [4]
+    # IN-lists (scalar + array), with reference's whitespace padding
+    assert got("age:[21, 24, 63]") == [3, 0, 2]
+    assert got("age:= [21, 24, 63]") == [3, 0, 2]
+    assert got("years : [ 2015, 1985 , 1999]") == [3, 1, 4, 0]
+    # int64[] array
+    assert got("timestamps : > 475205222") == [1, 4, 0, 2]
+    # mixed comparators inside an IN-list (set semantics)
+    assert sorted(got("age: [24, >32]")) == [0, 1, 3]
+    assert sorted(got("age: [<=24, >=44]")) == [0, 1, 2, 3]
+    # no match
+    assert got("age:>200") == []

@@ -317,3 +317,68 @@ def test_numeric_filter_matrix_reference_parity(ray_session, tmp_path):
     assert sorted(got("age: [<=24, >=44]")) == [0, 1, 2, 3]
     # no match
     assert got("age:>200") == []
+
+
+def test_grouping_basics_reference_parity(ray_session, tmp_path):
+    """Ports CollectionGroupingTest.GroupingBasics (reference
+    test/collection_grouping_test.cpp:62-145, corpus
+    test/group_documents.jsonl): group by an int field with
+    group_limit=2 under the default rating sort, DISTINCT-GROUP facet
+    counts while grouping, grouping by a float field under an explicit
+    sort, and facet_query value highlighting. Group-order assertions
+    avoid the one case decided purely by insertion-id ties (the rebuild
+    derives doc ids from data, a documented divergence)."""
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    rows = [
+        ("Omega Casual Poplin Shirt", "Omega", 10, 4.5),
+        ("Omega Casual Poplin Shirt", "Omega", 11, 4.3),
+        ("Omega Casual Poplin Shirt", "Omega", 12, 4.6),
+        ("Omega Casual Poplin Shirt", "Omega", 10, 4.6),
+        ("Beta Casual Poplin Shirt", "Beta", 10, 4.8),
+        ("Beta Casual Poplin Shirt", "Beta", 11, 4.8),
+        ("Beta Casual Poplin Shirt", "Beta", 12, 4.3),
+        ("Xorp Casual Shirt", "Xorp", 10, 4.3),
+        ("Xorp Casual Shirt", "Xorp", 12, 4.4),
+        ("Zeta Casual Shirt", "Zeta", 10, 4.1),
+        ("White Casual Shirt", None, 10, 4.3),
+        ("White Casual Shirt", None, 10, 3.3),
+    ]
+    docs = [
+        {"docnum": i, "title": t, "brand": b, "size": s, "rating": r}
+        for i, (t, b, s, r) in enumerate(rows)
+    ]
+    out = str(tmp_path / "groupidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=16,
+        meta_fields=("docnum", "title", "brand", "size", "rating"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="rating")
+
+    r = coll.search("*", facet_by="brand", group_by="size", group_limit=2,
+                    per_page=50, sort_by="rating:desc")
+    assert r["found"] == 3  # three distinct sizes
+    by_key = {g["group_key"][0]: [h["document"]["docnum"] for h in g["hits"]]
+              for g in r["grouped_hits"]}
+    assert by_key[11] == [5, 1]   # 4.8 then 4.3
+    assert by_key[10] == [4, 3]   # 4.8 then 4.6 (4.6 tie inside cut)
+    assert by_key[12] == [2, 8]   # 4.6 then 4.4
+    # groups ranked by best hit; size 12 (best 4.6) after both 4.8 groups
+    assert r["grouped_hits"][2]["group_key"] == [12]
+    # facet counts while grouping count DISTINCT GROUPS per value
+    counts = {c["value"]: c["count"] for c in r["facet_counts"][0]["counts"]}
+    assert counts == {"Beta": 3, "Omega": 3, "Xorp": 2, "Zeta": 1}
+
+    # group by float rating: 7 unique ratings; facet_query highlights
+    r = coll.search("*", facet_by="brand", facet_query="brand: omeg",
+                    group_by="rating", group_limit=2, per_page=50,
+                    sort_by="size:desc")
+    assert r["found"] == 7
+    fc = r["facet_counts"][0]["counts"]
+    assert len(fc) == 1 and fc[0]["value"] == "Omega"
+    assert fc[0]["count"] == 3  # distinct rating-groups containing Omega
+    assert fc[0]["highlighted"] == "<mark>Omeg</mark>a"

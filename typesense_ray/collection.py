@@ -949,16 +949,18 @@ class RayCollection:
             top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[
                 :max_facet_values
             ]
-            entry = {
-                "field_name": ffield,
-                "counts": [
-                    {
-                        "value": repr_raw.get(k, k) if kind == "str" else k,
-                        "count": c,
-                    }
-                    for k, c in top
-                ],
-            }
+            cnt_rows = []
+            for k, c in top:
+                row = {
+                    "value": repr_raw.get(k, k) if kind == "str" else k,
+                    "count": c,
+                }
+                if ffield == fq_field and fq_tokens and kind == "str":
+                    row["highlighted"] = _facet_query_highlight(
+                        str(row["value"]), fq_tokens
+                    )
+                cnt_rows.append(row)
+            entry = {"field_name": ffield, "counts": cnt_rows}
             if kind in ("int", "float") and stats["count"]:
                 entry["stats"] = {
                     "min": stats["min"],
@@ -1077,6 +1079,35 @@ def highlight_text(text: str, query_tokens: list[str]) -> dict | None:
         else:
             pieces.append(slots_raw[i])
     return {"snippet": " ".join(pieces), "matched_tokens": matched_tokens}
+
+
+def _facet_query_highlight(raw: str, query_tokens) -> str:
+    """``<mark>``-wrap the matched portion of a facet value under
+    facet_query (the reference returns ``highlighted`` per facet count,
+    e.g. "brand: omeg" → "<mark>Omeg</mark>a";
+    ``src/collection.cpp`` facet highlight in ``search``): the first
+    original-text word whose normalized form prefix-matches the LAST
+    query token gets its matched prefix wrapped (case preserved); words
+    matching earlier query tokens wrap whole."""
+    import re
+
+    qlast = query_tokens[-1]
+    earlier = set(query_tokens[:-1])
+    out = []
+    marked_prefix = False
+    for part in re.split(r"(\s+)", raw):
+        if not part or part.isspace():
+            out.append(part)
+            continue
+        norm = " ".join(norm_tokens(part))
+        if not marked_prefix and norm.startswith(qlast):
+            out.append(f"<mark>{part[:len(qlast)]}</mark>{part[len(qlast):]}")
+            marked_prefix = True
+        elif norm in earlier:
+            out.append(f"<mark>{part}</mark>")
+        else:
+            out.append(part)
+    return "".join(out)
 
 
 def _facet_value_matches(value_tokens, query_tokens) -> bool:

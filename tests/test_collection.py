@@ -382,3 +382,61 @@ def test_grouping_basics_reference_parity(ray_session, tmp_path):
     assert len(fc) == 1 and fc[0]["value"] == "Omega"
     assert fc[0]["count"] == 3  # distinct rating-groups containing Omega
     assert fc[0]["highlighted"] == "<mark>Omeg</mark>a"
+
+
+def test_sort_on_float_fields_reference_parity(ray_session, tmp_path):
+    """Ports CollectionSortingTest.SortOnFloatFields (reference
+    test/collection_sorting_test.cpp:200-268, corpus
+    test/float_documents.jsonl): two-key float sorts in desc/desc,
+    asc/asc and asc/desc — negatives, 0.0, a huge epoch-ms value and
+    duplicate primary keys broken by the secondary."""
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    vals = [
+        (1.09, 1.45), (-9.998, -2.408), (1582186644000.0, 0.001),
+        (0.0, 11.533), (-9.999, -11.38), (-9.999, 300.0), (-9.999, -21.38),
+    ]
+    docs = [
+        {"docnum": i, "title": "Jeremy Howard", "score_f": s, "average": a}
+        for i, (s, a) in enumerate(vals)
+    ]
+    out = str(tmp_path / "floatidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "score_f", "average"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="score_f")
+
+    def got(sort_by):
+        r = coll.search("jeremy", sort_by=sort_by, per_page=10)
+        return [h["document"]["docnum"] for h in r["hits"]]
+
+    assert got("score_f:desc,average:desc") == [2, 0, 3, 1, 5, 4, 6]
+    assert got("score_f:asc,average:asc") == [6, 4, 5, 1, 3, 0, 2]
+    assert got("score_f:asc,average:desc") == [5, 4, 6, 1, 3, 0, 2]
+
+
+def test_three_sort_fields_limit(ray_session, tmp_path):
+    """Reference rejects >3 sort_by fields
+    (CollectionSortingTest.ThreeSortFieldsLimit,
+    test/collection_sorting_test.cpp:270-310)."""
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    docs = [{"docnum": 0, "title": "the title", "a": 1, "b": 2, "c": 3,
+             "d": 4}]
+    out = str(tmp_path / "sortlim")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "a", "b", "c", "d"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="a")
+    with pytest.raises(ValueError):
+        coll.search("the", sort_by="a:desc,b:desc,c:desc,d:desc")

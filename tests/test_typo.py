@@ -238,3 +238,38 @@ def test_typo_table_valid_after_merge(ray_session, tmp_path):
     after = TypoResolver(out)
     assert after.fuzzy("quasr", 2) == fz_before
     assert after.prefix("tele") == pf_before
+
+
+def test_typo_tokens_threshold(ray_session, tmp_path):
+    """Ports CollectionTest.TypoTokensThreshold
+    (test/collection_test.cpp:604-620): typo expansion only happens
+    while results stay BELOW typo_tokens_threshold — enough exact
+    matches suppress the costlier candidates."""
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+    from typesense_ray.typo import build_typo_table
+
+    # 5 docs with the exact token, 2 more reachable only via typo cost<=2
+    titles = [f"launch event {i}" for i in range(5)] + [
+        "lunch menu", "haunch of venison"
+    ]
+    docs = [
+        {"docnum": i, "title": t, "points": i} for i, t in enumerate(titles)
+    ]
+    out = str(tmp_path / "typothr")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    build_typo_table(out)
+    coll = RayCollection(out, default_sorting_field="points")
+
+    r = coll.search("launch", mode="reference", num_typos=2,
+                    typo_tokens_threshold=5)
+    assert r["found"] == 5  # exact matches alone reach the threshold
+    r = coll.search("launch", mode="reference", num_typos=2,
+                    typo_tokens_threshold=10)
+    assert r["found"] == 7  # under threshold -> typo candidates join

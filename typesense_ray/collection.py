@@ -47,6 +47,7 @@ from typesense_ray.tokenizer import tokenize_query
 SNIPPET_THRESHOLD = 30
 HIGHLIGHT_AFFIX = 4
 DROP_TOKENS_THRESHOLD = 10
+TYPO_TOKENS_THRESHOLD = 100  # reference include/index.h:298
 PER_PAGE_MAX = 250
 GROUP_LIMIT_MAX = 99
 
@@ -268,6 +269,7 @@ class RayCollection:
         include_fields: list[str] | None = None,
         exclude_fields: list[str] | None = None,
         drop_tokens_threshold: int = DROP_TOKENS_THRESHOLD,
+        typo_tokens_threshold: int = TYPO_TOKENS_THRESHOLD,
         highlight: bool = True,
         text_field: str | None = None,
         use_synonyms: bool = True,
@@ -336,44 +338,57 @@ class RayCollection:
             return self._search_segment(seg, variant_list, exclude, mask, mode)
 
         # per-segment evaluation (the distributed path runs this block
-        # inside IndexServer actors / search_index tasks; locally a loop)
-        seg_results = []
-        total_found = 0
-        for si, seg in enumerate(self.segments):
-            mask = (
+        # inside IndexServer actors / search_index tasks; locally a loop),
+        # STAGED by typo cost: higher-cost variants are only evaluated
+        # while accumulated results stay under ``typo_tokens_threshold``
+        # (the reference stops expanding once a cost level has enough,
+        # src/index.cpp search_field / include/index.h:298)
+        masks = [
+            (
                 eval_filters(seg.docs, clauses, self.field_types,
                              self._token_caches[si], self._num_caches[si])
                 if clauses
                 else None
             )
-            res = eval_seg(seg, variants, mask)
-            seg_results.append(res)
-            total_found += res["cand"].size
+            for si, seg in enumerate(self.segments)
+        ]
+        by_cost: dict[int, list] = {}
+        for v in variants:
+            by_cost.setdefault(v[1], []).append(v)
+        seg_results: list = [None] * len(self.segments)
+        total_found = 0
+        used_variants: list = []
+        for li, cost in enumerate(sorted(by_cost)):
+            if li > 0 and total_found >= typo_tokens_threshold:
+                break
+            level = by_cost[cost]
+            used_variants += level
+            for si, seg in enumerate(self.segments):
+                res = eval_seg(seg, level, masks[si])
+                seg_results[si] = (
+                    res
+                    if seg_results[si] is None
+                    else _merge_seg_results(seg_results[si], res)
+                )
+            total_found = sum(r["cand"].size for r in seg_results)
 
         # drop-tokens fallback: too few results and a multi-token query →
         # retry with truncated token lists, merging (dedup keeps best)
         if total_found < drop_tokens_threshold and len(include) > 1:
             for truncated, tpos in _drop_token_variants(include):
-                extra_found = 0
                 for si, seg in enumerate(self.segments):
-                    mask = (
-                        eval_filters(
-                            seg.docs, clauses, self.field_types,
-                            self._token_caches[si], self._num_caches[si]
-                        )
-                        if clauses
-                        else None
-                    )
-                    res2 = eval_seg(seg, [(truncated, 0, tpos)], mask)
+                    res2 = eval_seg(seg, [(truncated, 0, tpos)], masks[si])
                     seg_results[si] = _merge_seg_results(seg_results[si], res2)
-                    extra_found += res2["cand"].size
                 total_found = sum(r["cand"].size for r in seg_results)
                 if total_found >= drop_tokens_threshold:
                     break
 
-        # highlight with every term any variant searched (so typo/prefix/
-        # synonym matches get marked, not just verbatim query tokens)
-        highlight_terms = sorted({t for terms, _, _ in variants for t in terms if t != "*"})
+        # highlight with every term any EVALUATED variant searched (so
+        # typo/prefix/synonym matches get marked, not just verbatim
+        # query tokens — and skipped cost levels don't leak in)
+        highlight_terms = sorted(
+            {t for terms, _, _ in used_variants for t in terms if t != "*"}
+        )
 
         # hidden/pinned curation
         hidden: set[int] = set()

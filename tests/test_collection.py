@@ -440,3 +440,57 @@ def test_three_sort_fields_limit(ray_session, tmp_path):
     coll = RayCollection(out, default_sorting_field="a")
     with pytest.raises(ValueError):
         coll.search("the", sort_by="a:desc,b:desc,c:desc,d:desc")
+
+
+def test_highlight_threshold_affix_tags_newline(ray_session, tmp_path):
+    """Ports CollectionTest.SearchHighlightShouldFollowThreshold /
+    ...ShouldUseHighlightTags / ...WithNewLine
+    (test/collection_test.cpp:2011-2135): snippet_threshold windows,
+    highlight_affix_num_tokens, custom highlight tags, newline
+    flattening and original-case matched_tokens."""
+    import ray.data as rd
+
+    from typesense_ray.collection import RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    docs = [
+        {"docnum": 0,
+         "title": "The quick brown fox jumped over the lazy dog and ran "
+                  "straight to the forest to sleep.",
+         "points": 25},
+        {"docnum": 1, "title": "Blah, blah\nStark Industries", "points": 5},
+    ]
+    out = str(tmp_path / "hl")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+
+    def snip(**kw):
+        r = coll.search("lazy", sort_by="points:desc", **kw)
+        return r["hits"][0]["highlights"][0]["snippet"]
+
+    # large threshold: whole field
+    assert snip() == ("The quick brown fox jumped over the <mark>lazy</mark> "
+                      "dog and ran straight to the forest to sleep.")
+    # small threshold: default 4 words either side
+    assert snip(snippet_threshold=5) == \
+        "fox jumped over the <mark>lazy</mark> dog and ran straight"
+    # explicit affix sizes
+    assert snip(snippet_threshold=5, highlight_affix_num_tokens=2) == \
+        "over the <mark>lazy</mark> dog and"
+    assert snip(snippet_threshold=5, highlight_affix_num_tokens=0) == \
+        "<mark>lazy</mark>"
+    # custom tags
+    assert snip(highlight_start_tag='<em class="h">',
+                highlight_end_tag="</em>") == \
+        ('The quick brown fox jumped over the <em class="h">lazy</em> '
+         "dog and ran straight to the forest to sleep.")
+
+    # newline flattening + original-case matched_tokens
+    r = coll.search("stark", sort_by="points:desc")
+    hl = r["hits"][0]["highlights"][0]
+    assert hl["snippet"] == "Blah, blah <mark>Stark</mark> Industries"
+    assert hl["matched_tokens"] == ["Stark"]

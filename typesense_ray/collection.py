@@ -271,6 +271,10 @@ class RayCollection:
         drop_tokens_threshold: int = DROP_TOKENS_THRESHOLD,
         typo_tokens_threshold: int = TYPO_TOKENS_THRESHOLD,
         highlight: bool = True,
+        snippet_threshold: int = SNIPPET_THRESHOLD,
+        highlight_affix_num_tokens: int = HIGHLIGHT_AFFIX,
+        highlight_start_tag: str = "<mark>",
+        highlight_end_tag: str = "</mark>",
         text_field: str | None = None,
         use_synonyms: bool = True,
         num_typos: int = 0,
@@ -281,6 +285,12 @@ class RayCollection:
         per_page = min(per_page, PER_PAGE_MAX)
         group_limit = min(group_limit, GROUP_LIMIT_MAX)
         fetch_k = page * per_page
+        hl_opts = {
+            "snippet_threshold": snippet_threshold,
+            "affix_tokens": highlight_affix_num_tokens,
+            "start_tag": highlight_start_tag,
+            "end_tag": highlight_end_tag,
+        }
 
         include, exclude = tokenize_query(q)
         # variants are (terms, cost, original-query-positions); positions
@@ -427,7 +437,8 @@ class RayCollection:
                 {
                     "group_key": list(gk),
                     "hits": self._hits(rows, highlight_terms, mode, include_fields,
-                                       exclude_fields, highlight, text_field),
+                                       exclude_fields, highlight, text_field,
+                                       hl_opts),
                 }
                 for gk, rows in page_groups
             ]
@@ -452,6 +463,7 @@ class RayCollection:
             response["hits"] = self._hits(
                 rows[start : start + per_page], highlight_terms, mode,
                 include_fields, exclude_fields, highlight, text_field,
+                hl_opts,
             )
 
         if facet_counts:
@@ -988,7 +1000,7 @@ class RayCollection:
         return out
 
     def _hits(self, rows, include_tokens, mode, include_fields, exclude_fields,
-              highlight, text_field):
+              highlight, text_field, hl_opts=None):
         hits = []
         tf = text_field or self.stats["config"]["text_field"]
         for row in rows:
@@ -1008,7 +1020,7 @@ class RayCollection:
             hit = {"document": doc}
             hit["text_match" if mode != "bm25" else "score"] = row["score"]
             if highlight and raw_text is not None and include_tokens:
-                hl = highlight_text(raw_text, include_tokens)
+                hl = highlight_text(raw_text, include_tokens, **(hl_opts or {}))
                 if hl:
                     hit["highlights"] = [{"field": tf, **hl}]
             hits.append(hit)
@@ -1049,14 +1061,26 @@ def _merge_ranked(parts, hidden: set[int]):
     return rows
 
 
-def highlight_text(text: str, query_tokens: list[str]) -> dict | None:
+def highlight_text(
+    text: str,
+    query_tokens: list[str],
+    *,
+    snippet_threshold: int = SNIPPET_THRESHOLD,
+    affix_tokens: int = HIGHLIGHT_AFFIX,
+    start_tag: str = "<mark>",
+    end_tag: str = "</mark>",
+) -> dict | None:
     """Snippet highlighting (``src/collection.cpp:1309-1473``): locate
-    query tokens, wrap matches in ``<mark>``, and when the field is longer
-    than ``SNIPPET_THRESHOLD`` tokens emit a window padded by
-    ``HIGHLIGHT_AFFIX`` tokens around the matched span. (The reference
-    windows around the best proximity match; this highlights around the
-    first..last matched slots — observable output matches for the common
-    single-span case.)"""
+    query tokens, wrap matches in ``start_tag``/``end_tag``, and when
+    the field is longer than ``snippet_threshold`` tokens emit a window
+    padded by ``affix_tokens`` tokens around the matched span. (The
+    reference windows around the best proximity match; this highlights
+    around the first..last matched slots — observable output matches
+    for the common single-span case.) ``matched_tokens`` carry the
+    ORIGINAL casing (the reference reports "Stark" for query "stark",
+    test/collection_test.cpp:2103-2135)."""
+    import re
+
     slots_raw = text.replace("\n", " ").split(" ")
     qset = set(query_tokens)
     matched_idx = []
@@ -1068,11 +1092,12 @@ def highlight_text(text: str, query_tokens: list[str]) -> dict | None:
         normed[i] = nt
         if nt and nt in qset:
             matched_idx.append(i)
-            if nt not in matched_tokens:
-                matched_tokens.append(nt)
+            raw_tok = re.sub(r"[^0-9A-Za-z]", "", raw)
+            if raw_tok and raw_tok not in matched_tokens:
+                matched_tokens.append(raw_tok)
     if not matched_idx:
         return None
-    if len(slots_raw) <= SNIPPET_THRESHOLD:
+    if len(slots_raw) <= snippet_threshold:
         lo, hi = 0, len(slots_raw) - 1
     else:
         # window around the BEST match span: the 10-slot window holding the
@@ -1085,12 +1110,12 @@ def highlight_text(text: str, query_tokens: list[str]) -> dict | None:
             n_distinct = len({normed[i] for i in in_win})
             if n_distinct > best_n:
                 best_n, best_start, best_end = n_distinct, s, int(in_win[-1])
-        lo = max(0, best_start - HIGHLIGHT_AFFIX)
-        hi = min(len(slots_raw) - 1, best_end + HIGHLIGHT_AFFIX)
+        lo = max(0, best_start - affix_tokens)
+        hi = min(len(slots_raw) - 1, best_end + affix_tokens)
     pieces = []
     for i in range(lo, hi + 1):
         if normed[i] and normed[i] in qset:
-            pieces.append(f"<mark>{slots_raw[i]}</mark>")
+            pieces.append(f"{start_tag}{slots_raw[i]}{end_tag}")
         else:
             pieces.append(slots_raw[i])
     return {"snippet": " ".join(pieces), "matched_tokens": matched_tokens}

@@ -308,3 +308,67 @@ def test_array_offsets_uint16_wrap_and_no_bleed(ray_session, tmp_path):
     assert seg.phrase_candidates([t("epsilon"), t("delta")]).size == 0
     # the second element's own adjacency is intact
     assert seg.phrase_candidates([t("epsilon"), t("zeta")]).tolist() == [0]
+
+
+def test_highlight_field_fully_and_array_highlights(ray_session, tmp_path):
+    """Ports CollectionTest.SearchHighlightFieldFully
+    (test/collection_test.cpp:2359-2433): highlight_full_fields adds the
+    whole-field marked 'value' (scalar) / 'values' (string[]); queried
+    array fields get per-element snippets/indices/matched_tokens;
+    excluded fields drop out of the highlights section."""
+    import ray.data as rd
+
+    from typesense_ray.index_build import build_index
+
+    docs = [{
+        "docnum": 0,
+        "title": "The quick brown fox jumped over the lazy dog and ran "
+                 "straight to the forest to sleep.",
+        "tags": ["NEWS", "LAZY"],
+        "points": 25,
+    }]
+    out = str(tmp_path / "hlfull")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "tags", "points"),
+        indexed_fields=("tags",),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+
+    full_title = ("The quick brown fox jumped over the <mark>lazy</mark> "
+                  "dog and ran straight to the forest to sleep.")
+
+    # full value for the title, snippet windowed by the small threshold
+    r = coll.search("lazy", sort_by="points:desc", snippet_threshold=5,
+                    highlight_full_fields="title")
+    hl = r["hits"][0]["highlights"][0]
+    assert hl["value"] == full_title
+    assert hl["snippet"] != full_title  # snippet stays windowed
+
+    # no 'value' key without highlight_full_fields
+    r = coll.search("lazy", sort_by="points:desc", snippet_threshold=5)
+    assert "value" not in r["hits"][0]["highlights"][0]
+
+    # query multiple fields: scalar entry + array entry with values
+    r = coll.search("lazy", query_by=["title", "tags"],
+                    mode="reference", highlight_full_fields="title, tags")
+    hls = r["hits"][0]["highlights"]
+    assert len(hls) == 2
+    assert hls[0]["field"] == "title" and hls[0]["value"] == full_title
+    assert hls[0]["matched_tokens"] == ["lazy"]
+    assert hls[1]["field"] == "tags"
+    assert hls[1]["values"] == ["<mark>LAZY</mark>"]
+    assert hls[1]["indices"] == [1]
+    assert hls[1]["matched_tokens"] == [["LAZY"]]
+
+    # excluded fields drop out of highlights
+    r = coll.search("lazy", query_by=["title", "tags"], mode="reference",
+                    exclude_fields=["tags"],
+                    highlight_full_fields="title, tags")
+    hls = r["hits"][0]["highlights"]
+    assert [h["field"] for h in hls] == ["title"]
+    r = coll.search("lazy", query_by=["title", "tags"], mode="reference",
+                    exclude_fields=["tags", "title"],
+                    highlight_full_fields="title, tags")
+    assert r["hits"][0]["highlights"] == []

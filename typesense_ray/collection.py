@@ -271,6 +271,7 @@ class RayCollection:
         drop_tokens_threshold: int = DROP_TOKENS_THRESHOLD,
         typo_tokens_threshold: int = TYPO_TOKENS_THRESHOLD,
         highlight: bool = True,
+        highlight_full_fields: str = "",
         snippet_threshold: int = SNIPPET_THRESHOLD,
         highlight_affix_num_tokens: int = HIGHLIGHT_AFFIX,
         highlight_start_tag: str = "<mark>",
@@ -291,6 +292,9 @@ class RayCollection:
             "start_tag": highlight_start_tag,
             "end_tag": highlight_end_tag,
         }
+        hl_full = {f.strip() for f in highlight_full_fields.split(",")
+                   if f.strip()}
+        hl_fields = list(query_by) if query_by else None
 
         include, exclude = tokenize_query(q)
         # variants are (terms, cost, original-query-positions); positions
@@ -438,7 +442,7 @@ class RayCollection:
                     "group_key": list(gk),
                     "hits": self._hits(rows, highlight_terms, mode, include_fields,
                                        exclude_fields, highlight, text_field,
-                                       hl_opts),
+                                       hl_opts, hl_fields, hl_full),
                 }
                 for gk, rows in page_groups
             ]
@@ -463,7 +467,7 @@ class RayCollection:
             response["hits"] = self._hits(
                 rows[start : start + per_page], highlight_terms, mode,
                 include_fields, exclude_fields, highlight, text_field,
-                hl_opts,
+                hl_opts, hl_fields, hl_full,
             )
 
         if facet_counts:
@@ -1000,9 +1004,12 @@ class RayCollection:
         return out
 
     def _hits(self, rows, include_tokens, mode, include_fields, exclude_fields,
-              highlight, text_field, hl_opts=None):
+              highlight, text_field, hl_opts=None, query_fields=None,
+              full_fields=None):
         hits = []
         tf = text_field or self.stats["config"]["text_field"]
+        hl_fields = query_fields or [tf]
+        full_fields = full_fields or set()
         for row in rows:
             seg, local = row["_seg"], row["_local"]
             if seg is None:
@@ -1010,21 +1017,85 @@ class RayCollection:
             doc = {
                 name: seg.docs[name][local].as_py() for name in seg.docs.column_names
             }
-            raw_text = None
-            if tf in doc:
-                raw_text = doc[tf]
+            raw_vals = {f: doc.get(f) for f in hl_fields}
             if include_fields:
                 doc = {k: v for k, v in doc.items() if k in include_fields}
             if exclude_fields:
                 doc = {k: v for k, v in doc.items() if k not in exclude_fields}
             hit = {"document": doc}
             hit["text_match" if mode != "bm25" else "score"] = row["score"]
-            if highlight and raw_text is not None and include_tokens:
-                hl = highlight_text(raw_text, include_tokens, **(hl_opts or {}))
-                if hl:
-                    hit["highlights"] = [{"field": tf, **hl}]
+            if highlight and include_tokens:
+                hit["highlights"] = self._field_highlights(
+                    raw_vals, hl_fields, include_tokens, exclude_fields,
+                    full_fields, hl_opts or {},
+                )
             hits.append(hit)
         return hits
+
+    def _field_highlights(self, raw_vals, hl_fields, include_tokens,
+                          exclude_fields, full_fields, hl_opts):
+        """One highlight entry per queried field that matched, ordered by
+        distinct matched tokens desc then query_by order (the reference
+        orders highlight fields by match score,
+        ``test/collection_test.cpp:797-818``). Scalar fields carry
+        ``snippet`` (+``value`` when listed in highlight_full_fields);
+        string[] fields carry per-element ``snippets`` sorted by matched
+        count with ties to lower ``indices``, per-element
+        ``matched_tokens`` lists, and ``values`` when full
+        (``test/collection_test.cpp:647-745, 2359-2433``)."""
+        full_opts = dict(hl_opts)
+        full_opts["snippet_threshold"] = 1 << 30  # whole field, marked
+        entries = []
+        for fi, f in enumerate(hl_fields):
+            if exclude_fields and f in exclude_fields:
+                continue
+            val = raw_vals.get(f)
+            if val is None:
+                continue
+            if isinstance(val, list):
+                per_el = []
+                for ei, el in enumerate(val):
+                    if el is None:
+                        continue
+                    hl = highlight_text(str(el), include_tokens, **hl_opts)
+                    if hl:
+                        per_el.append((ei, hl, str(el)))
+                if not per_el:
+                    continue
+                per_el.sort(
+                    key=lambda t: (-len(t[1]["matched_tokens"]), t[0])
+                )
+                entry = {
+                    "field": f,
+                    "snippets": [h["snippet"] for _, h, _ in per_el],
+                    "indices": [ei for ei, _, _ in per_el],
+                    "matched_tokens": [
+                        h["matched_tokens"] for _, h, _ in per_el
+                    ],
+                }
+                if f in full_fields:
+                    entry["values"] = [
+                        highlight_text(el, include_tokens, **full_opts)[
+                            "snippet"
+                        ]
+                        for _, _, el in per_el
+                    ]
+                n_matched = max(
+                    len(h["matched_tokens"]) for _, h, _ in per_el
+                )
+            else:
+                hl = highlight_text(str(val), include_tokens, **hl_opts)
+                if not hl:
+                    continue
+                entry = {"field": f, **hl}
+                if f in full_fields:
+                    entry["value"] = highlight_text(
+                        str(val), include_tokens, **full_opts
+                    )["snippet"]
+                n_matched = len(hl["matched_tokens"])
+            entries.append((-n_matched, fi, entry))
+        entries.sort(key=lambda t: (t[0], t[1]))
+        return [e for _, _, e in entries]
 
 
 def _norm_group_val(v):

@@ -494,3 +494,61 @@ def test_highlight_threshold_affix_tags_newline(ray_session, tmp_path):
     hl = r["hits"][0]["highlights"][0]
     assert hl["snippet"] == "Blah, blah <mark>Stark</mark> Industries"
     assert hl["matched_tokens"] == ["Stark"]
+
+
+def test_pinned_and_hidden_hits_params(ray_session, tmp_path):
+    """Ports CollectionOverrideTest.IncludeExcludeHitsQuery
+    (test/collection_override_test.cpp:270-350): per-request pinned_hits
+    'id:pos,...' and hidden_hits 'id,...' — pinning weaves at fixed
+    1-based positions, hiding filters and shrinks found, pinned hits
+    paginate naturally, and a request-hidden doc is never re-included by
+    a stored override rule."""
+    import ray.data as rd
+
+    from typesense_ray.collection import Override, RayCollection
+    from typesense_ray.index_build import IndexConfig, build_index
+
+    docs = [
+        {"docnum": i, "title": f"the common title {i}", "points": i}
+        for i in range(10)
+    ]
+    out = str(tmp_path / "pins")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=16,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+
+    def ids(r):
+        return [h["document"]["docnum"] for h in r["hits"]]
+
+    coll = RayCollection(out, default_sorting_field="points")
+    # natural order: points desc = 9..0
+    r = coll.search("common", per_page=50)
+    assert ids(r) == [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
+
+    # basic pinning
+    r = coll.search("common", per_page=50, pinned_hits="3:1,5:2")
+    assert ids(r)[:4] == [3, 5, 9, 8]
+    assert r["found"] == 10
+
+    # pinning + hiding
+    r = coll.search("common", per_page=50, pinned_hits="3:1,5:2",
+                    hidden_hits="9,8")
+    assert ids(r)[:3] == [3, 5, 7]
+    assert r["found"] == 8
+
+    # pinned hits landing on the second page
+    r = coll.search("common", per_page=2, page=2, pinned_hits="3:4,5:5",
+                    hidden_hits="")
+    assert ids(r) == [7, 3]
+
+    # request-level hidden beats a stored override include
+    coll2 = RayCollection(
+        out, default_sorting_field="points",
+        overrides=[Override(rule_query="common", match="exact",
+                            includes=[(6, 1), (4, 2)])],
+    )
+    r = coll2.search("common", per_page=50, hidden_hits="6")
+    assert ids(r)[1] == 4          # surviving include keeps its position
+    assert 6 not in ids(r)         # hidden param wins over the include

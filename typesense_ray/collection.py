@@ -271,6 +271,8 @@ class RayCollection:
         drop_tokens_threshold: int = DROP_TOKENS_THRESHOLD,
         typo_tokens_threshold: int = TYPO_TOKENS_THRESHOLD,
         highlight: bool = True,
+        pinned_hits: str = "",
+        hidden_hits: str = "",
         highlight_full_fields: str = "",
         snippet_threshold: int = SNIPPET_THRESHOLD,
         highlight_affix_num_tokens: int = HIGHLIGHT_AFFIX,
@@ -405,12 +407,25 @@ class RayCollection:
         )
 
         # hidden/pinned curation
+        # stored overrides + per-request pinned_hits/hidden_hits params
+        # ("id:pos,..." / "id,..."); the params take precedence — a doc
+        # hidden by the request is never re-included by an override rule
+        # (test/collection_override_test.cpp:327-350)
         hidden: set[int] = set()
         pinned: list[tuple[int, int]] = []
+        if hidden_hits:
+            hidden |= {int(x) for x in hidden_hits.split(",") if x.strip()}
+        if pinned_hits:
+            for piece in pinned_hits.split(","):
+                piece = piece.strip()
+                if piece:
+                    did_s, pos_s = piece.split(":")
+                    pinned.append((int(pos_s), int(did_s)))
         for ov in self.overrides:
             if ov.matches(q):
                 hidden |= set(ov.excludes)
                 pinned += [(pos, did) for (did, pos) in ov.includes]
+        pinned = [(pos, did) for pos, did in pinned if did not in hidden]
 
         # rank candidates per segment by the sort spec, keep fetch_k each
         ranked_parts = []

@@ -282,6 +282,7 @@ class RayCollection:
         use_synonyms: bool = True,
         num_typos: int = 0,
         prefix: bool = False,
+        token_order: str = "frequency",  # 'frequency' | 'max_score'
         query_by: list[str] | None = None,
         query_by_weights: list[int] | None = None,
     ) -> dict:
@@ -306,7 +307,9 @@ class RayCollection:
         ]
         if (num_typos > 0 or prefix) and include != ["*"]:
             expanded = self.typo_resolver.expand_query(
-                include, num_typos=num_typos, prefix_last=prefix
+                include, num_typos=num_typos, prefix_last=prefix,
+                order=("max_score" if token_order == "max_score"
+                       else "common"),
             )
             if expanded:
                 variants = [

@@ -331,6 +331,7 @@ class TypoResolver:
         num_typos: int = MAX_COST,
         prefix_last: bool = False,
         combination_limit: int = 10,
+        order: str = "common",
     ) -> list[tuple[list[str], int]]:
         """Query variants as (term-list, total_cost), best (lowest total
         cost) first — the reference's cost-combination cartesian loop
@@ -341,9 +342,9 @@ class TypoResolver:
             if prefix_last and i == len(tokens) - 1:
                 cands = [(t, 0) for t in self.prefix(tok)]
                 if not cands:
-                    cands = self.fuzzy(tok, num_typos)
+                    cands = self.fuzzy(tok, num_typos, order=order)
             elif num_typos > 0:
-                cands = self.fuzzy(tok, num_typos)
+                cands = self.fuzzy(tok, num_typos, order=order)
             else:
                 cands = [(tok, 0)] if tok in self._term_index else []
             if not cands:

@@ -15,12 +15,19 @@ scale is the partial+final aggregate pattern (``src/collection.cpp:
 821-862``'s shard merge ≙ Ray groupby partials).
 
 Supported search params (reference defaults in parens,
-``src/core_api.cpp:252-349``): ``filter_by``, ``sort_by`` (≤3 keys,
-``_text_match`` pseudo-field), ``facet_by`` + ``max_facet_values`` (10),
-``page`` (1) / ``per_page`` (10, ≤250), ``group_by`` + ``group_limit``
-(3, ≤99), ``include_fields``/``exclude_fields``, exclusion tokens
-(``-tok``), drop-tokens fallback (threshold 10), synonyms, overrides
-(pinned/hidden), highlighting (snippet_threshold 30, 4-token affix).
+``src/core_api.cpp:252-349``, ``include/collection.h:355-376``):
+``filter_by``, ``sort_by`` (≤3 keys, ``_text_match`` pseudo-field),
+``facet_by`` + ``max_facet_values`` (10) + ``facet_query`` (with
+per-value ``highlighted``), ``page`` (1) / ``per_page`` (10, ≤250),
+``group_by`` + ``group_limit`` (3, ≤99),
+``include_fields``/``exclude_fields``, exclusion tokens (``-tok``),
+drop-tokens fallback (threshold 10), ``num_typos`` + ``prefix`` +
+``typo_tokens_threshold`` (100, staged cost expansion) +
+``token_order`` (frequency | max_score), synonyms, overrides plus
+per-request ``pinned_hits``/``hidden_hits``, highlighting
+(``snippet_threshold`` 30, ``highlight_affix_num_tokens`` 4, custom
+``highlight_start_tag``/``end_tag``, ``highlight_full_fields``,
+multi-field + string[] array highlights).
 """
 
 from __future__ import annotations

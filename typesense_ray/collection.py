@@ -292,10 +292,17 @@ class RayCollection:
         token_order: str = "frequency",  # 'frequency' | 'max_score'
         query_by: list[str] | None = None,
         query_by_weights: list[int] | None = None,
+        max_hits: int = 250,
     ) -> dict:
         per_page = min(per_page, PER_PAGE_MAX)
         group_limit = min(group_limit, GROUP_LIMIT_MAX)
-        fetch_k = page * per_page
+        # result-window cap (src/collection.cpp:746-750): single-field /
+        # wildcard queries fetch exactly the requested window; multi-field
+        # queries honor max_hits (their per-field merges fan the window out)
+        if (not query_by or len(query_by) <= 1) or q == "*":
+            fetch_k = page * per_page
+        else:
+            fetch_k = max(max_hits, page * per_page)
         hl_opts = {
             "snippet_threshold": snippet_threshold,
             "affix_tokens": highlight_affix_num_tokens,

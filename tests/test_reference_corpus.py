@@ -1,0 +1,163 @@
+"""Query-conformance tests ported from the reference's own main corpus
+(CollectionTest, ``test/collection_test.cpp``; fixture
+``test/documents.jsonl`` + the dummy record id 0 the suite prepends,
+``:46-48``). Searches run in reference mode with the fixture's sort
+spec (text_match DESC, points DESC).
+
+Where the reference's expected order depends ONLY on (match score,
+points) it is asserted exactly; where adjacent hits tie on both, the
+reference breaks ties by insertion seq_id (larger first) while this
+engine uses data-derived doc ids (a documented divergence, SURVEY §7.4),
+so those groups are asserted as sets."""
+
+import json
+
+import pytest
+
+from typesense_ray.collection import RayCollection
+from typesense_ray.index_build import IndexConfig, build_index
+from typesense_ray.typo import build_typo_table
+
+REF_JSONL = "/root/reference/test/documents.jsonl"
+
+
+@pytest.fixture(scope="module")
+def ref_coll(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    docs = [{"ref_id": "0", "title": "z", "points": 10}]  # dummy record
+    for i, line in enumerate(open(REF_JSONL)):
+        d = json.loads(line)
+        docs.append(
+            {"ref_id": d.get("id", str(i + 1)), "title": d["title"],
+             "points": int(d["points"])}
+        )
+    out = str(tmp_path_factory.mktemp("refcorpus"))
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=8,
+        meta_fields=("ref_id", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=2)
+    build_typo_table(out)
+    return RayCollection(out, default_sorting_field="points")
+
+
+def ids(r):
+    return [h["document"]["ref_id"] for h in r["hits"]]
+
+
+def assert_groups(got, groups):
+    """Exact order across tie groups, set equality within them."""
+    i = 0
+    for g in groups:
+        chunk = got[i:i + len(g)]
+        assert set(chunk) == set(g), (got, groups)
+        i += len(g)
+    assert i == len(got)
+
+
+def test_verify_count_and_get_by_id(ref_coll):
+    # CollectionTest.VerifyCountOfDocuments / RetrieveADocumentById
+    assert ref_coll.stats["n_docs"] == 25
+    assert ref_coll.get_document("1")["ref_id"] == "1"
+    assert ref_coll.get_document("foo")["ref_id"] == "foo"
+    assert ref_coll.get_document("baz") is None
+
+
+def test_exact_search_stable(ref_coll):
+    # CollectionTest.ExactSearchShouldBeStable (:106-145)
+    r = ref_coll.search("the", mode="reference")
+    assert r["found"] == 7
+    # groups: pts 15 | {13, 13} | {12, 12, 12} | 10
+    assert_groups(ids(r), [["1"], ["6", "foo"], ["13", "10", "8"], ["16"]])
+
+    r = ref_coll.search("the", mode="reference", sort_by="points:asc")
+    assert_groups(ids(r), [["16"], ["13", "10", "8"], ["6", "foo"], ["1"]])
+
+    r = ref_coll.search("zxsadqewsad", mode="reference")
+    assert r["hits"] == [] and r["found"] == 0
+
+
+def test_phrase_search_ranking(ref_coll):
+    # CollectionTest.PhraseSearch (:147-206): sort by (match, points);
+    # all five hits separate on (match, points) so the order is exact
+    r = ref_coll.search("rocket launch", mode="reference")
+    assert r["found"] == 5
+    assert ids(r) == ["8", "1", "17", "16", "13"]
+    hl = r["hits"][0]["highlights"][0]
+    assert hl["field"] == "title"
+    assert hl["snippet"] == ("What is the power requirement of a "
+                             "<mark>rocket</mark> <mark>launch</mark> "
+                             "these days?")
+
+    # explicit (text_match desc, points asc)
+    r = ref_coll.search("rocket launch", mode="reference",
+                        sort_by="_text_match:desc,points:asc")
+    assert ids(r) == ["8", "17", "1", "16", "13"]
+
+    # pagination
+    r = ref_coll.search("rocket launch", mode="reference", per_page=3)
+    assert len(r["hits"]) == 3 and r["found"] == 5
+    assert ids(r) == ["8", "1", "17"]
+
+
+def test_excluded_tokens(ref_coll):
+    # CollectionTest.SearchWithExcludedTokens (:208-232)
+    r = ref_coll.search("how -propellants -are", mode="reference")
+    assert r["found"] == 2
+    assert ids(r) == ["9", "17"]
+    # exclusion-only query = wildcard minus matches (25 docs, 4 rocket)
+    r = ref_coll.search("-rocket", mode="reference", per_page=50)
+    assert r["found"] == 21
+    r = ref_coll.search("-rocket -cryovolcanism", mode="reference",
+                        per_page=50)
+    assert r["found"] == 20
+
+
+def test_skip_unindexed_tokens(ref_coll):
+    # CollectionTest.SkipUnindexedTokensDuringPhraseSearch (:234-...):
+    # unknown tokens drop, the rest still match
+    r = ref_coll.search("DoesNotExist from", mode="reference")
+    assert ids(r) == ["2", "17"]
+
+
+def test_partial_phrase_search(ref_coll):
+    # CollectionTest.PartialPhraseSearch (:303-317); "10"/"8" tie on
+    # (single-token match, points 12) — set-asserted
+    r = ref_coll.search("rocket research", mode="reference")
+    assert r["found"] == 6
+    assert_groups(ids(r), [["19"], ["1"], ["10", "8"], ["16"], ["17"]])
+
+
+def test_query_with_typo(ref_coll):
+    # CollectionTest.QueryWithTypo (:318-345)
+    r = ref_coll.search("kind biologcal", mode="reference", num_typos=2,
+                        per_page=3)
+    assert ids(r) == ["19", "3", "20"]
+    # "fer thx" at 1 typo: fer→for, thx→the, conjunctive + proximity
+    r = ref_coll.search("fer thx", mode="reference", num_typos=1,
+                        per_page=3)
+    assert ids(r) == ["1", "10", "13"]
+
+
+def test_wildcard_query(ref_coll):
+    # CollectionTest.WildcardQuery (:478-519) shape on the pristine
+    # corpus (the reference's own id expectations there reflect doc
+    # mutations made by earlier tests in its shared fixture): all docs
+    # found, top-3 by points desc
+    r = ref_coll.search("*", mode="reference", per_page=3)
+    assert r["found"] == 25
+    assert len(r["hits"]) == 3
+    assert ids(r) == ["19", "22", "18"]  # points 18, 17, 16
+
+
+def test_pagination(ref_coll):
+    # CollectionTest.Pagination (:437-477): pages slice the same global
+    # order; found stays constant
+    full = ids(ref_coll.search("the", mode="reference", per_page=10))
+    for page in (1, 2, 3):
+        r = ref_coll.search("the", mode="reference", per_page=3, page=page)
+        assert r["found"] == 7
+        assert ids(r) == full[(page - 1) * 3 : page * 3]
+    assert len(ids(ref_coll.search("the", mode="reference", per_page=3,
+                                   page=3))) == 1

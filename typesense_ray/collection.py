@@ -154,19 +154,24 @@ def _drop_token_variants(
     tokens: list[str],
 ) -> list[tuple[list[str], tuple[int, ...]]]:
     """The reference's fallback order (``src/index.cpp:1757-1783``): drop
-    from the right until len/2, then from the left. Each variant carries
-    the surviving tokens' ORIGINAL query positions — the bit indices of
-    the reference's per-match token_bits (``src/index.cpp:2037``)."""
+    from the right until len/2 tokens remain, then drop from the left.
+    The recursion there enters while ``num_tokens_dropped < len`` and
+    increments first, so the dropped counter runs 1..len — a 2-token
+    query yields BOTH single-token variants ([t0] right-drop at 1, [t1]
+    left-drop at 2). Each variant carries the surviving tokens'
+    ORIGINAL query positions — the bit indices of the reference's
+    per-match token_bits (``src/index.cpp:2037``)."""
     n = len(tokens)
     variants = []
     mid = n // 2
-    for dropped in range(1, n):
+    for dropped in range(1, n + 1):
         if dropped <= mid:
             variants.append((tokens[: n - dropped], tuple(range(n - dropped))))
         else:
-            variants.append(
-                (tokens[dropped - mid :], tuple(range(dropped - mid, n)))
-            )
+            start = dropped - mid
+            if start >= n:
+                continue
+            variants.append((tokens[start:], tuple(range(start, n))))
     return variants
 
 
@@ -406,11 +411,28 @@ class RayCollection:
             total_found = sum(r["cand"].size for r in seg_results)
 
         # drop-tokens fallback: too few results and a multi-token query →
-        # retry with truncated token lists, merging (dedup keeps best)
+        # retry with truncated token lists, merging (dedup keeps best).
+        # The reference's recursion re-enters search_field with the SAME
+        # num_typos (src/index.cpp:1779-1783), so each truncated variant
+        # goes through the same typo/prefix expansion here.
         if total_found < drop_tokens_threshold and len(include) > 1:
             for truncated, tpos in _drop_token_variants(include):
+                if num_typos > 0 or prefix:
+                    exp2 = self.typo_resolver.expand_query(
+                        truncated, num_typos=num_typos, prefix_last=prefix,
+                        order=("max_score" if token_order == "max_score"
+                               else "common"),
+                    )
+                    drop_vars = (
+                        [(t, c, tpos) for t, c in exp2]
+                        if exp2
+                        else [(truncated, 0, tpos)]
+                    )
+                else:
+                    drop_vars = [(truncated, 0, tpos)]
+                used_variants += drop_vars
                 for si, seg in enumerate(self.segments):
-                    res2 = eval_seg(seg, [(truncated, 0, tpos)], masks[si])
+                    res2 = eval_seg(seg, drop_vars, masks[si])
                     seg_results[si] = _merge_seg_results(seg_results[si], res2)
                 total_found = sum(r["cand"].size for r in seg_results)
                 if total_found >= drop_tokens_threshold:

@@ -118,7 +118,15 @@ def compute_doc_ids(batch: pa.Table, cfg: "IndexConfig") -> np.ndarray:
     column or :func:`doc_id_from_key` over ``id_fields``. Pure function of
     the data, shared by the segment writer and the upsert path."""
     if cfg.id_field:
-        ids = batch[cfg.id_field].to_numpy()
+        col = batch[cfg.id_field]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # string user ids (the reference's `id` is a string,
+            # src/collection.cpp:1659-1672) hash like a key tuple
+            return np.array(
+                [doc_id_from_key(s) for s in col.to_pylist()],
+                dtype=np.uint64,
+            )
+        ids = col.to_numpy()
         if ids.min() < 0:
             raise ValueError("id_field values must be non-negative")
         return ids.astype(np.uint64)

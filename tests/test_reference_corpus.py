@@ -16,7 +16,7 @@ import pytest
 
 from typesense_ray.collection import RayCollection
 from typesense_ray.index_build import IndexConfig, build_index
-from typesense_ray.typo import build_typo_table
+from typesense_ray.typo import build_term_max_static, build_typo_table
 
 REF_JSONL = "/root/reference/test/documents.jsonl"
 
@@ -39,6 +39,7 @@ def ref_coll(ray_session, tmp_path_factory):
     )
     build_index(rd.from_items(docs), out, cfg, concurrency=2)
     build_typo_table(out)
+    build_term_max_static(out, "points")
     return RayCollection(out, default_sorting_field="points")
 
 
@@ -204,3 +205,49 @@ def test_text_containing_an_actual_typo(ref_coll):
     assert_groups(
         ids(r), [["20"], ["19"], ["6", "3", "4"], ["10", "8"], ["21"]]
     )
+
+
+def test_prefix_searching(ref_coll):
+    # CollectionTest.PrefixSearching (:520-602)
+    r = ref_coll.search("ex", mode="reference", prefix=True)
+    assert ids(r) == ["6", "12"]
+    r = ref_coll.search("ex", mode="reference", prefix=True,
+                        token_order="max_score")
+    assert ids(r) == ["6", "12"]
+
+    # conjunctive prefix + drop-token tail; {13, 8} tie on points 12
+    r = ref_coll.search("what ex", mode="reference", prefix=True,
+                        token_order="max_score")
+    assert r["found"] == 9
+    assert_groups(
+        ids(r),
+        [["6"], ["12"], ["19"], ["22"], ["13", "8"], ["15"], ["24"], ["21"]],
+    )
+
+    # single-letter prefix under MAX_SCORE: candidate cap ranked by the
+    # stored per-term max-static (then/18, triple/17 make the cut) —
+    # exact reference parity. (Under FREQUENCY the reference's top-10
+    # cap tie-order follows its trie traversal, which is not a
+    # documented ordering; ours breaks df ties alphabetically.)
+    r = ref_coll.search("t", mode="reference", prefix=True, per_page=2,
+                        token_order="max_score")
+    assert ids(r) == ["19", "22"]
+
+    # unknown prefix on the last token drops it; the surviving token
+    # still prefix-expands (math -> mathematics). The reference returns
+    # 0 hits here, which contradicts its own token-erase semantics
+    # (src/index.cpp:1717-1731 re-runs with the remaining tokens and
+    # prefix still applies to the new last token) — we keep the
+    # documented behavior.
+    r = ref_coll.search("math fx", mode="reference", prefix=True,
+                        per_page=1)
+    assert ids(r) == ["14"]
+
+    # 1-char token: bounded typo cost 0 and no x-prefix terms
+    r = ref_coll.search("x", mode="reference", prefix=True, num_typos=2,
+                        per_page=2)
+    assert r["found"] == 0
+    # last-token typo'd prefix: propx -> propellants
+    r = ref_coll.search("late propx", mode="reference", prefix=True,
+                        num_typos=2, per_page=1)
+    assert ids(r) == ["16"]

@@ -293,18 +293,26 @@ class TypoResolver:
         return [(t, c) for t, c, _ in results[:max_candidates]]
 
     def prefix(
-        self, token: str, max_candidates: int = MAX_PREFIX_CANDIDATES
+        self, token: str, max_candidates: int = MAX_PREFIX_CANDIDATES,
+        order: str = "common",
     ) -> list[str]:
-        """Terms starting with ``token``, top-N by df desc (term asc ties).
-        Mirrors the last-token prefix expansion (src/index.cpp:1697-1702)."""
+        """Terms starting with ``token``, top-N by the chosen comparator
+        (df desc for ``"common"``/FREQUENCY, stored per-term max-static
+        for ``"max_score"``; term asc ties). Mirrors the last-token
+        prefix expansion (src/index.cpp:1697-1702) whose candidate cap
+        is ranked by the search's token_order."""
         lo = np.searchsorted(self._terms_np, token)
         hi = np.searchsorted(self._terms_np, token + "￿")
         if hi <= lo:
             return []
-        dfs = self._dfs[lo:hi]
+        rank = (
+            self._max_static
+            if order == "max_score" and self._max_static is not None
+            else self._dfs
+        )[lo:hi]
         terms = self._terms[lo:hi]
-        order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))
-        return [terms[i] for i in order[:max_candidates]]
+        idx = sorted(range(len(terms)), key=lambda i: (-rank[i], terms[i]))
+        return [terms[i] for i in idx[:max_candidates]]
 
     def candidates_per_token(
         self, tokens: list[str], num_typos: int = MAX_COST
@@ -340,7 +348,7 @@ class TypoResolver:
         per_token: list[list[tuple[str, int]]] = []
         for i, tok in enumerate(tokens):
             if prefix_last and i == len(tokens) - 1:
-                cands = [(t, 0) for t in self.prefix(tok)]
+                cands = [(t, 0) for t in self.prefix(tok, order=order)]
                 if not cands:
                     cands = self.fuzzy(tok, num_typos, order=order)
             elif num_typos > 0:

@@ -251,3 +251,23 @@ def test_prefix_searching(ref_coll):
     r = ref_coll.search("late propx", mode="reference", prefix=True,
                         num_typos=2, per_page=1)
     assert ids(r) == ["16"]
+
+
+def test_multi_occurrence_string(ray_session, tmp_path):
+    # CollectionTest.MultiOccurrenceString (:621-645): a token repeated
+    # many times in one doc still produces exactly one hit
+    import ray.data as rd
+
+    doc = {"ref_id": "0",
+           "title": "The brown fox was the tallest of the lot and the "
+                    "quickest of the trot.",
+           "points": 100}
+    out = str(tmp_path / "multi")
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=4,
+        meta_fields=("ref_id", "title", "points"),
+    )
+    build_index(rd.from_items([doc]), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+    r = coll.search("the", mode="reference")
+    assert r["found"] == 1 and len(r["hits"]) == 1

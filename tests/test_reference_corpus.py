@@ -271,3 +271,38 @@ def test_multi_occurrence_string(ray_session, tmp_path):
     coll = RayCollection(out, default_sorting_field="points")
     r = coll.search("the", mode="reference")
     assert r["found"] == 1 and len(r["hits"]) == 1
+
+
+def test_match_score_vectors():
+    """Ports MatchTest.MatchScoreV2 + TokenOffsetsExceedWindowSize
+    (test/match_score_test.cpp) onto the ported Match kernel
+    (scoring.match_words_distance): exact (words_present, distance)
+    vectors, including the multi-occurrence window advance, the
+    3-token far-cluster case and the no-window-covers-all case."""
+    import numpy as np
+
+    from typesense_ray.scoring import WINDOW_SIZE, match_words_distance
+
+    # 12 tokens all at offset 1: capped at WINDOW_SIZE words
+    words, _ = match_words_distance([np.array([1])] * 12)
+    assert words == WINDOW_SIZE
+
+    words, dist = match_words_distance(
+        [np.array([25]), np.array([26]),
+         np.array([11, 18, 24, 60]), np.array([14, 27, 63])]
+    )
+    assert (words, dist) == (4, 97)
+
+    words, dist = match_words_distance(
+        [np.array([38, 50, 170, 187, 195, 222]),
+         np.array([39, 140, 171, 189, 223]),
+         np.array([169, 180])]
+    )
+    assert (words, dist) == (3, 98)
+
+    words, dist = match_words_distance(
+        [np.array([38, 50, 187, 195, 201]),
+         np.array([120, 167, 171, 223]),
+         np.array([240, 250])]
+    )
+    assert (words, dist) == (1, 100)

@@ -306,3 +306,45 @@ def test_match_score_vectors():
          np.array([240, 250])]
     )
     assert (words, dist) == (1, 100)
+
+
+def test_synonym_reduction_one_way_and_multiway():
+    """Ports CollectionSynonymsTest.SynonymReductionOneWay + MultiWay
+    (test/collection_synonyms_test.cpp:146-268) onto SynonymIndex.expand
+    — the exact synonym_reduction recursion: leaf-only emission,
+    non-overlapping reductions composing into one variant, no reverse
+    application, multiway alternatives as separate leaves."""
+    from typesense_ray.collection import SynonymIndex
+
+    syn = SynonymIndex()
+    syn.add_synonym("nyc", ["new york"])
+    assert syn.expand(["red", "nyc", "tshirt"]) == \
+        [["red", "new", "york", "tshirt"]]
+    assert syn.expand(["foo", "bar", "baz"]) == []
+
+    # compression rule must not revert through the expansion rule
+    syn.add_synonym("new york", ["nyc"])
+    assert syn.expand(["red", "new", "york", "tshirt"]) == \
+        [["red", "nyc", "tshirt"]]
+
+    # two same-length reductions compose into ONE variant
+    syn.add_synonym("t shirt", ["tshirt"])
+    assert syn.expand(["new", "york", "t", "shirt"]) == [["nyc", "tshirt"]]
+
+    # different-length reductions compose too
+    syn.add_synonym("red", ["crimson"])
+    assert syn.expand(["red", "new", "york", "cap"]) == \
+        [["crimson", "nyc", "cap"]]
+
+    # multiway: each alternative is its own leaf
+    syn2 = SynonymIndex()
+    syn2.add_multiway(["ipod", "i pod", "pod"])
+    assert syn2.expand(["ipod"]) == [["i", "pod"], ["pod"]]
+    assert syn2.expand(["i", "pod"]) == [["ipod"], ["pod"]]
+
+    syn2.add_multiway(
+        ["usa", "united states", "us", "united states of america", "states"]
+    )
+    out = syn2.expand(["united", "states"])
+    assert out == [["usa"], ["us"],
+                   ["united", "states", "of", "america"], ["states"]]

@@ -126,28 +126,52 @@ class SynonymIndex:
                     if syn not in self._map[root]:
                         self._map[root].append(syn)
 
-    def expand(self, tokens: list[str], limit: int = 20) -> list[list[str]]:
-        """All query variants (excluding the original), via window
-        reduction over token spans, longest windows first."""
-        out: list[list[str]] = []
-        seen = {tuple(tokens)}
+    def expand(self, tokens: list[str], limit: int = 64) -> list[list[str]]:
+        """Query variants (excluding the original) — an exact port of the
+        reference's ``synonym_reduction`` recursion
+        (``src/collection.cpp:1929-2064``, ported from
+        ``test/collection_synonyms_test.cpp`` expectations):
 
-        def rec(cur: tuple[str, ...]):
-            if len(out) >= limit:
-                return
-            n = len(cur)
-            for w in range(n, 0, -1):
-                for s in range(0, n - w + 1):
-                    window = cur[s : s + w]
+        - longest windows first, and a recursion resumes at the SAME
+          window length and start index, so non-overlapping reductions
+          compose into ONE variant (``new york t shirt`` → exactly
+          ``[nyc, tshirt]``, never the intermediates);
+        - a SHARED processed set (window tuples, mapped tuples AND their
+          single tokens) stops re-application and reverse application
+          (an nyc↔new-york rule pair never ping-pongs);
+        - only LEAVES are emitted: a call that recursed anywhere adds no
+          result itself; a call with no match and a non-empty processed
+          set emits its token list."""
+        results: list[list[str]] = []
+        processed: set[tuple[str, ...]] = set()
+
+        def internal(toks: list[str], start_window: int, start_idx: int):
+            recursed = False
+            for wlen in range(start_window, 0, -1):
+                si0 = start_idx if wlen == start_window else 0
+                for si in range(si0, len(toks) - wlen + 1):
+                    window = tuple(toks[si : si + wlen])
+                    if window in processed:
+                        continue
                     for syn in self._map.get(window, ()):
-                        cand = cur[:s] + syn + cur[s + w :]
-                        if cand not in seen:
-                            seen.add(cand)
-                            out.append(list(cand))
-                            rec(cand)
+                        if syn == window:
+                            continue  # a multiway member matching itself
+                        new_toks = (
+                            list(toks[:si]) + list(syn)
+                            + list(toks[si + wlen :])
+                        )
+                        processed.add(window)
+                        processed.add(syn)
+                        processed.update((t,) for t in window)
+                        processed.update((t,) for t in syn)
+                        recursed = True
+                        if len(results) < limit:
+                            internal(new_toks, wlen, si)
+            if not recursed and processed:
+                results.append(list(toks))
 
-        rec(tuple(tokens))
-        return out[:limit]
+        internal(list(tokens), len(tokens), 0)
+        return results[:limit]
 
 
 def _drop_token_variants(

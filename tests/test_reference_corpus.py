@@ -348,3 +348,32 @@ def test_synonym_reduction_one_way_and_multiway():
     out = syn2.expand(["united", "states"])
     assert out == [["usa"], ["us"],
                    ["united", "states", "of", "america"], ["states"]]
+
+
+def test_exact_match_ranked_same_as_synonym_match(ray_session, tmp_path):
+    """Ports CollectionSynonymsTest.ExactMatchRankedSameAsSynonymMatch
+    (:372-424): multiway members carry no cost penalty, so
+    synonym-matched docs rank purely by points against exact matches."""
+    import ray.data as rd
+
+    from typesense_ray.collection import SynonymIndex
+
+    rows = [
+        ("0", "Laughing out Loud", 100),
+        ("1", "Stop Laughing", 120),
+        ("2", "LOL sure", 200),
+        ("3", "Really ROFL now", 250),
+    ]
+    docs = [{"ref_id": r, "title": t, "points": p} for r, t, p in rows]
+    out = str(tmp_path / "synrank")
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=8,
+        meta_fields=("ref_id", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    syn = SynonymIndex()
+    syn.add_multiway(["Lol", "ROFL", "laughing"])
+    coll = RayCollection(out, default_sorting_field="points", synonyms=syn)
+    r = coll.search("laughing", mode="reference", drop_tokens_threshold=0)
+    assert r["found"] == 4
+    assert ids(r) == ["3", "2", "1", "0"]

@@ -377,3 +377,39 @@ def test_exact_match_ranked_same_as_synonym_match(ray_session, tmp_path):
     r = coll.search("laughing", mode="reference", drop_tokens_threshold=0)
     assert r["found"] == 4
     assert ids(r) == ["3", "2", "1", "0"]
+
+
+def test_query_bool_fields(ray_session, tmp_path):
+    """Ports CollectionTest.QueryBoolFields (:1412-1520, corpus
+    test/bool_documents.jsonl): scalar and bool[] filters, := form,
+    IN-lists; ratings are distinct so order is exact."""
+    import json as _json
+
+    import ray.data as rd
+
+    docs = []
+    for i, line in enumerate(open("/root/reference/test/bool_documents.jsonl")):
+        d = _json.loads(line)
+        docs.append({"ref_id": str(i), "title": d["title"],
+                     "popular": d["popular"], "rating": d["rating"],
+                     "bool_array": d["bool_array"]})
+    out = str(tmp_path / "boolidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=16,
+        meta_fields=("ref_id", "title", "popular", "rating", "bool_array"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="rating")
+
+    def got(filter_by=""):
+        r = coll.search("the", mode="reference", filter_by=filter_by,
+                        per_page=10)
+        return ids(r)
+
+    assert got() == ["1", "3", "4", "9", "2"]           # rating desc
+    assert got("popular:true") == ["1", "3", "4"]
+    assert got("popular:=true") == ["1", "3", "4"]
+    assert got("popular:false") == ["9", "2"]
+    assert got("bool_array:[true, false]") == ["1", "3", "4", "9", "2"]
+    assert got("bool_array: true") == ["1", "4", "9", "2"]
+    assert got("bool_array:[true]") == ["1", "4", "9", "2"]

@@ -64,8 +64,8 @@ def parse_filter(filter_by: str, field_types: dict[str, str]) -> list[FilterClau
         if fname not in field_types:
             raise KeyError(f"no filter field named {fname!r}")
         kind = field_types[fname]
-        if kind in ("int", "float") and raw.startswith("="):
-            raw = raw[1:].strip()  # ':=' is meaningless for numerics
+        if kind in ("int", "float", "bool") and raw.startswith("="):
+            raw = raw[1:].strip()  # ':=' is a no-op for non-string kinds
         if kind in ("int", "float"):
             if raw.startswith("[") and raw.endswith("]"):
                 vals, comps = [], []

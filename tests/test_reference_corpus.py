@@ -413,3 +413,59 @@ def test_query_bool_fields(ray_session, tmp_path):
     assert got("bool_array:[true, false]") == ["1", "3", "4", "9", "2"]
     assert got("bool_array: true") == ["1", "4", "9", "2"]
     assert got("bool_array:[true]") == ["1", "4", "9", "2"]
+
+
+@pytest.fixture(scope="module")
+def tags_coll(ray_session, tmp_path_factory):
+    import json as _json
+
+    import ray.data as rd
+
+    docs = []
+    path = "/root/reference/test/numeric_array_documents.jsonl"
+    for i, line in enumerate(open(path)):
+        d = _json.loads(line)
+        docs.append({"ref_id": str(i), "name": d["name"], "age": d["age"],
+                     "years": d["years"], "timestamps": d["timestamps"],
+                     "tags": d["tags"]})
+    out = str(tmp_path_factory.mktemp("tagsidx"))
+    cfg = IndexConfig(
+        text_field="name", id_field="ref_id", sha_field=None, batch_docs=8,
+        meta_fields=("ref_id", "name", "age", "years", "timestamps", "tags"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    return RayCollection(out, default_sorting_field="age")
+
+
+def test_filter_on_text_fields(tags_coll):
+    # CollectionFilteringTest.FilterOnTextFields (:37-121, corpus
+    # test/numeric_array_documents.jsonl): string[] tag filters,
+    # multi-token values, IN-lists, comparators ignored on strings
+    def got(filter_by):
+        r = tags_coll.search("jeremy", mode="reference",
+                             filter_by=filter_by, per_page=10)
+        return ids(r)
+
+    assert got("tags: gold") == ["4", "0", "2"]
+    assert got("tags : fine PLATINUM") == ["1"]
+    assert got("tags : bronze") == ["4", "2"]
+    assert got("tags: [bronze,   silver]") == ["3", "4", "0", "2"]
+    # comparators are meaningless on strings and are ignored
+    assert got("tags:<bronze") == ["4", "2"]
+    assert got("tags:>BRONZE") == ["4", "2"]
+
+
+def test_badly_formed_filters_yield_zero_hits(tags_coll):
+    # CollectionFilteringTest.HandleBadlyFormedFilterQuery (:156-209):
+    # unknown fields / unparseable values give 0 hits, blank filters
+    # are ignored
+    def found(filter_by):
+        return tags_coll.search("jeremy", mode="reference",
+                                filter_by=filter_by, per_page=10)["found"]
+
+    assert found("tagzz: gold") == 0
+    assert found("age: abcdef") == 0
+    assert found("timestamps: abcdef") == 0
+    assert found("timestamps abcdef") == 0
+    assert found("  ") == 5
+    assert found("age: '21'") == 0

@@ -364,7 +364,22 @@ class RayCollection:
                 for v in self.synonyms.expand(include)
             ]
 
-        clauses = parse_filter(filter_by, self.field_types) if filter_by else []
+        # malformed filters yield ZERO hits rather than an error on the
+        # search path (the reference swallows unknown fields and
+        # unparseable values into empty results,
+        # test/collection_filtering_test.cpp:156-209); the destructive
+        # paths (matching_ids → delete_by_filter) keep raising
+        try:
+            clauses = (
+                parse_filter(filter_by, self.field_types)
+                if filter_by
+                else []
+            )
+        except (KeyError, ValueError):
+            return {
+                "page": page, "out_of": self.stats["n_docs"],
+                "request_params": {"q": q}, "found": 0, "hits": [],
+            }
         facet_fields = [f.strip() for f in facet_by.split(",") if f.strip()]
         group_fields = [f.strip() for f in group_by.split(",") if f.strip()]
         sort_fields = parse_sort_by(sort_by)

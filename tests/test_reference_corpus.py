@@ -469,3 +469,50 @@ def test_badly_formed_filters_yield_zero_hits(tags_coll):
     assert found("timestamps abcdef") == 0
     assert found("  ") == 5
     assert found("age: '21'") == 0
+
+
+def test_deletion_of_a_document(ray_session, tmp_path):
+    """Ports CollectionTest.DeletionOfADocument (:1734-1814) onto the
+    ops surface: remove by user id (auto and custom 'foo'), searches
+    stop finding the removed docs, and removing everything empties the
+    collection."""
+    import json as _json
+
+    import ray.data as rd
+
+    from typesense_ray.index_build import doc_id_from_key
+    from typesense_ray.ops import delete_by_filter
+
+    docs = [{"ref_id": "0", "title": "z", "points": 10}]
+    for i, line in enumerate(open(REF_JSONL)):
+        d = _json.loads(line)
+        docs.append({"ref_id": d.get("id", str(i + 1)),
+                     "title": d["title"], "points": int(d["points"])})
+    out = str(tmp_path / "delidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=8,
+        meta_fields=("ref_id", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=2)
+
+    coll = RayCollection(out, default_sorting_field="points")
+    assert coll.stats["n_docs"] == 25
+    assert coll.search("cryogenic", mode="reference")["found"] == 1
+
+    delete_by_filter(out, doc_ids=[doc_id_from_key("1")])
+    coll = RayCollection(out, default_sorting_field="points")
+    assert coll.stats["n_docs"] == 24
+    r = coll.search("cryogenic", mode="reference")
+    assert r["found"] == 0 and r["hits"] == []
+    assert coll.search("archives", mode="reference")["found"] == 1
+
+    delete_by_filter(out, doc_ids=[doc_id_from_key("foo")])  # custom id
+    coll = RayCollection(out, default_sorting_field="points")
+    r = coll.search("martian", mode="reference")
+    assert r["found"] == 0 and r["hits"] == []
+
+    remaining = [d["ref_id"] for d in docs
+                 if d["ref_id"] not in ("1", "foo")]
+    delete_by_filter(out, doc_ids=[doc_id_from_key(x) for x in remaining])
+    coll = RayCollection(out, default_sorting_field="points")
+    assert coll.stats["n_docs"] == 0

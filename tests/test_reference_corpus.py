@@ -516,3 +516,44 @@ def test_deletion_of_a_document(ray_session, tmp_path):
     delete_by_filter(out, doc_ids=[doc_id_from_key(x) for x in remaining])
     coll = RayCollection(out, default_sorting_field="points")
     assert coll.stats["n_docs"] == 0
+
+
+def test_optional_fields(ray_session, tmp_path):
+    """Ports CollectionTest.OptionalFields (:2434-2519, corpus
+    test/optional_fields.jsonl): docs missing optional fields index
+    fine; searching an optional field matches only docs that have it;
+    numeric filters and facet counts skip nulls."""
+    import json as _json
+
+    import ray.data as rd
+
+    docs = []
+    for i, line in enumerate(open("/root/reference/test/optional_fields.jsonl")):
+        d = _json.loads(line)
+        docs.append({
+            "ref_id": str(i), "title": d["title"],
+            "description": d.get("description"),
+            "max": d.get("max"), "average": d.get("average"),
+        })
+    out = str(tmp_path / "optidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=8,
+        meta_fields=("ref_id", "title", "description", "max", "average"),
+        indexed_fields=("description",),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="max")
+
+    assert coll.search("*", mode="reference")["found"] == 6
+    # only 5 docs carry the optional description
+    r = coll.search("book", mode="reference", query_by=["description"])
+    assert r["found"] == 5
+    # numeric filter over an optional float skips the null doc
+    r = coll.search("the", mode="reference", filter_by="average: >0")
+    assert r["found"] == 5
+    # facet on the optional field counts only docs that have it
+    r = coll.search("the", mode="reference", facet_by="description")
+    assert r["found"] == 6
+    fc = r["facet_counts"][0]
+    assert fc["field_name"] == "description"
+    assert fc["counts"][0]["count"] == 5

@@ -11,6 +11,7 @@ engine uses data-derived doc ids (a documented divergence, SURVEY §7.4),
 so those groups are asserted as sets."""
 
 import json
+import os
 
 import pytest
 
@@ -19,6 +20,11 @@ from typesense_ray.index_build import IndexConfig, build_index
 from typesense_ray.typo import build_term_max_static, build_typo_table
 
 REF_JSONL = "/root/reference/test/documents.jsonl"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_JSONL),
+    reason="reference corpus not available",
+)
 
 
 @pytest.fixture(scope="module")

@@ -563,3 +563,36 @@ def test_optional_fields(ray_session, tmp_path):
     fc = r["facet_counts"][0]
     assert fc["field_name"] == "description"
     assert fc["counts"][0]["count"] == 5
+
+
+def test_search_large_text_field(ray_session, tmp_path):
+    """Ports CollectionTest.SearchLargeTextField (:1892-1949, corpus
+    test/large_text_field.jsonl): rare token, shared token, and a query
+    longer than the proximity WINDOW_SIZE (words_present caps at the
+    window) with the doc containing the full run ranked first."""
+    import json as _json
+
+    import ray.data as rd
+
+    docs = []
+    for i, line in enumerate(open("/root/reference/test/large_text_field.jsonl")):
+        d = _json.loads(line)
+        docs.append({"ref_id": str(i), "text": d["text"],
+                     "age": int(d["age"])})
+    out = str(tmp_path / "largetext")
+    cfg = IndexConfig(
+        text_field="text", id_field="ref_id", sha_field=None, batch_docs=4,
+        meta_fields=("ref_id", "text", "age"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="age")
+
+    assert coll.search("eguilazer", mode="reference")["found"] == 1
+    assert coll.search("tristique", mode="reference")["found"] == 2
+    r = coll.search(
+        "Phasellus non tristique elit Praesent non arcu id lectus "
+        "accumsan venenatis at",
+        mode="reference",
+    )
+    assert r["found"] == 2
+    assert ids(r)[0] == "1"

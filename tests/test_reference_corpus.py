@@ -596,3 +596,49 @@ def test_search_large_text_field(ray_session, tmp_path):
     )
     assert r["found"] == 2
     assert ids(r)[0] == "1"
+
+
+def test_multiple_fields(ray_session, tmp_path):
+    """Ports CollectionTest.MultipleFields (:828-945, corpus
+    test/multi_field_documents.jsonl): query_by across scalar +
+    string[] fields, per-field weighting order, and a string[] filter
+    combined with a title query. (The chris/chris-pine/myers cases are
+    already covered on this corpus in test_multifield.py.)"""
+    import json as _json
+
+    import ray.data as rd
+
+    docs = []
+    path = "/root/reference/test/multi_field_documents.jsonl"
+    for i, line in enumerate(open(path)):
+        d = _json.loads(line)
+        docs.append({"ref_id": str(i), "title": d["title"],
+                     "starring": d["starring"], "cast": d["cast"],
+                     "points": int(d["points"])})
+    out = str(tmp_path / "mulidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="ref_id", sha_field=None, batch_docs=8,
+        meta_fields=("ref_id", "title", "starring", "cast", "points"),
+        indexed_fields=("starring", "cast"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+
+    r = coll.search("Will", mode="reference",
+                    query_by=["title", "starring"], per_page=10)
+    assert r["found"] == 4
+    assert ids(r) == ["3", "2", "1", "0"]
+
+    r = coll.search("thomas", mode="reference",
+                    query_by=["starring", "title"], per_page=10)
+    assert r["found"] == 4
+    assert ids(r) == ["15", "12", "13", "14"]
+
+    r = coll.search("ben affleck", mode="reference",
+                    query_by=["starring", "title", "cast"], per_page=10)
+    assert r["found"] == 1
+
+    # string[] filter intersected with a title query
+    r = coll.search("captain", mode="reference", filter_by="cast: chris",
+                    per_page=10)
+    assert ids(r) == ["6"]

@@ -68,6 +68,62 @@ def _i64(tbl: pa.Table, col: str) -> pa.Table:
     return tbl.set_column(i, col, tbl[col].cast(pa.int64()))
 
 
+def _min_k_ids(path: str, col: str, k: int) -> list[int]:
+    """k smallest values of an id column, computed DISTRIBUTED: per-block
+    partial k-smallest (np.partition) via map_batches, driver merges only
+    k·n_blocks ints — never the full column (gigabytes of int64 at 10⁹
+    rows)."""
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col].to_numpy(zero_copy_only=False)
+        kk = min(k, arr.size)
+        if kk == 0:
+            return pa.table({col: pa.array([], pa.int64())})
+        sm = np.partition(arr, kk - 1)[:kk]
+        return pa.table({col: pa.array(np.sort(sm).astype(np.int64))})
+
+    parts = (
+        rd.read_parquet(path, columns=[col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    return sorted(r[col] for r in parts)[:k]
+
+
+def _head_by_id(path: str, id_col: str, k: int,
+                columns: list[str]) -> pa.Table:
+    """The k smallest-``id_col`` rows of a parquet file, robust to file
+    row order: distributed min-k over the id column, then a read of only
+    ``columns`` with the ``id <= kth`` predicate pushed into the scan
+    (row-group statistics pruning applies)."""
+    import pyarrow.dataset as pds
+
+    ids = _min_k_ids(path, id_col, k)
+    if not ids:
+        return pds.dataset(path).to_table(columns=columns).slice(0, 0)
+    return (
+        pds.dataset(path)
+        .to_table(columns=columns,
+                  filter=pds.field(id_col) <= int(ids[-1]))
+        .sort_by(id_col)
+        .slice(0, k)
+    )
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """One embedding row by key, read with the predicate pushed into the
+    parquet scan — only row groups whose stats admit ``vec_id`` decode;
+    never the whole embedding column on the driver."""
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pds.field("vec_id") == vec_id,
+    )
+    return np.array(t["embedding"].to_pylist()[0], dtype=np.float64)
+
+
 
 def _round_half_up(x: float, nd: int) -> float:
     """DuckDB-compatible rounding (half away from zero) for POSITIVE
@@ -199,13 +255,7 @@ def q_hybrid_search(sf_dir: str) -> pa.Table:
         int(d): float(s)
         for d, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist())
     }
-    q0 = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qvec = np.array(
-        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
-        dtype=np.float64,
-    )
+    qvec = _query_vec(sf_dir, 0)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cos = rerank_by_cosine(emb, list(bm), qvec).to_pandas()
     cos = cos.sort_values(
@@ -495,16 +545,8 @@ def _bench_texts_30(sf_dir: str) -> list[str]:
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
-    ids = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    )["doc_id"].to_numpy(zero_copy_only=False)
-    cut = int(np.partition(ids, min(29, ids.size - 1))[min(29, ids.size - 1)])
-    bt = (
-        pds.dataset(f"{sf_dir}/documents.parquet")
-        .to_table(columns=["doc_id", "text"],
-                  filter=pds.field("doc_id") <= cut)
-        .sort_by("doc_id")
-        .slice(0, 30)
+    bt = _head_by_id(
+        f"{sf_dir}/documents.parquet", "doc_id", 30, ["doc_id", "text"]
     )
     return bt["text"].to_pylist()
 
@@ -653,13 +695,7 @@ def q_knn_filtered(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.similarity import knn_bruteforce
 
-    q0 = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qvec = np.array(
-        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
-        dtype=np.float64,
-    )
+    qvec = _query_vec(sf_dir, 0)
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", filter=(pds.field("label") == 3)
     )
@@ -982,13 +1018,7 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     from typesense_ray.functions.similarity import knn_bruteforce
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qvec = np.array(
-        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0],
-        dtype=np.float64,
-    )
+    qvec = _query_vec(sf_dir, 0)
     res = knn_bruteforce(emb, qvec, k=10, vec_col="embedding", id_col="vec_id")
     return pa.table(
         {
@@ -1008,11 +1038,9 @@ def _augmented_docs(sf_dir: str):
     the object store once per sf_dir and shared by every dedup query
     (multi-pass consumers would otherwise re-execute the read per pass;
     object-store blocks spill under pressure, unlike a driver table).
-    Only the 20-row head is read on the driver, via a doc_id-column scan
-    + pushed-down threshold filter (robust to file row order, matching
-    the oracle's ORDER BY doc_id LIMIT 20)."""
-    import pyarrow.dataset as pds
-    import pyarrow.parquet as pq
+    Only the 20-row head is read on the driver — distributed min-k over
+    the doc_id column + a pushed-down threshold read (robust to file row
+    order, matching the oracle's ORDER BY doc_id LIMIT 20)."""
     import ray.data as rd
 
     dk = f"augds:{sf_dir}"
@@ -1021,17 +1049,8 @@ def _augmented_docs(sf_dir: str):
     ck = f"aughead:{sf_dir}"
     mutated = _CACHE.get(ck)
     if mutated is None:
-        ids = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id"]
-        )["doc_id"].to_numpy(zero_copy_only=False)
-        kth = min(19, ids.size - 1)
-        cut = int(np.partition(ids, kth)[kth])
-        head = (
-            pds.dataset(f"{sf_dir}/documents.parquet")
-            .to_table(columns=["doc_id", "text"],
-                      filter=pds.field("doc_id") <= cut)
-            .sort_by("doc_id")
-            .slice(0, 20)
+        head = _head_by_id(
+            f"{sf_dir}/documents.parquet", "doc_id", 20, ["doc_id", "text"]
         )
         mut_texts = []
         for t in head["text"].to_pylist():
@@ -1285,8 +1304,15 @@ def q_embedding_dup_pairs(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.dedup import embedding_dup_pairs
 
-    base = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # only the two injected-source rows leave storage (predicate pushed,
+    # mirrors the oracle's WHERE vec_id < 2)
+    import pyarrow.dataset as pds
+
+    base = (
+        pds.dataset(f"{sf_dir}/embeddings.parquet")
+        .to_table(columns=["vec_id", "embedding"],
+                  filter=pds.field("vec_id") < 2)
+        .sort_by("vec_id")
     )
     emb0 = np.array(base["embedding"].to_pylist()[:2], dtype=np.float32)
     inject = pa.table(
@@ -1328,10 +1354,7 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         idx = IVFIndex(n_centroids=8, n_iter=4).fit(emb)
         _CACHE[key] = idx  # built once per sf_dir, like _docs_index
-    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = np.array(
-        q0.filter(pa.compute.equal(q0["vec_id"], 0))["embedding"].to_pylist()[0]
-    )
+    qvec = _query_vec(sf_dir, 0)
     best = idx.search(qvec, k=10, nprobe=idx.n_centroids)
     return pa.table(
         {"vec_id": pa.array([i for _, i in best], pa.int64()),
@@ -1387,10 +1410,8 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
 
     from typesense_ray.functions.multimodal import ImageDecode
 
-    base = (
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .sort_by("doc_id")
-        .slice(0, 64)
+    base = _head_by_id(
+        f"{sf_dir}/documents.parquet", "doc_id", 64, ["doc_id", "text"]
     )
     n = base.num_rows
     media = pa.table(
@@ -1564,12 +1585,15 @@ def q_join_priority(sf_dir: str) -> pa.Table:
     from typesense_ray.agg import combiner_aggregate
     from typesense_ray.functions.relational import broadcast_semi_join
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    )
-    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
-        "c_custkey"
-    ].to_numpy()
+    # broadcast-side key build with the segment predicate pushed into the
+    # scan — only matching row groups decode, and only c_custkey rides out
+    import pyarrow.dataset as pds
+
+    keys = (
+        pds.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(columns=["c_custkey"],
+                  filter=pds.field("c_mktsegment") == "BUILDING")
+    )["c_custkey"].to_numpy()
     joined = broadcast_semi_join(
         _read(sf_dir, "orders",
               ["o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"]),

@@ -552,3 +552,60 @@ def test_pinned_and_hidden_hits_params(ray_session, tmp_path):
     r = coll2.search("common", per_page=50, hidden_hits="6")
     assert ids(r)[1] == 4          # surviving include keeps its position
     assert 6 not in ids(r)         # hidden param wins over the include
+
+
+def test_synonym_variant_gets_prefix_and_typo_expansion(coll):
+    """Synonym variants re-enter typo/prefix expansion exactly like the
+    original query (src/index.cpp:1478-1487 re-enters search_field per
+    variant with the same num_typos/prefix): a synonym mapping to a
+    PREFIX of an indexed term ('sneaker' → 'sneakers') or a TYPO'd form
+    ('shoez' → 'shoes') still matches when prefix/num_typos allow."""
+    syn = SynonymIndex()
+    syn.add_synonym("crimson", ["sneaker"])
+    c2 = RayCollection(coll._local.index_dir, default_sorting_field="size",
+                       synonyms=syn)
+    # without prefix the synonym variant 'sneaker' matches nothing
+    assert c2.search("crimson", prefix=False)["found"] == 0
+    r = c2.search("crimson", prefix=True)
+    assert sorted(ids(r)) == [6, 9]  # both 'sneakers' docs
+
+    # typo path needs the deletion-variant sidecar
+    from typesense_ray.typo import build_typo_table
+
+    build_typo_table(coll._local.index_dir)
+    syn2 = SynonymIndex()
+    syn2.add_synonym("crimson", ["shoez"])
+    c3 = RayCollection(coll._local.index_dir, default_sorting_field="size",
+                       synonyms=syn2)
+    assert c3.search("crimson", num_typos=0)["found"] == 0
+    r = c3.search("crimson", num_typos=1)
+    assert sorted(ids(r)) == [1, 2]  # both 'shoes' docs via typo distance 1
+
+
+def test_malformed_curation_params_are_skipped(coll):
+    """Malformed pinned_hits/hidden_hits pieces are skipped (matching the
+    search path's swallow-malformed-filters behavior) — one bad curation
+    param never turns a search into an exception."""
+    r = coll.search("red", pinned_hits="9,x:1,5:notanint,:, 8:2",
+                    hidden_hits="oops,1,")
+    got = ids(r)
+    assert 1 not in got            # the one well-formed hidden id applies
+    assert got[1] == 8             # the one well-formed pin applies
+    # entirely-garbage params degrade to a plain search
+    r2 = coll.search("red", pinned_hits=":::", hidden_hits="abc")
+    assert r2["found"] == 4
+
+
+def test_facet_query_highlight_raw_offsets():
+    """The <mark> span maps normalized offsets back to RAW offsets:
+    leading punctuation stripped by normalization must not shift the
+    highlighted span onto the wrong characters."""
+    from typesense_ray.collection import _facet_query_highlight
+
+    assert _facet_query_highlight(".Omega", ["omeg"]) == \
+        ".<mark>Omeg</mark>a"
+    assert _facet_query_highlight("Omega", ["omeg"]) == "<mark>Omeg</mark>a"
+    # earlier query tokens wrap whole words; the last token's prefix span
+    # still maps through the stripped leading paren
+    assert _facet_query_highlight("(Omega) Watch", ["watch", "omeg"]) == \
+        "(<mark>Omeg</mark>a) <mark>Watch</mark>"

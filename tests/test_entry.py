@@ -67,13 +67,11 @@ def test_query_matches_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
 
 
-@pytest.mark.parametrize(
-    "name", [k for k in ALL_KEYS if k not in ORACLE_KEYS]
-)
-def test_rows_only_queries_run(ray_session, name):
-    res = entrymod.queries()[name](SF_DIR)
-    df = _to_df(res)
-    assert len(df) >= 1, f"{name} returned no rows"
+def test_every_query_has_an_oracle():
+    """Every registry query carries a DuckDB oracle — a future
+    oracle-less query fails loudly here instead of silently downgrading
+    to the driver's weaker rows-only check."""
+    assert set(ALL_KEYS) == set(ORACLE_KEYS)
 
 
 def test_near_dedup_cc_groupby_mode_equivalent(ray_session):

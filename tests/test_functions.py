@@ -1827,3 +1827,33 @@ def test_hybrid_rerank_subset_and_deterministic(ray_session, sf_dir):
     assert cos == sorted(cos, reverse=True)
     out2 = entrymod.q_hybrid_search(sf_dir)
     assert out2.to_pylist() == out.to_pylist()
+
+
+def test_simhash_groups_scales_without_per_key_callbacks(ray_session):
+    """simhash_groups over a 10⁵-distinct-hash corpus: the coarse %64
+    exchange runs 64 group callbacks, not one per DISTINCT simhash (a
+    per-key groupby here costs minutes at 10⁶+ keys) — and the output
+    matches a numpy duplicate-count oracle."""
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import simhash_batch, simhash_groups
+
+    n = 100_000
+    texts = [f"unique{i} token{i} word{i}" for i in range(n)]
+    for g in range(50):  # 50 dup groups of 3 docs each
+        t = f"dupgroup{g} shared text body here"
+        texts[g * 3] = texts[g * 3 + 1] = texts[g * 3 + 2] = t
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = simhash_groups(rd.from_arrow(tbl)).take_all()
+
+    sims = simhash_batch(texts)
+    uniq, counts = np.unique(sims, return_counts=True)
+    expect_rows = int(counts[counts >= 2].sum())
+    assert len(out) == expect_rows
+    dup_hashes = set(uniq[counts >= 2].tolist())
+    assert all(int(r["simhash"]) in dup_hashes for r in out)
+    sizes = {int(h): int(c) for h, c in zip(uniq, counts) if c >= 2}
+    assert all(r["group_size"] == sizes[int(r["simhash"])] for r in out)

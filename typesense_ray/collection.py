@@ -325,13 +325,15 @@ class RayCollection:
     ) -> dict:
         per_page = min(per_page, PER_PAGE_MAX)
         group_limit = min(group_limit, GROUP_LIMIT_MAX)
-        # result-window cap (src/collection.cpp:746-750): single-field /
+        # result-window cap (src/collection.cpp:746-751): single-field /
         # wildcard queries fetch exactly the requested window; multi-field
-        # queries honor max_hits (their per-field merges fan the window out)
+        # queries cap the window at max_hits (the reference truncates the
+        # result window at min(max_hits, num_documents), so deep pagination
+        # past max_hits yields no extra hits)
         if (not query_by or len(query_by) <= 1) or q == "*":
             fetch_k = page * per_page
         else:
-            fetch_k = max(max_hits, page * per_page)
+            fetch_k = max_hits
         hl_opts = {
             "snippet_threshold": snippet_threshold,
             "affix_tokens": highlight_affix_num_tokens,
@@ -359,10 +361,23 @@ class RayCollection:
                     (t, c, tuple(range(len(t)))) for t, c in expanded
                 ]
         if use_synonyms and include != ["*"]:
-            variants += [
-                (v, 0, tuple(range(len(v))))
-                for v in self.synonyms.expand(include)
-            ]
+            # the reference re-enters search_field for each synonym variant
+            # with the SAME num_typos/prefix (src/index.cpp:1478-1487), so
+            # each expanded variant goes through typo/prefix expansion too —
+            # a typo'd or prefixed form of a synonym term still matches
+            for v in self.synonyms.expand(include):
+                if num_typos > 0 or prefix:
+                    exp_syn = self.typo_resolver.expand_query(
+                        v, num_typos=num_typos, prefix_last=prefix,
+                        order=("max_score" if token_order == "max_score"
+                               else "common"),
+                    )
+                    if exp_syn:
+                        variants += [
+                            (t, c, tuple(range(len(t)))) for t, c in exp_syn
+                        ]
+                        continue
+                variants.append((v, 0, tuple(range(len(v)))))
 
         # malformed filters yield ZERO hits rather than an error on the
         # search path (the reference swallows unknown fields and
@@ -491,14 +506,26 @@ class RayCollection:
         # (test/collection_override_test.cpp:327-350)
         hidden: set[int] = set()
         pinned: list[tuple[int, int]] = []
+        # malformed pieces are skipped, matching the search path's
+        # swallow-malformed-filters behavior — one bad curation param must
+        # not turn a search into an exception
         if hidden_hits:
-            hidden |= {int(x) for x in hidden_hits.split(",") if x.strip()}
+            for x in hidden_hits.split(","):
+                x = x.strip()
+                if x:
+                    try:
+                        hidden.add(int(x))
+                    except ValueError:
+                        continue
         if pinned_hits:
             for piece in pinned_hits.split(","):
                 piece = piece.strip()
                 if piece:
-                    did_s, pos_s = piece.split(":")
-                    pinned.append((int(pos_s), int(did_s)))
+                    try:
+                        did_s, pos_s = piece.split(":")
+                        pinned.append((int(pos_s), int(did_s)))
+                    except ValueError:
+                        continue
         for ov in self.overrides:
             if ov.matches(q):
                 hidden |= set(ov.excludes)
@@ -1295,6 +1322,8 @@ def _facet_query_highlight(raw: str, query_tokens) -> str:
     matching earlier query tokens wrap whole."""
     import re
 
+    from typesense_ray.tokenizer import normalize_token
+
     qlast = query_tokens[-1]
     earlier = set(query_tokens[:-1])
     out = []
@@ -1305,7 +1334,25 @@ def _facet_query_highlight(raw: str, query_tokens) -> str:
             continue
         norm = " ".join(norm_tokens(part))
         if not marked_prefix and norm.startswith(qlast):
-            out.append(f"<mark>{part[:len(qlast)]}</mark>{part[len(qlast):]}")
+            # map the normalized prefix length back to RAW offsets: chars
+            # stripped/expanded by normalization (leading punctuation,
+            # transliteration) shift the span — '.Omega' + 'omeg' must mark
+            # '.​<mark>Omeg</mark>a', not '<mark>.Ome</mark>ga'
+            start = end = None
+            consumed = 0
+            for i, ch in enumerate(part):
+                piece = normalize_token(ch)
+                if piece and start is None:
+                    start = i
+                consumed += len(piece)
+                if consumed >= len(qlast):
+                    end = i + 1
+                    break
+            if start is None or end is None:
+                start, end = 0, min(len(qlast), len(part))
+            out.append(
+                f"{part[:start]}<mark>{part[start:end]}</mark>{part[end:]}"
+            )
             marked_prefix = True
         elif norm in earlier:
             out.append(f"<mark>{part}</mark>")

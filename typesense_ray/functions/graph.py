@@ -176,13 +176,23 @@ def _cc_stars_groupby(edges, max_rounds: int, n_parts: int = _N_PARTS):
             {"node": pa.array([], pa.int64()),
              "cluster": pa.array([], pa.int64())}
         )
+    converged = False
     for _ in range(max_rounds):
         E = dedup_stage(star_stage(star_stage(E, "large"), "small"))
         E = E.materialize()
         cur = invariant(E)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged star fixed point means the labels below may split
+        # one component into several — never consume that table silently
+        raise RuntimeError(
+            f"connected_components(mode='groupby') did not reach the "
+            f"large-star/small-star fixed point within max_rounds="
+            f"{max_rounds} (last invariant {prev}); increase max_rounds"
+        )
 
     # fixed point: every component is a star (x, min) — the final label
     # table is exactly these edges plus the centers' self-labels; this

@@ -1386,10 +1386,16 @@ def _multifield_coll(sf_dir: str):
 
 def q_multifield_search(sf_dir: str) -> pa.Table:
     """query_by over two fields (text + source) with weights — built on a
-    dedicated small index with source as a secondary indexed field."""
+    dedicated small index with source as a secondary indexed field.
+    Reference per-field token-erase semantics (src/index.cpp:1722-1731):
+    the source field doesn't know 'data' (its query reduces to ['src8'],
+    every src8-source doc matches) and the text field doesn't know
+    'src8' (its query reduces to ['data']); result = union, bounded
+    under the 250-hit window by the lang filter."""
     coll = _multifield_coll(sf_dir)
     r = coll.search(
         "src8 data", query_by=["text", "source"], query_by_weights=[1, 2],
+        filter_by="lang:= fr",
         per_page=250, highlight=False, drop_tokens_threshold=1,
     )
     return pa.table(
@@ -3154,27 +3160,22 @@ FROM embeddings
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv::DOUBLE[] FROM q)) DESC, vec_id DESC
 LIMIT 10
 """,
-        # cross-field conjunctive match for 'src8 data' (a doc hits when
-        # SOME query_by field contains every token; the source keyword
-        # field can never hold two distinct tokens) with the
-        # drop_tokens_threshold=1 fallback: if no doc matches the full
-        # query, retry with the right token dropped ('src8') over both
-        # fields
+        # cross-field match for 'src8 data' under the reference's
+        # per-field token-erase (src/index.cpp:1722-1731): neither field
+        # knows the other's token, so the text query reduces to ['data']
+        # and the source query to ['src8']; result = union, intersected
+        # with the lang filter that keeps it inside the result window
         "multifield_search": _TOKS_CTE
         + """
-, h2 AS (
-  SELECT doc_id FROM toks2 WHERE term IN ('src8', 'data')
-  GROUP BY doc_id HAVING count(DISTINCT term) = 2
-),
-h1 AS (
-  SELECT doc_id FROM documents WHERE source = 'src8'
+, h AS (
+  SELECT doc_id FROM toks2 WHERE term = 'data'
   UNION
-  SELECT doc_id FROM toks2 WHERE term = 'src8'
+  SELECT doc_id FROM documents WHERE source = 'src8'
 )
-SELECT doc_id FROM h2
-UNION
-SELECT doc_id FROM h1 WHERE NOT EXISTS (SELECT 1 FROM h2)
-ORDER BY doc_id
+SELECT h.doc_id FROM h
+JOIN documents d ON d.doc_id = h.doc_id
+WHERE d.lang = 'fr'
+ORDER BY h.doc_id
 """,
         # reference proximity ranking for the 2-token query 'data stream':
         # the sliding-window Match algorithm (include/match_score.h:106-216)

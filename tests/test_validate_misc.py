@@ -92,9 +92,19 @@ def test_facet_query_fuzzy(coll):
     assert counts == {"Zeta Labs": 1}
 
 
-def test_facet_query_other_fields_unfiltered(coll):
-    r = coll.search("*", facet_by="brand", facet_query="nosuch:ac")
-    assert len(r["facet_counts"][0]["counts"]) == 3
+def test_facet_query_field_must_be_in_facet_by(coll):
+    # reference parity (test/collection_faceting_test.cpp:461-472): a
+    # facet_query naming a field outside facet_by is a request error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coll.search("*", facet_by="brand", facet_query="nosuch:ac")
+    with _pytest.raises(ValueError):
+        coll.search("*", facet_query="brand:ac")  # no facet_by
+    with _pytest.raises(ValueError):
+        coll.search("*", facet_by="brand", facet_query="foobar")  # no colon
+    with _pytest.raises(ValueError):
+        coll.search("*", facet_by="nosuchfield")  # unknown facet field
 
 
 def test_get_document_by_key(coll):

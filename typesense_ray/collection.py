@@ -174,8 +174,8 @@ class SynonymIndex:
         return results[:limit]
 
 
-def _drop_token_variants(
-    tokens: list[str],
+def _drop_token_variants_pos(
+    tokens: list[str], positions: tuple[int, ...],
 ) -> list[tuple[list[str], tuple[int, ...]]]:
     """The reference's fallback order (``src/index.cpp:1757-1783``): drop
     from the right until len/2 tokens remain, then drop from the left.
@@ -183,20 +183,29 @@ def _drop_token_variants(
     increments first, so the dropped counter runs 1..len — a 2-token
     query yields BOTH single-token variants ([t0] right-drop at 1, [t1]
     left-drop at 2). Each variant carries the surviving tokens'
-    ORIGINAL query positions — the bit indices of the reference's
+    ORIGINAL query positions (``positions``, already original when the
+    input list was pruned) — the bit indices of the reference's
     per-match token_bits (``src/index.cpp:2037``)."""
     n = len(tokens)
     variants = []
     mid = n // 2
     for dropped in range(1, n + 1):
         if dropped <= mid:
-            variants.append((tokens[: n - dropped], tuple(range(n - dropped))))
+            variants.append(
+                (tokens[: n - dropped], tuple(positions[: n - dropped]))
+            )
         else:
             start = dropped - mid
             if start >= n:
                 continue
-            variants.append((tokens[start:], tuple(range(start, n))))
+            variants.append((tokens[start:], tuple(positions[start:])))
     return variants
+
+
+def _drop_token_variants(
+    tokens: list[str],
+) -> list[tuple[list[str], tuple[int, ...]]]:
+    return _drop_token_variants_pos(tokens, tuple(range(len(tokens))))
 
 
 class RayCollection:
@@ -286,6 +295,98 @@ class RayCollection:
             count=cand.size,
         )
 
+    def _prune_tokens(self, tokens, field, num_typos, prefix):
+        """Tokens that have SOME candidate in this field's vocabulary,
+        with their original query positions — the reference erases
+        no-candidate tokens from the field's query before matching
+        ('we can try to drop the token and search with remaining
+        tokens', ``src/index.cpp:1722-1731``), which is what lets
+        'Dustin Kensrue Down There by the Train' match title-only and
+        artist-only docs per field."""
+        from typesense_ray.index_build import FIELD_SEP
+
+        tr = self.typo_resolver
+        pre = field + FIELD_SEP if field else ""
+        kept: list[str] = []
+        pos: list[int] = []
+        for i, t in enumerate(tokens):
+            is_last = i == len(tokens) - 1
+            known = (pre + t) in tr._term_index
+            if not known and is_last and prefix:
+                known = bool(tr.prefix(t, max_candidates=1, field=field))
+            if not known and num_typos > 0:
+                known = bool(
+                    tr.fuzzy(t, num_typos, max_candidates=1, field=field)
+                )
+            if known:
+                kept.append(t)
+                pos.append(i)
+        return kept, tuple(pos)
+
+    def _field_variants(self, include, num_typos, prefix, token_order,
+                        exp_fields):
+        """Stage-0 search variants: per queried field, the unknown-token
+        PRUNED query (original positions kept) run through that field's
+        typo/prefix expansion; deduped union across fields. Also returns
+        the per-field pruned lists (the drop-tokens recursion operates on
+        those, per reference ``search_field``)."""
+        order = "max_score" if token_order == "max_score" else "common"
+        stage0: list[tuple[list[str], int, tuple[int, ...]]] = []
+        seen: set = set()
+        pruned_by_field: dict = {}
+        for f in exp_fields:
+            pl, pp = self._prune_tokens(include, f, num_typos, prefix)
+            if not pl:
+                # nothing known in this field: no stage-0 variant, but the
+                # drop-tokens recursion still probes the ORIGINAL tokens
+                # (documented divergence from the reference's all-erased →
+                # zero-hits path: 'math fx' + prefix drops 'fx' and then
+                # prefix-expands 'math', see test_prefix_searching)
+                pruned_by_field[f] = (
+                    list(include), tuple(range(len(include)))
+                )
+                continue
+            pruned_by_field[f] = (pl, pp)
+            if num_typos > 0 or prefix:
+                exp = self.typo_resolver.expand_query(
+                    pl, num_typos=num_typos, prefix_last=prefix,
+                    order=order, field=f,
+                )
+                vs = [(t, c, pp) for t, c in exp] if exp else [(pl, 0, pp)]
+            else:
+                vs = [(pl, 0, pp)]
+            for v in vs:
+                key = (tuple(v[0]), v[1], v[2])
+                if key not in seen:
+                    seen.add(key)
+                    stage0.append(v)
+        return stage0, pruned_by_field
+
+    def _expand_variants(self, tokens, num_typos, prefix, token_order,
+                         exp_fields):
+        """Typo/prefix query expansion UNIONED across the query's fields
+        (None = primary): the reference runs ``search_field`` per
+        query_by field, each expanding candidates in that field's own
+        ART tree (``src/index.cpp:1461-1470``); here the union of
+        per-field variants is evaluated against every field (a variant
+        foreign to a field simply finds no postings there). Dedup keeps
+        the lowest cost per term-list."""
+        order = "max_score" if token_order == "max_score" else "common"
+        best: dict[tuple, int] = {}
+        ordered: list[tuple] = []
+        for f in exp_fields:
+            for t, c in self.typo_resolver.expand_query(
+                tokens, num_typos=num_typos, prefix_last=prefix,
+                order=order, field=f,
+            ):
+                key = tuple(t)
+                if key not in best:
+                    ordered.append(key)
+                    best[key] = c
+                elif c < best[key]:
+                    best[key] = c
+        return [(list(k), best[k]) for k in ordered]
+
     # -- main entry --------------------------------------------------------
 
     def search(
@@ -324,7 +425,11 @@ class RayCollection:
         max_hits: int = 250,
     ) -> dict:
         per_page = min(per_page, PER_PAGE_MAX)
-        group_limit = min(group_limit, GROUP_LIMIT_MAX)
+        if group_by and not 1 <= group_limit <= GROUP_LIMIT_MAX:
+            raise ValueError(
+                f"Value of `group_limit` must be between 1 and "
+                f"{GROUP_LIMIT_MAX}."
+            )
         # result-window cap (src/collection.cpp:746-751): single-field /
         # wildcard queries fetch exactly the requested window; multi-field
         # queries cap the window at max_hits (the reference truncates the
@@ -345,21 +450,27 @@ class RayCollection:
         hl_fields = list(query_by) if query_by else None
 
         include, exclude = tokenize_query(q)
+        # typo/prefix candidates come from EACH queried field's own
+        # vocabulary (the reference expands in every query_by field's ART
+        # tree, src/index.cpp:1461-1470) — a prefix that only completes in
+        # a secondary field must still expand
+        _primary = self.stats["config"]["text_field"]
+        exp_fields = [
+            None if f == _primary else f for f in (query_by or [_primary])
+        ]
         # variants are (terms, cost, original-query-positions); positions
         # feed the reference's per-match token_bits (src/index.cpp:2037)
         variants: list[tuple[list[str], int, tuple[int, ...]]] = [
             (include, 0, tuple(range(len(include))))
         ]
-        if (num_typos > 0 or prefix) and include != ["*"]:
-            expanded = self.typo_resolver.expand_query(
-                include, num_typos=num_typos, prefix_last=prefix,
-                order=("max_score" if token_order == "max_score"
-                       else "common"),
+        pruned_by_field: dict = {
+            f: (include, tuple(range(len(include)))) for f in exp_fields
+        }
+        if include != ["*"]:
+            stage0, pruned_by_field = self._field_variants(
+                include, num_typos, prefix, token_order, exp_fields
             )
-            if expanded:
-                variants = [
-                    (t, c, tuple(range(len(t)))) for t, c in expanded
-                ]
+            variants = stage0  # empty when no field knows any token
         if use_synonyms and include != ["*"]:
             # the reference re-enters search_field for each synonym variant
             # with the SAME num_typos/prefix (src/index.cpp:1478-1487), so
@@ -367,10 +478,8 @@ class RayCollection:
             # a typo'd or prefixed form of a synonym term still matches
             for v in self.synonyms.expand(include):
                 if num_typos > 0 or prefix:
-                    exp_syn = self.typo_resolver.expand_query(
-                        v, num_typos=num_typos, prefix_last=prefix,
-                        order=("max_score" if token_order == "max_score"
-                               else "common"),
+                    exp_syn = self._expand_variants(
+                        v, num_typos, prefix, token_order, exp_fields
                     )
                     if exp_syn:
                         variants += [
@@ -396,6 +505,30 @@ class RayCollection:
                 "request_params": {"q": q}, "found": 0, "hits": [],
             }
         facet_fields = [f.strip() for f in facet_by.split(",") if f.strip()]
+        # facet param validation errors mirror the reference's error
+        # Options (test/collection_faceting_test.cpp:429-472) — unlike
+        # malformed filter_by, which swallows into zero hits
+        for f in facet_fields:
+            if f not in self.field_types:
+                raise ValueError(
+                    f"Could not find a facet field named `{f}` in the schema."
+                )
+        if facet_query:
+            if ":" not in facet_query:
+                raise ValueError(
+                    "Facet query must be in the `facet_field: value` format."
+                )
+            if not facet_fields:
+                raise ValueError(
+                    "The `facet_query` parameter is supplied without a "
+                    "`facet_by` parameter."
+                )
+            _fqf = facet_query.split(":", 1)[0].strip()
+            if _fqf not in facet_fields:
+                raise ValueError(
+                    f"Facet query refers to a facet field `{_fqf}` that "
+                    f"is not part of `facet_by` parameter."
+                )
         group_fields = [f.strip() for f in group_by.split(",") if f.strip()]
         sort_fields = parse_sort_by(sort_by)
         if not sort_fields:
@@ -463,19 +596,36 @@ class RayCollection:
                     else _merge_seg_results(seg_results[si], res)
                 )
             total_found = sum(r["cand"].size for r in seg_results)
+        for si in range(len(self.segments)):
+            if seg_results[si] is None:  # no variant at all (all unknown)
+                seg_results[si] = {"cand": np.empty(0, np.int64),
+                                   "score": np.empty(0, np.float64)}
 
         # drop-tokens fallback: too few results and a multi-token query →
         # retry with truncated token lists, merging (dedup keeps best).
         # The reference's recursion re-enters search_field with the SAME
-        # num_typos (src/index.cpp:1779-1783), so each truncated variant
-        # goes through the same typo/prefix expansion here.
+        # num_typos (src/index.cpp:1779-1783) over each field's PRUNED
+        # token list, so truncated variants carry original positions and
+        # go through the same per-field typo/prefix expansion here.
+        fallback_used = False
         if total_found < drop_tokens_threshold and len(include) > 1:
-            for truncated, tpos in _drop_token_variants(include):
+            drop_plan: list[tuple[list[str], tuple[int, ...], object]] = []
+            seen_drop: set = set()
+            for f, (pl, pp) in pruned_by_field.items():
+                if len(pl) < 2:
+                    continue
+                for truncated, tpos in _drop_token_variants_pos(pl, pp):
+                    key = (tuple(truncated), tpos)
+                    if key not in seen_drop:
+                        seen_drop.add(key)
+                        drop_plan.append((truncated, tpos, f))
+            for truncated, tpos, f in drop_plan:
                 if num_typos > 0 or prefix:
                     exp2 = self.typo_resolver.expand_query(
                         truncated, num_typos=num_typos, prefix_last=prefix,
                         order=("max_score" if token_order == "max_score"
                                else "common"),
+                        field=f,
                     )
                     drop_vars = (
                         [(t, c, tpos) for t, c in exp2]
@@ -484,6 +634,7 @@ class RayCollection:
                     )
                 else:
                     drop_vars = [(truncated, 0, tpos)]
+                fallback_used = True
                 used_variants += drop_vars
                 for si, seg in enumerate(self.segments):
                     res2 = eval_seg(seg, drop_vars, masks[si])
@@ -491,6 +642,14 @@ class RayCollection:
                 total_found = sum(r["cand"].size for r in seg_results)
                 if total_found >= drop_tokens_threshold:
                     break
+
+        # multi-field cross-field aggregation (weighted sum + token_bits
+        # popcount) must see ALL evaluated variants together — incremental
+        # merges keep only the best single-call score per doc, losing
+        # cross-stage field combinations; re-evaluate once at the end
+        if multi and fallback_used:
+            for si, seg in enumerate(self.segments):
+                seg_results[si] = eval_seg(seg, used_variants, masks[si])
 
         # highlight with every term any EVALUATED variant searched (so
         # typo/prefix/synonym matches get marked, not just verbatim
@@ -531,6 +690,20 @@ class RayCollection:
                 hidden |= set(ov.excludes)
                 pinned += [(pos, did) for (did, pos) in ov.includes]
         pinned = [(pos, did) for pos, did in pinned if did not in hidden]
+        # duplicate positions/ids: the FIRST rule in request-then-override
+        # order wins (the reference's position→id map emplace keeps the
+        # first entry; a same-position later include is not pinned,
+        # test/collection_grouping_test.cpp:346-425)
+        seen_pos: set[int] = set()
+        seen_doc: set[int] = set()
+        uniq_pins: list[tuple[int, int]] = []
+        for pos, did in pinned:
+            if pos in seen_pos or did in seen_doc:
+                continue
+            seen_pos.add(pos)
+            seen_doc.add(did)
+            uniq_pins.append((pos, did))
+        pinned = uniq_pins
 
         # rank candidates per segment by the sort spec, keep fetch_k each
         ranked_parts = []
@@ -553,7 +726,9 @@ class RayCollection:
         response: dict = {"page": page, "out_of": out_of, "request_params": {"q": q}}
 
         if group_fields:
-            groups = self._group(merged, group_fields, group_limit)
+            groups = self._group_with_pins(
+                merged, group_fields, group_limit, pinned
+            )
             response["found"] = len(groups)
             start = (page - 1) * per_page
             page_groups = groups[start : start + per_page]
@@ -967,8 +1142,13 @@ class RayCollection:
                 "_local": int(cand[oi]),
             }
             if group_vals is not None:
+                # a missing optional field contributes NO component to the
+                # compound group key (test/collection_grouping_test.cpp:
+                # 161-163: unbranded docs group under key [size] alone)
                 row["group_key"] = tuple(
-                    _norm_group_val(group_vals[f][cand[oi]]) for f in group_fields
+                    _norm_group_val(group_vals[f][cand[oi]])
+                    for f in group_fields
+                    if group_vals[f][cand[oi]] is not None
                 )
             rows.append(row)
         return rows
@@ -999,6 +1179,52 @@ class RayCollection:
             key=lambda g: (g[1][0]["sort_key"], g[1][0]["doc_id"]), reverse=True
         )
         return ranked
+
+    def _group_with_pins(self, merged, group_fields, group_limit, pinned):
+        """Grouped curation (test/collection_grouping_test.cpp:346-425):
+        each pinned doc moves to the head of its own group (pin-position
+        order) and the pinned groups move to the front; a pinned doc
+        outside the result set is fetched and its group synthesized."""
+        groups = self._group(merged, group_fields, group_limit)
+        if not pinned:
+            return groups
+        pin_rows: dict[tuple, list] = {}
+        for _pos, did in sorted(pinned):
+            row = None
+            pruned = []
+            for gk, rows in groups:
+                keep = [r for r in rows if r["doc_id"] != did]
+                if len(keep) != len(rows):
+                    row = next(r for r in rows if r["doc_id"] == did)
+                if keep:
+                    pruned.append((gk, keep))
+            groups = pruned
+            if row is None:
+                for seg in self.segments:
+                    j = int(np.searchsorted(seg.doc_ids, np.uint64(did)))
+                    if j < seg.n_docs and int(seg.doc_ids[j]) == did:
+                        gk = tuple(
+                            _norm_group_val(seg.docs[f][j].as_py())
+                            for f in group_fields
+                            if seg.docs[f][j].as_py() is not None
+                        )
+                        row = {"doc_id": did, "sort_key": (), "score": 0.0,
+                               "_seg": seg, "_local": j, "group_key": gk}
+                        break
+            if row is not None:
+                pin_rows.setdefault(row["group_key"], []).append(row)
+        out = []
+        for gk, prows in pin_rows.items():  # insertion = pin order
+            rest = []
+            remaining = []
+            for g_k, rows in groups:
+                if g_k == gk:
+                    rest = rows
+                else:
+                    remaining.append((g_k, rows))
+            groups = remaining
+            out.append((gk, (prows + rest)[:group_limit]))
+        return out + groups
 
     def _facets(self, seg_results, facet_fields, max_facet_values, group_fields,
                 facet_query=""):
@@ -1038,9 +1264,6 @@ class RayCollection:
                         vc = s.value_counts()
                         for raw in pd.unique(s):
                             vtoks = norm_tokens(str(raw))
-                            if ffield == fq_field and fq_tokens and not \
-                                    _facet_value_matches(vtoks, fq_tokens):
-                                continue
                             key = " ".join(vtoks)
                             repr_raw.setdefault(key, str(raw))
                             counts[key] = counts.get(key, 0) + int(vc[raw])
@@ -1059,17 +1282,18 @@ class RayCollection:
                             counts[k] = counts.get(k, 0) + int(row["counts"])
                     continue
                 vals = col.to_pylist()
-                gvals = (
-                    [
+                if group_fields:
+                    gcols = {f: seg.docs[f].to_pylist() for f in group_fields}
+                    gvals = [
                         tuple(
-                            _norm_group_val(seg.docs[f].to_pylist()[c])
+                            _norm_group_val(gcols[f][c])
                             for f in group_fields
+                            if gcols[f][c] is not None
                         )
                         for c in cand.tolist()
                     ]
-                    if group_fields
-                    else None
-                )
+                else:
+                    gvals = None
                 for ci, c in enumerate(cand.tolist()):
                     v = vals[c]
                     elems = v if is_arr and v is not None else [v]
@@ -1078,9 +1302,6 @@ class RayCollection:
                             continue
                         if kind == "str":
                             vtoks = norm_tokens(str(e))
-                            if ffield == fq_field and fq_tokens and not \
-                                    _facet_value_matches(vtoks, fq_tokens):
-                                continue
                             key = " ".join(vtoks)
                             repr_raw.setdefault(key, str(e))
                         else:
@@ -1097,20 +1318,39 @@ class RayCollection:
                             counts[key] = counts.get(key, 0) + 1
             if group_fields:
                 counts = {k: len(s) for k, s in group_sets.items()}
-            top = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[
-                :max_facet_values
-            ]
+            # facet_query filters the value list (typo/prefix tolerant on
+            # EVERY kind — the reference runs the facet query through the
+            # same ART fuzzy-prefix search for numeric/bool renderings,
+            # test/collection_faceting_test.cpp:360-420) AFTER stats are
+            # accumulated and BEFORE the max_facet_values cap
+            fq_here = ffield == fq_field and fq_tokens
             cnt_rows = []
-            for k, c in top:
+            for k, c in sorted(
+                counts.items(), key=lambda kv: (-kv[1], str(kv[0]))
+            ):
+                rendered = _render_facet_val(k, kind)
+                if fq_here:
+                    vtoks = (
+                        k.split(" ") if kind == "str" else [rendered]
+                    )
+                    if not _facet_value_matches(vtoks, fq_tokens):
+                        continue
                 row = {
-                    "value": repr_raw.get(k, k) if kind == "str" else k,
+                    "value": (
+                        repr_raw.get(k, k) if kind == "str"
+                        else rendered if kind == "bool"
+                        else k
+                    ),
                     "count": c,
                 }
-                if ffield == fq_field and fq_tokens and kind == "str":
+                if fq_here:
                     row["highlighted"] = _facet_query_highlight(
-                        str(row["value"]), fq_tokens
+                        str(row["value"]) if kind == "str" else rendered,
+                        fq_tokens,
                     )
                 cnt_rows.append(row)
+                if len(cnt_rows) >= max_facet_values:
+                    break
             entry = {"field_name": ffield, "counts": cnt_rows}
             if kind in ("int", "float") and stats["count"]:
                 entry["stats"] = {
@@ -1325,6 +1565,7 @@ def _facet_query_highlight(raw: str, query_tokens) -> str:
     from typesense_ray.tokenizer import normalize_token
 
     qlast = query_tokens[-1]
+    last_cost = 0 if len(qlast) < 3 else 1
     earlier = set(query_tokens[:-1])
     out = []
     marked_prefix = False
@@ -1333,11 +1574,16 @@ def _facet_query_highlight(raw: str, query_tokens) -> str:
             out.append(part)
             continue
         norm = " ".join(norm_tokens(part))
-        if not marked_prefix and norm.startswith(qlast):
-            # map the normalized prefix length back to RAW offsets: chars
-            # stripped/expanded by normalization (leading punctuation,
-            # transliteration) shift the span — '.Omega' + 'omeg' must mark
-            # '.​<mark>Omeg</mark>a', not '<mark>.Ome</mark>ga'
+        k_star = (
+            None if marked_prefix
+            else _prefix_match_len(qlast, norm, last_cost)
+        )
+        if k_star is not None:
+            # map the normalized matched-prefix length back to RAW
+            # offsets: chars stripped/expanded by normalization (leading
+            # punctuation, transliteration) shift the span — '.Omega' +
+            # 'omeg' must mark '.<mark>Omeg</mark>a', not
+            # '<mark>.Ome</mark>ga'
             start = end = None
             consumed = 0
             for i, ch in enumerate(part):
@@ -1345,11 +1591,11 @@ def _facet_query_highlight(raw: str, query_tokens) -> str:
                 if piece and start is None:
                     start = i
                 consumed += len(piece)
-                if consumed >= len(qlast):
+                if consumed >= k_star:
                     end = i + 1
                     break
             if start is None or end is None:
-                start, end = 0, min(len(qlast), len(part))
+                start, end = 0, min(k_star, len(part))
             out.append(
                 f"{part[:start]}<mark>{part[start:end]}</mark>{part[end:]}"
             )
@@ -1361,11 +1607,41 @@ def _facet_query_highlight(raw: str, query_tokens) -> str:
     return "".join(out)
 
 
+def _render_facet_val(v, kind: str) -> str:
+    """Reference-style string rendering of a facet value for facet_query
+    matching / highlighting: bools as ``true``/``false``
+    (test/collection_faceting_test.cpp:522), numerics via str()."""
+    if kind == "bool":
+        return "true" if v else "false"
+    return str(v)
+
+
+def _prefix_match_len(q: str, t: str, cost: int) -> int | None:
+    """Matched-prefix length of value token ``t`` under facet-query last
+    token ``q`` — the reference's ART fuzzy-PREFIX search semantics
+    (``art_fuzzy_search(..., prefix=true)`` in ``Index::do_facets``):
+    ``t`` matches when SOME prefix of it is within OSA distance ``cost``
+    of ``q`` (so 'cellx' matches both 'cell' and 'cellophanes',
+    test/collection_faceting_test.cpp:645-658). Returns the longest such
+    prefix length (the highlight span), or None."""
+    from typesense_ray.typo import osa_distance
+
+    if t.startswith(q):
+        return len(q)
+    if cost == 0:
+        return None
+    best = None
+    for k in range(max(1, len(q) - cost), min(len(t), len(q) + cost) + 1):
+        if osa_distance(q, t[:k], cost) <= cost:
+            best = k
+    return best
+
+
 def _facet_value_matches(value_tokens, query_tokens) -> bool:
     """Facet-query filtering (``Index::do_facets`` facet_query path,
     ``src/index.cpp:679-707``): every facet-query token must match some
-    value token — the last query token by prefix, earlier ones within
-    fuzzy cost 0 (len<3) or 1."""
+    value token — the last query token by fuzzy PREFIX (cost 0 when
+    len<3 else 1), earlier ones by whole-token fuzzy at the same cost."""
     from typesense_ray.typo import osa_distance
 
     for qi, qt in enumerate(query_tokens):
@@ -1373,10 +1649,11 @@ def _facet_value_matches(value_tokens, query_tokens) -> bool:
         cost = 0 if len(qt) < 3 else 1
         ok = False
         for vt in value_tokens:
-            if is_last and vt.startswith(qt):
-                ok = True
-                break
-            if osa_distance(qt, vt, cost) <= cost:
+            if is_last:
+                if _prefix_match_len(qt, vt, cost) is not None:
+                    ok = True
+                    break
+            elif osa_distance(qt, vt, cost) <= cost:
                 ok = True
                 break
         if not ok:

@@ -49,6 +49,18 @@ def _extract_comparator(v: str) -> tuple[str, str]:
     raise ValueError(f"invalid numeric comparator in {v!r}")
 
 
+def _check_numeric(v: str, kind: str, fname: str) -> None:
+    """Value/type validation is a PARSE error (the reference rejects a
+    float literal against an int field at filter-parse time with
+    "Not an int32", ``include/field.h:105-142``) — so the search path's
+    swallow-malformed-filters behavior covers it, and the strict paths
+    raise before touching the index."""
+    if kind == "int" and not re.match(r"^-?\d+$", v):
+        raise ValueError(f"filter field {fname!r}: {v!r} is not an int")
+    if kind == "float" and not _NUM_RE.match(v):
+        raise ValueError(f"filter field {fname!r}: {v!r} is not a number")
+
+
 def parse_filter(filter_by: str, field_types: dict[str, str]) -> list[FilterClause]:
     """``field_types``: field → 'int' | 'float' | 'bool' | 'str' (list types
     use the element kind)."""
@@ -71,11 +83,13 @@ def parse_filter(filter_by: str, field_types: dict[str, str]) -> list[FilterClau
                 vals, comps = [], []
                 for piece in raw[1:-1].split(","):
                     op, v = _extract_comparator(piece)
+                    _check_numeric(v, kind, fname)
                     vals.append(v)
                     comps.append(op)
                 clauses.append(FilterClause(fname, vals, comps))
             else:
                 op, v = _extract_comparator(raw)
+                _check_numeric(v, kind, fname)
                 clauses.append(FilterClause(fname, [v], [op]))
         elif kind == "bool":
             raws = (

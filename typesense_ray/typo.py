@@ -184,10 +184,21 @@ def build_typo_table(index_dir: str, max_deletes: int = MAX_COST) -> str:
     out_dir = os.path.join(index_dir, TYPO_DIR)
 
     def explode(batch: pa.Table) -> pa.Table:
+        from typesense_ray.index_build import FIELD_SEP
+
         v_col, t_col, d_col = [], [], []
         for term, df in zip(batch["term"].to_pylist(), batch["df"].to_pylist()):
-            for v in deletes(term, max_deletes):
-                v_col.append(v)
+            # secondary-field terms ('field\x1fterm') delete-expand over
+            # the BARE term (the reference keeps one ART per field,
+            # include/index.h:109) — variants re-attach the field prefix
+            # so lookups stay field-scoped in one shared table
+            if FIELD_SEP in term:
+                fld, bare = term.split(FIELD_SEP, 1)
+                pre = fld + FIELD_SEP
+            else:
+                pre, bare = "", term
+            for v in deletes(bare, max_deletes):
+                v_col.append(pre + v)
                 t_col.append(term)
                 d_col.append(df)
         return pa.table(
@@ -261,6 +272,7 @@ class TypoResolver:
         max_cost: int = MAX_COST,
         max_candidates: int = MAX_CANDIDATES,
         order: str = "common",
+        field: str | None = None,
     ) -> list[tuple[str, int]]:
         """(term, cost) candidates within bounded OSA distance, best cost
         first; within a cost ranked by the chosen comparator:
@@ -268,11 +280,18 @@ class TypoResolver:
         FREQUENCY comparator, ``src/art.cpp:44-79``); ``"max_score"`` —
         stored per-term max static score desc (the reference MAX_SCORE
         ordering over ART leaf max_scores, ``src/art.cpp:913-916``;
-        requires :func:`build_term_max_static`, else falls back to df)."""
+        requires :func:`build_term_max_static`, else falls back to df).
+
+        ``field`` scopes the lookup to a secondary indexed field's
+        vocabulary (the reference keeps one ART per field); returned
+        candidate terms are BARE (no field prefix)."""
+        from typesense_ray.index_build import FIELD_SEP
+
+        pre = field + FIELD_SEP if field else ""
         cost_cap = bounded_typo_cost(max_cost, len(token))
         cand_ids: set[int] = set()
         for v in deletes(token, cost_cap):
-            cand_ids.update(self._variants.get(v, ()))
+            cand_ids.update(self._variants.get(pre + v, ()))
         rank_col = (
             self._max_static
             if order == "max_score" and self._max_static is not None
@@ -282,10 +301,11 @@ class TypoResolver:
         results: list[tuple[str, int, int]] = []
         for ti in cand_ids:
             term = self._terms[ti]
-            d = osa_distance(token, term, cost_cap)
+            bare = term[len(pre):] if pre and term.startswith(pre) else term
+            d = osa_distance(token, bare, cost_cap)
             if d <= cost_cap:
-                results.append((term, d, int(rank_col[ti])))
-        exact = self._term_index.get(token)
+                results.append((bare, d, int(rank_col[ti])))
+        exact = self._term_index.get(pre + token)
         if exact is not None and not any(r[0] == token for r in results):
             results.append((token, 0, int(rank_col[exact])))
         sign = 1 if order == "rare" else -1
@@ -294,15 +314,19 @@ class TypoResolver:
 
     def prefix(
         self, token: str, max_candidates: int = MAX_PREFIX_CANDIDATES,
-        order: str = "common",
+        order: str = "common", field: str | None = None,
     ) -> list[str]:
         """Terms starting with ``token``, top-N by the chosen comparator
         (df desc for ``"common"``/FREQUENCY, stored per-term max-static
         for ``"max_score"``; term asc ties). Mirrors the last-token
         prefix expansion (src/index.cpp:1697-1702) whose candidate cap
-        is ranked by the search's token_order."""
-        lo = np.searchsorted(self._terms_np, token)
-        hi = np.searchsorted(self._terms_np, token + "￿")
+        is ranked by the search's token_order. ``field`` scopes the scan
+        to that field's vocabulary; results are bare terms."""
+        from typesense_ray.index_build import FIELD_SEP
+
+        pre = field + FIELD_SEP if field else ""
+        lo = np.searchsorted(self._terms_np, pre + token)
+        hi = np.searchsorted(self._terms_np, pre + token + "￿")
         if hi <= lo:
             return []
         rank = (
@@ -311,6 +335,16 @@ class TypoResolver:
             else self._dfs
         )[lo:hi]
         terms = self._terms[lo:hi]
+        if pre:
+            terms = [t[len(pre):] for t in terms]
+        else:
+            # the shared sorted vocab interleaves 'field\x1fterm' keys;
+            # a primary-field scan must not leak them (e.g. prefix 'cat'
+            # ranging into 'categories\x1f…')
+            keep = [i for i, t in enumerate(terms) if FIELD_SEP not in t]
+            if len(keep) != len(terms):
+                terms = [terms[i] for i in keep]
+                rank = rank[keep]
         idx = sorted(range(len(terms)), key=lambda i: (-rank[i], terms[i]))
         return [terms[i] for i in idx[:max_candidates]]
 
@@ -340,21 +374,30 @@ class TypoResolver:
         prefix_last: bool = False,
         combination_limit: int = 10,
         order: str = "common",
+        field: str | None = None,
     ) -> list[tuple[list[str], int]]:
         """Query variants as (term-list, total_cost), best (lowest total
         cost) first — the reference's cost-combination cartesian loop
         (``src/index.cpp:1673-1755``) flattened into an ordered variant
-        list capped at ``combination_limit``."""
+        list capped at ``combination_limit``. ``field`` scopes candidate
+        lookup to a secondary field's vocabulary (bare terms returned)."""
+        from typesense_ray.index_build import FIELD_SEP
+
+        pre = field + FIELD_SEP if field else ""
         per_token: list[list[tuple[str, int]]] = []
         for i, tok in enumerate(tokens):
             if prefix_last and i == len(tokens) - 1:
-                cands = [(t, 0) for t in self.prefix(tok, order=order)]
+                cands = [(t, 0)
+                         for t in self.prefix(tok, order=order, field=field)]
                 if not cands:
-                    cands = self.fuzzy(tok, num_typos, order=order)
+                    cands = self.fuzzy(tok, num_typos, order=order,
+                                       field=field)
             elif num_typos > 0:
-                cands = self.fuzzy(tok, num_typos, order=order)
+                cands = self.fuzzy(tok, num_typos, order=order, field=field)
             else:
-                cands = [(tok, 0)] if tok in self._term_index else []
+                cands = (
+                    [(tok, 0)] if (pre + tok) in self._term_index else []
+                )
             if not cands:
                 return []  # a token with no candidates → no conjunctive hit
             per_token.append(cands)

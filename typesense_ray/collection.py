@@ -87,12 +87,15 @@ def parse_sort_by(sort_by: str | None) -> list[SortField]:
 class Override:
     """Curation rule (``include/collection.h:22-94``): when the query
     matches ``rule_query`` (exact or contains), force-include docs at
-    fixed positions and/or hide docs."""
+    fixed positions and/or hide docs. ``rule_id`` keys the collection's
+    override store (add_override upserts, remove_override deletes,
+    ``src/collection.cpp:2120-2156``)."""
 
     rule_query: str
     match: str = "exact"  # 'exact' | 'contains'
     includes: list[tuple[int, int]] = dc_field(default_factory=list)  # (doc_id, 1-based pos)
     excludes: list[int] = dc_field(default_factory=list)
+    rule_id: str | None = None
 
     def matches(self, query: str) -> bool:
         q = " ".join(norm_tokens(query))
@@ -108,23 +111,95 @@ class SynonymIndex:
 
     def __init__(self):
         self._map: dict[tuple[str, ...], list[tuple[str, ...]]] = {}
+        # id → definition, the reference's per-collection synonym store
+        # (add_synonym upserts by id, remove_synonym deletes and the
+        # index rebuilds, src/collection.cpp:2066-2118)
+        self._defs: dict[str, dict] = {}
+        self._auto = 0
 
-    def add_synonym(self, root: str, synonyms: list[str]):
-        key = norm_tokens(root)
-        self._map.setdefault(key, [])
-        for s in synonyms:
-            ts = norm_tokens(s)
-            if ts and ts not in self._map[key]:
-                self._map[key].append(ts)
+    def _next_id(self) -> str:
+        self._auto += 1
+        return f"syn-auto-{self._auto}"
 
-    def add_multiway(self, phrases: list[str]):
-        toks = [norm_tokens(p) for p in phrases]
-        for i, root in enumerate(toks):
-            for j, syn in enumerate(toks):
-                if i != j:
-                    self._map.setdefault(root, [])
-                    if syn not in self._map[root]:
-                        self._map[root].append(syn)
+    def add_synonym(self, root: str, synonyms: list[str],
+                    syn_id: str | None = None):
+        self._defs[syn_id or self._next_id()] = {
+            "root": root, "synonyms": list(synonyms)
+        }
+        self._rebuild()
+
+    def add_multiway(self, phrases: list[str], syn_id: str | None = None):
+        self._defs[syn_id or self._next_id()] = {
+            "root": None, "synonyms": list(phrases)
+        }
+        self._rebuild()
+
+    def add_json(self, obj: dict) -> str:
+        """Parse-and-upsert in the reference's synonym JSON shape
+        (``synonym_t::parse``, error strings included,
+        ``test/collection_synonyms_test.cpp:57-145``)."""
+        if "id" not in obj:
+            raise ValueError("Missing `id` field.")
+        syns = obj.get("synonyms")
+        if not isinstance(syns, list) or not syns:
+            raise ValueError("Could not find an array of `synonyms`")
+        if not all(isinstance(s, str) and s for s in syns):
+            raise ValueError(
+                "Could not find a valid string array of `synonyms`"
+            )
+        root = obj.get("root")
+        if root is not None and not isinstance(root, str):
+            raise ValueError("Key `root` should be a string.")
+        sid = str(obj["id"])
+        self._defs[sid] = {"root": root or None, "synonyms": list(syns)}
+        self._rebuild()
+        return sid
+
+    def remove_synonym(self, syn_id: str):
+        self._defs.pop(syn_id, None)
+        self._rebuild()
+
+    def get_synonyms(self) -> dict[str, dict]:
+        return {k: dict(v) for k, v in self._defs.items()}
+
+    def get_synonym(self, syn_id: str) -> dict | None:
+        d = self._defs.get(syn_id)
+        return dict(d) if d else None
+
+    def to_json(self) -> list[dict]:
+        """Serialized view (``synonym_t::to_view_json`` role): normalized
+        root/synonym token strings under their ids."""
+        out = []
+        for sid, d in self._defs.items():
+            out.append(
+                {
+                    "id": sid,
+                    "root": " ".join(norm_tokens(d["root"]))
+                    if d["root"] else "",
+                    "synonyms": [
+                        " ".join(norm_tokens(s)) for s in d["synonyms"]
+                    ],
+                }
+            )
+        return out
+
+    def _rebuild(self):
+        self._map = {}
+        for d in self._defs.values():
+            if d["root"]:
+                key = norm_tokens(d["root"])
+                bucket = self._map.setdefault(key, [])
+                for s in d["synonyms"]:
+                    ts = norm_tokens(s)
+                    if ts and ts not in bucket:
+                        bucket.append(ts)
+            else:
+                toks = [norm_tokens(p) for p in d["synonyms"]]
+                for i, root in enumerate(toks):
+                    bucket = self._map.setdefault(root, [])
+                    for j, syn in enumerate(toks):
+                        if i != j and syn not in bucket:
+                            bucket.append(syn)
 
     def expand(self, tokens: list[str], limit: int = 64) -> list[list[str]]:
         """Query variants (excluding the original) — an exact port of the
@@ -232,6 +307,61 @@ class RayCollection:
         self.field_types = {
             name: arrow_field_kind(schema.field(name).type) for name in schema.names
         }
+        # default sorting field validation mirrors the reference's
+        # create_collection errors (test/collection_sorting_test.cpp:
+        # 121-143): must exist and be a single-valued numerical field
+        if default_sorting_field is not None and schema.names:
+            if default_sorting_field not in self.field_types:
+                raise ValueError(
+                    f"Default sorting field is defined as "
+                    f"`{default_sorting_field}` but is not found in the "
+                    f"schema."
+                )
+            ftype = schema.field(default_sorting_field).type
+            if (self.field_types[default_sorting_field]
+                    not in ("int", "float")
+                    or pa.types.is_list(ftype)
+                    or pa.types.is_large_list(ftype)):
+                raise ValueError(
+                    f"Default sorting field `{default_sorting_field}` "
+                    f"must be a single valued numerical field."
+                )
+
+    # -- override store (reference add/remove/get_overrides,
+    # src/collection.cpp:2120-2156) ----------------------------------------
+
+    def add_override(self, ov: Override):
+        """Upsert by ``rule_id`` (same-id rules replace); id-less rules
+        just append."""
+        if ov.rule_id is not None:
+            self.overrides = [
+                o for o in self.overrides if o.rule_id != ov.rule_id
+            ]
+        self.overrides.append(ov)
+
+    def remove_override(self, rule_id: str):
+        self.overrides = [o for o in self.overrides if o.rule_id != rule_id]
+
+    def get_overrides(self) -> dict[str, Override]:
+        return {o.rule_id: o for o in self.overrides
+                if o.rule_id is not None}
+
+    def _pin_id(self, raw: str) -> int | None:
+        """A pinned/hidden id string → internal doc id: raw int for
+        integer-keyed collections; hashed user key for string-keyed ones
+        (ids may themselves contain ':' — the reference splits
+        pinned_hits on the LAST colon,
+        test/collection_override_test.cpp:569-614)."""
+        raw = raw.strip()
+        id_field = self.stats["config"].get("id_field")
+        if id_field and self.field_types.get(id_field) == "str":
+            from typesense_ray.index_build import doc_id_from_key
+
+            return doc_id_from_key(raw)
+        try:
+            return int(raw)
+        except ValueError:
+            return None
 
     @property
     def typo_resolver(self):
@@ -672,38 +802,45 @@ class RayCollection:
             for x in hidden_hits.split(","):
                 x = x.strip()
                 if x:
-                    try:
-                        hidden.add(int(x))
-                    except ValueError:
-                        continue
+                    did = self._pin_id(x)
+                    if did is not None:
+                        hidden.add(did)
         if pinned_hits:
             for piece in pinned_hits.split(","):
                 piece = piece.strip()
                 if piece:
                     try:
-                        did_s, pos_s = piece.split(":")
-                        pinned.append((int(pos_s), int(did_s)))
+                        # LAST colon: user ids may contain ':' (URLs)
+                        did_s, pos_s = piece.rsplit(":", 1)
+                        did = self._pin_id(did_s)
+                        if did is not None:
+                            pinned.append((int(pos_s), did))
                     except ValueError:
                         continue
         for ov in self.overrides:
             if ov.matches(q):
                 hidden |= set(ov.excludes)
                 pinned += [(pos, did) for (did, pos) in ov.includes]
-        pinned = [(pos, did) for pos, did in pinned if did not in hidden]
-        # duplicate positions/ids: the FIRST rule in request-then-override
-        # order wins (the reference's position→id map emplace keeps the
-        # first entry; a same-position later include is not pinned,
-        # test/collection_grouping_test.cpp:346-425)
-        seen_pos: set[int] = set()
+        # a doc pinned by several rules keeps its first pin; hidden wins
         seen_doc: set[int] = set()
-        uniq_pins: list[tuple[int, int]] = []
+        pins_all: list[tuple[int, int]] = []
         for pos, did in pinned:
-            if pos in seen_pos or did in seen_doc:
+            if did in hidden or did in seen_doc:
+                continue
+            seen_doc.add(did)
+            pins_all.append((pos, did))
+        # ungrouped view: ONE doc per position — the FIRST rule in
+        # request-then-override order wins, later same-position ids keep
+        # their organic spots (test/collection_override_test.cpp:471-486);
+        # the GROUPED path instead gathers same-position pins into one
+        # group (ibid. :489-523), so it consumes pins_all
+        seen_pos: set[int] = set()
+        pinned = []
+        for pos, did in pins_all:
+            if pos in seen_pos:
                 continue
             seen_pos.add(pos)
-            seen_doc.add(did)
-            uniq_pins.append((pos, did))
-        pinned = uniq_pins
+            pinned.append((pos, did))
 
         # rank candidates per segment by the sort spec, keep fetch_k each
         ranked_parts = []
@@ -717,9 +854,22 @@ class RayCollection:
         # facets over ALL matched docs (not just top-k), merged partials
         facet_counts = []
         if facet_fields:
+            # curated (pinned/included) docs count in facets too — the
+            # reference facets over the final result set
+            # (test/collection_override_test.cpp:171-200)
+            pin_locals: list[list[int]] | None = None
+            if pins_all:
+                pin_locals = [[] for _ in self.segments]
+                for _pos, did in pins_all:
+                    for si, seg in enumerate(self.segments):
+                        j = int(np.searchsorted(seg.doc_ids,
+                                                np.uint64(did)))
+                        if j < seg.n_docs and int(seg.doc_ids[j]) == did:
+                            pin_locals[si].append(j)
+                            break
             facet_counts = self._facets(
                 seg_results, facet_fields, max_facet_values, group_fields,
-                facet_query,
+                facet_query, hidden, pin_locals,
             )
 
         out_of = self.stats["n_docs"]
@@ -727,7 +877,7 @@ class RayCollection:
 
         if group_fields:
             groups = self._group_with_pins(
-                merged, group_fields, group_limit, pinned
+                merged, group_fields, group_limit, pins_all
             )
             response["found"] = len(groups)
             start = (page - 1) * per_page
@@ -1121,9 +1271,15 @@ class RayCollection:
             if sf.name == "_text_match":
                 v = score
             else:
-                v = seg.docs[sf.name].to_numpy(zero_copy_only=False)[cand].astype(
-                    np.float64
-                )
+                col = seg.docs[sf.name].to_numpy(zero_copy_only=False)[cand]
+                # integer sort fields keep int64 keys — float64 has 2^53
+                # mantissa precision and collapses adjacent large int64s
+                # (the reference sorts int64 exactly,
+                # test/collection_sorting_test.cpp:144-199)
+                if np.issubdtype(col.dtype, np.integer):
+                    v = col.astype(np.int64)
+                else:
+                    v = col.astype(np.float64)
             keys.append(v if sf.desc else -v)
         gids = seg.doc_ids[cand]
         order = np.lexsort((gids, *reversed(keys)))[::-1]
@@ -1136,7 +1292,9 @@ class RayCollection:
         for oi in order:
             row = {
                 "doc_id": int(gids[oi]),
-                "sort_key": tuple(float(k[oi]) for k in keys),
+                # native item(): int64 keys stay exact ints (float() would
+                # reintroduce the 2^53 collapse across segment merges)
+                "sort_key": tuple(k[oi].item() for k in keys),
                 "score": float(score[oi]) if mode == "bm25" else int(score[oi]),
                 "_seg": seg,
                 "_local": int(cand[oi]),
@@ -1158,7 +1316,7 @@ class RayCollection:
         out = [r for r in rows if r["doc_id"] not in {d for _, d in pinned}]
         for pos, did in pinned:
             hit = {"doc_id": did, "sort_key": (), "score": 0.0,
-                   "_seg": None, "_local": -1}
+                   "_seg": None, "_local": -1, "_curated": True}
             for seg in self.segments:
                 j = np.searchsorted(seg.doc_ids, np.uint64(did))
                 if j < seg.n_docs and int(seg.doc_ids[j]) == did:
@@ -1180,54 +1338,79 @@ class RayCollection:
         )
         return ranked
 
+    def _extract_pin_row(self, groups, did, group_fields):
+        """Pull the row for ``did`` out of ``groups`` (or synthesize it
+        from the doc store when the doc didn't match the query). Returns
+        (row_or_None, remaining_groups)."""
+        row = None
+        pruned = []
+        for gk, rows in groups:
+            keep = [r for r in rows if r["doc_id"] != did]
+            if len(keep) != len(rows):
+                row = next(r for r in rows if r["doc_id"] == did)
+            if keep:
+                pruned.append((gk, keep))
+        if row is None:
+            for seg in self.segments:
+                j = int(np.searchsorted(seg.doc_ids, np.uint64(did)))
+                if j < seg.n_docs and int(seg.doc_ids[j]) == did:
+                    gk = tuple(
+                        _norm_group_val(seg.docs[f][j].as_py())
+                        for f in group_fields
+                        if seg.docs[f][j].as_py() is not None
+                    )
+                    row = {"doc_id": did, "sort_key": (), "score": 0.0,
+                           "_seg": seg, "_local": j, "group_key": gk}
+                    break
+        return row, pruned
+
     def _group_with_pins(self, merged, group_fields, group_limit, pinned):
-        """Grouped curation (test/collection_grouping_test.cpp:346-425):
-        each pinned doc moves to the head of its own group (pin-position
-        order) and the pinned groups move to the front; a pinned doc
-        outside the result set is fetched and its group synthesized."""
+        """Grouped curation (test/collection_override_test.cpp:489-523 +
+        test/collection_grouping_test.cpp:346-425): docs pinned at the
+        SAME position gather into one group (keyed by the first pin's
+        group key, rule order preserved), pinned groups lead in position
+        order, and each absorbs the remainder of the first pin's natural
+        group; a pinned doc outside the result set is fetched and its
+        group synthesized."""
         groups = self._group(merged, group_fields, group_limit)
         if not pinned:
             return groups
-        pin_rows: dict[tuple, list] = {}
-        for _pos, did in sorted(pinned):
-            row = None
-            pruned = []
-            for gk, rows in groups:
-                keep = [r for r in rows if r["doc_id"] != did]
-                if len(keep) != len(rows):
-                    row = next(r for r in rows if r["doc_id"] == did)
-                if keep:
-                    pruned.append((gk, keep))
-            groups = pruned
-            if row is None:
-                for seg in self.segments:
-                    j = int(np.searchsorted(seg.doc_ids, np.uint64(did)))
-                    if j < seg.n_docs and int(seg.doc_ids[j]) == did:
-                        gk = tuple(
-                            _norm_group_val(seg.docs[f][j].as_py())
-                            for f in group_fields
-                            if seg.docs[f][j].as_py() is not None
-                        )
-                        row = {"doc_id": did, "sort_key": (), "score": 0.0,
-                               "_seg": seg, "_local": j, "group_key": gk}
-                        break
-            if row is not None:
-                pin_rows.setdefault(row["group_key"], []).append(row)
+        by_pos: dict[int, list[int]] = {}
+        for pos, did in pinned:  # rule order preserved within a position
+            by_pos.setdefault(pos, []).append(did)
         out = []
-        for gk, prows in pin_rows.items():  # insertion = pin order
+        for pos in sorted(by_pos):
+            prows = []
+            gk0 = None
+            for did in by_pos[pos]:
+                row, groups = self._extract_pin_row(
+                    groups, did, group_fields
+                )
+                if row is None:
+                    continue
+                row["_curated"] = True
+                if gk0 is None:
+                    gk0 = row["group_key"]
+                prows.append(row)
+            if not prows:
+                continue
             rest = []
             remaining = []
             for g_k, rows in groups:
-                if g_k == gk:
+                if g_k == gk0:
                     rest = rows
                 else:
                     remaining.append((g_k, rows))
             groups = remaining
-            out.append((gk, (prows + rest)[:group_limit]))
+            out.append((gk0, (prows + rest)[:group_limit]))
         return out + groups
 
     def _facets(self, seg_results, facet_fields, max_facet_values, group_fields,
-                facet_query=""):
+                facet_query="", hidden=None, pin_locals=None):
+        hid = (
+            np.fromiter(hidden, dtype=np.uint64, count=len(hidden))
+            if hidden else None
+        )
         fq_field, fq_tokens = None, []
         if facet_query and ":" in facet_query:
             fq_field, fq_raw = facet_query.split(":", 1)
@@ -1240,8 +1423,17 @@ class RayCollection:
             repr_raw: dict = {}
             stats = {"min": None, "max": None, "sum": 0.0, "count": 0}
             group_sets: dict = {}
-            for seg, res in zip(self.segments, seg_results):
+            for si, (seg, res) in enumerate(zip(self.segments, seg_results)):
                 cand = res["cand"]
+                if pin_locals is not None and pin_locals[si]:
+                    cand = np.union1d(
+                        cand, np.asarray(pin_locals[si], dtype=cand.dtype)
+                    )
+                if cand.size and hid is not None:
+                    # excluded (hidden/override) docs leave the facet
+                    # counts too (test/collection_override_test.cpp:
+                    # 224-238: count drops after exclusion)
+                    cand = cand[~np.isin(seg.doc_ids[cand], hid)]
                 if cand.size == 0:
                     continue
                 col = seg.docs[ffield]
@@ -1384,6 +1576,11 @@ class RayCollection:
                 doc = {k: v for k, v in doc.items() if k not in exclude_fields}
             hit = {"document": doc}
             hit["text_match" if mode != "bm25" else "score"] = row["score"]
+            if row.get("_curated"):
+                # pinned/included results are marked (the reference sets
+                # "curated": true only on them,
+                # test/collection_override_test.cpp:125-128)
+                hit["curated"] = True
             if highlight and include_tokens:
                 hit["highlights"] = self._field_highlights(
                     raw_vals, hl_fields, include_tokens, exclude_fields,
@@ -1687,3 +1884,75 @@ class CollectionRegistry:
             return self._collections[name]
         except KeyError:
             raise KeyError(f"no collection or alias named {name!r}") from None
+
+    def drop(self, name: str):
+        """Drop a collection from the registry (the index dirs stay on
+        disk; ``CollectionManager::drop_collection`` also deletes rows,
+        which here is the owner's rm -rf of the index_dir)."""
+        self._collections.pop(name, None)
+        self._aliases = {
+            a: t for a, t in self._aliases.items() if t != name
+        }
+
+    # -- persistence (CollectionManager::load role,
+    # test/collection_manager_test.cpp:138-271: a fresh manager restores
+    # collections, overrides, synonyms and serves identical results) ----
+
+    def save(self, path: str):
+        """One JSON manifest: per collection its index_dir + config +
+        curation state. Index data itself is already durable parquet."""
+        import json as _json
+
+        state = {"collections": {}, "aliases": dict(self._aliases)}
+        for name, coll in self._collections.items():
+            state["collections"][name] = {
+                "index_dir": coll._local.index_dir,
+                "default_sorting_field": coll.default_sorting_field,
+                "synonyms": coll.synonyms.get_synonyms(),
+                "overrides": [
+                    {
+                        "id": o.rule_id,
+                        "rule_query": o.rule_query,
+                        "match": o.match,
+                        "includes": list(map(list, o.includes)),
+                        "excludes": list(o.excludes),
+                    }
+                    for o in coll.overrides
+                ],
+            }
+        with open(path, "w") as f:
+            _json.dump(state, f)
+
+    @classmethod
+    def load(cls, path: str) -> "CollectionRegistry":
+        import json as _json
+
+        with open(path) as f:
+            state = _json.load(f)
+        reg = cls()
+        for name, c in state["collections"].items():
+            syn = SynonymIndex()
+            for sid, d in c["synonyms"].items():
+                obj = {"id": sid, "synonyms": d["synonyms"]}
+                if d.get("root"):
+                    obj["root"] = d["root"]
+                syn.add_json(obj)
+            ovs = [
+                Override(
+                    rule_id=o["id"], rule_query=o["rule_query"],
+                    match=o["match"],
+                    includes=[tuple(x) for x in o["includes"]],
+                    excludes=list(o["excludes"]),
+                )
+                for o in c["overrides"]
+            ]
+            reg.register(
+                name,
+                RayCollection(
+                    c["index_dir"],
+                    default_sorting_field=c["default_sorting_field"],
+                    synonyms=syn, overrides=ovs,
+                ),
+            )
+        reg._aliases = dict(state.get("aliases", {}))
+        return reg

@@ -183,6 +183,70 @@ def test_embedding_dup_pairs(ray_session):
     assert all(3 not in p for p in pairs)
 
 
+def test_embedding_dup_pairs_multi_seed_recall(ray_session):
+    """The documented multi-seed union: pairs at cosine just above the
+    threshold collide under ONE 8-plane seed with probability ≈0.43, so a
+    2-seed union strictly improves recall on this deterministic instance
+    while precision stays exact (every emitted pair is verified)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    d, thr, theta = 16, 0.95, np.arccos(0.96)
+    rows = []
+    for i in range(30):
+        u = rng.standard_normal(d)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(d)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        v = np.cos(theta) * u + np.sin(theta) * w
+        rows.append({"vec_id": 2 * i, "embedding": u.tolist()})
+        rows.append({"vec_id": 2 * i + 1, "embedding": v.tolist()})
+    for i in range(40):
+        rows.append(
+            {"vec_id": 1000 + i, "embedding": rng.standard_normal(d).tolist()}
+        )
+    vecs = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sim = vn @ vn.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hit = sim[iu, ju] >= thr
+    truth = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i, j in zip(iu[hit], ju[hit])
+    }
+    ds = rd.from_items(rows).repartition(4)
+
+    def pairset(**kw):
+        got = embedding_dup_pairs(ds, threshold=thr, n_planes=8, **kw).take_all()
+        return {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in got}
+
+    one = pairset(seed=7)
+    two = pairset(seeds=[7, 11])
+    assert one <= truth and two <= truth  # exact precision
+    assert one <= two  # union is monotone
+    assert len(two & truth) > len(one & truth)  # recall strictly improves
+
+
+def test_embedding_dup_pairs_adaptive_planes(ray_session):
+    """n_planes=None picks ceil(log2(n/1024)) clamped to [8, 20] so the
+    bucket count grows with the corpus; near-identical vectors still pair
+    under the widened signature."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    rows = [
+        {"vec_id": i, "embedding": (base + 1e-4 * rng.standard_normal(8)).tolist()}
+        for i in range(50)
+    ]
+    out = embedding_dup_pairs(
+        rd.from_items(rows), threshold=0.99
+    ).take_all()
+    assert len(out) == 50 * 49 // 2
+
+
 def test_langid(ray_session):
     import ray.data as rd
 

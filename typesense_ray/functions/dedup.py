@@ -1225,49 +1225,65 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 7,
+    seeds: list[int] | None = None,
     tile: int = 4096,
+    n_parts: int = 256,
 ):
-    """Embedding-cosine near-dup: random-hyperplane LSH bucket (groupby
-    signature) → within-bucket exact pairwise cosine (tiled matmul + a
-    vectorized threshold scan) → pairs ≥ threshold.
-    Two vectors with cosine ≥ 0.95 collide in all n_planes bits with
-    probability (1 - θ/π)^n ≈ 0.5 for n=8; run with 2-3 plane seeds for
-    recall at scale (union of pairs).
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket → within-
+    bucket exact pairwise cosine (tiled matmul + a vectorized threshold
+    scan) → pairs ≥ threshold.
 
-    The within-bucket scan runs in (tile × tile) blocks so peak memory is
-    O(tile²) regardless of bucket size — a near-duplicate-heavy corpus
-    collapses into ONE hyperplane bucket (identical vectors agree on every
-    extra plane too, so re-bucketing cannot split them), and the full n×n
-    similarity matrix there would OOM the worker. Compute stays O(b²) —
-    inherent to exact verification; the output itself is the bound."""
+    Recall knobs:
+      * ``seeds=[s1, s2, ...]`` runs the bucket→verify pass once per plane
+        seed and unions the (exactly-verified) pair sets — two vectors
+        with cosine ≥ 0.95 collide under ONE 8-plane seed with probability
+        (1 - θ/π)^8 ≈ 0.43, under the union of two independent seeds
+        ≈ 0.67, three ≈ 0.81. The union is deduped by a pair-keyed coarse
+        exchange (pairs never split across partitions), never on the
+        driver. ``seeds`` overrides ``seed``; default is the single
+        ``seed`` (the sparse-duplicate fast path).
+      * ``n_planes=None`` adapts the signature width to the corpus:
+        ceil(log2(n_rows / 1024)) planes clamped to [8, 20], so expected
+        bucket occupancy stays ~1k and bucket count (shuffle width) grows
+        with the corpus instead of being capped at 2^8.
+
+    Execution shape: buckets are exchanged by ``bucket % n_parts`` (ONE
+    coarse shuffle of ≤``n_parts`` partitions, not one Ray group per
+    distinct signature); within a partition the per-bucket runs are found
+    by ONE lexsort and each bucket gets the tiled matmul scan. The tile
+    keeps peak memory O(tile²) regardless of bucket size — a
+    near-duplicate-heavy corpus collapses into ONE hyperplane bucket
+    (identical vectors agree on every extra plane too, so re-bucketing
+    cannot split them), and the full n×n similarity matrix there would
+    OOM the worker. Compute stays O(b²) — inherent to exact verification;
+    the output itself is the bound."""
     import pandas as pd
 
     from typesense_ray.functions.similarity import vecs_to_numpy
+
+    if n_planes is None:
+        n = ds.count()
+        n_planes = int(min(20, max(8, np.ceil(np.log2(max(n, 2) / 1024.0)))))
+    plane_seeds = list(seeds) if seeds else [seed]
+    n_parts_eff = int(min(1 << n_planes, n_parts))
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
 
     def add_sig(batch: pa.Table, plane_seed: int) -> pa.Table:
         vecs = vecs_to_numpy(batch[vec_col])
         rng = np.random.default_rng(plane_seed)
         planes = rng.standard_normal((vecs.shape[1], n_planes))
-        sig = (vecs @ planes > 0).astype(np.uint8)
-        packed = np.packbits(sig, axis=1)[:, 0].astype(np.int64)
+        sig = (vecs @ planes > 0).astype(np.uint64)
+        packed = (sig @ weights).astype(np.int64)
         return pa.table(
             {id_col: batch[id_col], "bucket": pa.array(packed),
+             "cpart": pa.array((packed % n_parts_eff).astype(np.int32)),
              vec_col: batch[vec_col]}
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        v = np.array(g[vec_col].tolist(), dtype=np.float64)
-        norm = np.linalg.norm(v, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        vn = v / norm
+    def scan_bucket(ids: np.ndarray, vn: np.ndarray, out_a, out_b, out_s):
         m = len(ids)
-        out_a, out_b, out_s = [], [], []
         for i0 in range(0, m, tile):
             vi = vn[i0 : i0 + tile]
             for j0 in range(i0, m, tile):
@@ -1286,13 +1302,67 @@ def embedding_dup_pairs(
                     out_a.append(ids[i0 + ii])
                     out_b.append(ids[j0 + jj])
                     out_s.append(sim[ii, jj])
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64),
+             "b": pd.Series([], dtype=np.int64),
+             "cosine": pd.Series([], dtype=np.float64)}
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(["bucket", id_col], ignore_index=True)
+        buckets = g["bucket"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        v = np.array(g[vec_col].tolist(), dtype=np.float64)
+        norm = np.linalg.norm(v, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        vn_all = v / norm
+        _, starts, counts = np.unique(
+            buckets, return_index=True, return_counts=True
+        )
+        out_a, out_b, out_s = [], [], []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            scan_bucket(
+                ids_all[s : s + c], vn_all[s : s + c], out_a, out_b, out_s
+            )
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
-             "cosine": np.concatenate(out_s)}
+            {"a": np.concatenate(out_a).astype(np.int64),
+             "b": np.concatenate(out_b).astype(np.int64),
+             "cosine": np.concatenate(out_s).astype(np.float64)}
         )
 
+    def pairs_for_seed(plane_seed: int):
+        return (
+            ds.map_batches(
+                lambda b, s=plane_seed: add_sig(b, s),
+                batch_format="pyarrow",
+            )
+            .groupby("cpart")
+            .map_groups(part_pairs, batch_format="pandas")
+        )
+
+    out = pairs_for_seed(plane_seeds[0])
+    if len(plane_seeds) == 1:
+        return out
+    for s in plane_seeds[1:]:
+        out = out.union(pairs_for_seed(s))
+
+    def add_ppart(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ppart",
+            pa.array(_pair_part(t["a"].to_numpy(), t["b"].to_numpy(), 64)),
+        )
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"], ignore_index=True)[
+            ["a", "b", "cosine"]
+        ]
+
     return (
-        ds.map_batches(lambda b: add_sig(b, seed), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        out.map_batches(add_ppart, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(drop_dup, batch_format="pandas")
     )

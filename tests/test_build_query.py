@@ -132,6 +132,39 @@ def test_index_server_equals_local(ray_session, index_dir):
         srv.shutdown()
 
 
+def test_index_server_shards_partition_segments(ray_session, index_dir):
+    """Segment shards must PARTITION the index (disjoint, covering) — no
+    actor ever holds another's postings — and the placement options must
+    not change results (SPREAD / placement-group pinning only moves
+    actors between nodes)."""
+    from typesense_ray.query import IndexServer, segment_dirs
+
+    srv = IndexServer(index_dir, num_actors=3, placement="spread")
+    try:
+        flat = [d for shard in srv.shards for d in shard]
+        assert len(flat) == len(set(flat))  # disjoint — never replicated
+        assert set(flat) == set(segment_dirs(index_dir))  # covering
+        got = srv.search("quasar", k=5)
+        assert got.num_rows > 0
+    finally:
+        srv.shutdown()
+
+    from ray.util.placement_group import placement_group, remove_placement_group
+
+    pg = placement_group([{"CPU": 1}] * 2, strategy="PACK")
+    try:
+        srv2 = IndexServer(index_dir, num_actors=2, placement=pg)
+        try:
+            srv2.warmup()
+            assert srv2.search("quasar", k=5)["doc_id"].to_pylist() == got[
+                "doc_id"
+            ].to_pylist()[:5]
+        finally:
+            srv2.shutdown()
+    finally:
+        remove_placement_group(pg)
+
+
 def test_resume_skips_complete_segments(ray_session, corpus, index_dir):
     import ray.data as rd
 

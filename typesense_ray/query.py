@@ -683,7 +683,23 @@ class IndexServer:
         index_dir: str,
         num_actors: int | None = None,
         preload: bool = True,
+        placement=None,
     ):
+        """``placement`` controls multi-node actor scheduling:
+
+        * ``None`` — Ray's default placement (single-node testing).
+        * ``"spread"`` — ``scheduling_strategy="SPREAD"``: actors land on
+          distinct nodes where possible, so each node loads only its own
+          DISJOINT segment shard's postings (once per node, not once per
+          actor piled on one box).
+        * a ``ray.util.placement_group`` handle — actors are pinned to the
+          group's bundles round-robin (bundle i ← actor i % n_bundles),
+          for explicit co-location with other pools.
+
+        Shard assignment itself is always a partition — ``self.shards``
+        are pairwise disjoint and union to every segment — so no posting
+        list is ever resident twice regardless of placement.
+        """
         import ray
 
         self.index_dir = index_dir
@@ -699,15 +715,36 @@ class IndexServer:
                 min(len(dirs), int(ray.cluster_resources().get("CPU", 4)) // 2, 8),
             )
         shards = [dirs[i::num_actors] for i in range(num_actors)]
-        shards = [s for s in shards if s]
+        self.shards = [s for s in shards if s]
         self._actor_cls = ray.remote(num_cpus=1)(_SegmentGroup)
         self.actors = [
-            self._actor_cls.remote(index_dir, shard, preload) for shard in shards
+            self._actor_cls.options(
+                **self._placement_opts(placement, i)
+            ).remote(index_dir, shard, preload)
+            for i, shard in enumerate(self.shards)
         ]
         self._df_cache: dict[str, int] = (
             load_global_df(index_dir) if preload else {}
         )
         self._df_all = preload
+
+    @staticmethod
+    def _placement_opts(placement, actor_index: int) -> dict:
+        if placement is None:
+            return {}
+        if placement == "spread":
+            return {"scheduling_strategy": "SPREAD"}
+        from ray.util.scheduling_strategies import (
+            PlacementGroupSchedulingStrategy,
+        )
+
+        n_bundles = len(placement.bundle_specs)
+        return {
+            "scheduling_strategy": PlacementGroupSchedulingStrategy(
+                placement_group=placement,
+                placement_group_bundle_index=actor_index % n_bundles,
+            )
+        }
 
     def _dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]

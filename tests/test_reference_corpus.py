@@ -190,26 +190,25 @@ def test_typo_token_ranked_by_score_and_frequency(ref_coll):
 def test_text_containing_an_actual_typo(ref_coll):
     # CollectionTest.TextContainingAnActualTypo (:406-436): the query
     # token ISX exists in one doc; correction to ISS must still happen.
-    # found counts match the reference exactly (same candidate caps and
-    # drop-token union). Ranking diverges in ONE documented way: the
-    # reference's trie walk scores the shorter-by-one candidate "is"
-    # below "iss" (its output groups every iss-doc above every is-doc
-    # even when points say otherwise, e.g. id21 pts 7 over id4 pts 13 —
-    # not derivable from its documented (words, 255-cost, distance)
-    # packing since both candidates sit in the same cost-1 level).
-    # This engine scores both at their true OSA cost 1, so the
-    # conjunctive what+is doc ranks by its better proximity and the
-    # singles rank by points.
+    # Both golden orders reproduce EXACTLY (up to the documented seq-id
+    # tie-break divergence) once the reference's length-mismatch scoring
+    # penalty is modelled (next_suggestion, src/index.cpp:2040-2042):
+    # the shorter-by-one candidate "is" scores one cost level below the
+    # same-length substitution "iss", which is why every iss-doc ranks
+    # above every is-doc even when points disagree (id21 pts 7 over
+    # id4 pts 13).
     r = ref_coll.search("ISX what", mode="reference", num_typos=1,
                         per_page=4)
     assert r["found"] == 13
-    assert ids(r) == ["8", "19", "6", "21"]
+    assert ids(r) == ["19", "6", "21", "8"]  # the reference's own golden
 
     r = ref_coll.search("ISX", mode="reference", num_typos=1, per_page=10)
     assert r["found"] == 8
-    # all single-token cost-1 matches -> points desc, ties set-asserted
+    # reference golden {20,19,6,3,21,4,10,8}: {6,3} tie on
+    # (score, points 13) and {10,8} on (score, points 12) — seq-id
+    # tie-break groups; everything else exact
     assert_groups(
-        ids(r), [["20"], ["19"], ["6", "3", "4"], ["10", "8"], ["21"]]
+        ids(r), [["20"], ["19"], ["6", "3"], ["21"], ["4"], ["10", "8"]]
     )
 
 

@@ -482,9 +482,10 @@ class RayCollection:
                     pl, num_typos=num_typos, prefix_last=prefix,
                     order=order, field=f,
                 )
-                vs = [(t, c, pp) for t, c in exp] if exp else [(pl, 0, pp)]
+                vs = ([(t, c, pp, sc) for t, c, sc in exp] if exp
+                      else [(pl, 0, pp, 0)])
             else:
-                vs = [(pl, 0, pp)]
+                vs = [(pl, 0, pp, 0)]
             for v in vs:
                 key = (tuple(v[0]), v[1], v[2])
                 if key not in seen:
@@ -502,20 +503,20 @@ class RayCollection:
         foreign to a field simply finds no postings there). Dedup keeps
         the lowest cost per term-list."""
         order = "max_score" if token_order == "max_score" else "common"
-        best: dict[tuple, int] = {}
+        best: dict[tuple, tuple[int, int]] = {}
         ordered: list[tuple] = []
         for f in exp_fields:
-            for t, c in self.typo_resolver.expand_query(
+            for t, c, sc in self.typo_resolver.expand_query(
                 tokens, num_typos=num_typos, prefix_last=prefix,
                 order=order, field=f,
             ):
                 key = tuple(t)
                 if key not in best:
                     ordered.append(key)
-                    best[key] = c
-                elif c < best[key]:
-                    best[key] = c
-        return [(list(k), best[k]) for k in ordered]
+                    best[key] = (c, sc)
+                elif (c, sc) < best[key]:
+                    best[key] = (c, sc)
+        return [(list(k), *best[k]) for k in ordered]
 
     # -- main entry --------------------------------------------------------
 
@@ -555,6 +556,15 @@ class RayCollection:
         max_hits: int = 250,
     ) -> dict:
         per_page = min(per_page, PER_PAGE_MAX)
+        # weights must pair 1:1 with query_by fields
+        # (src/collection.cpp:585-590; CollectionTest.FieldWeightsNotProper)
+        if query_by_weights:
+            n_fields = len(query_by) if query_by else 1
+            if len(query_by_weights) != n_fields:
+                raise ValueError(
+                    "Number of weights in `query_by_weights` does not "
+                    "match number of `query_by` fields."
+                )
         if group_by and not 1 <= group_limit <= GROUP_LIMIT_MAX:
             raise ValueError(
                 f"Value of `group_limit` must be between 1 and "
@@ -588,10 +598,12 @@ class RayCollection:
         exp_fields = [
             None if f == _primary else f for f in (query_by or [_primary])
         ]
-        # variants are (terms, cost, original-query-positions); positions
-        # feed the reference's per-match token_bits (src/index.cpp:2037)
-        variants: list[tuple[list[str], int, tuple[int, ...]]] = [
-            (include, 0, tuple(range(len(include))))
+        # variants are (terms, cost, original-query-positions, score_cost);
+        # positions feed the reference's per-match token_bits
+        # (src/index.cpp:2037); score_cost adds the reference's
+        # length-mismatch penalty (next_suggestion, src/index.cpp:2040)
+        variants: list[tuple[list[str], int, tuple[int, ...], int]] = [
+            (include, 0, tuple(range(len(include))), 0)
         ]
         pruned_by_field: dict = {
             f: (include, tuple(range(len(include)))) for f in exp_fields
@@ -613,10 +625,11 @@ class RayCollection:
                     )
                     if exp_syn:
                         variants += [
-                            (t, c, tuple(range(len(t)))) for t, c in exp_syn
+                            (t, c, tuple(range(len(t))), sc)
+                            for t, c, sc in exp_syn
                         ]
                         continue
-                variants.append((v, 0, tuple(range(len(v)))))
+                variants.append((v, 0, tuple(range(len(v))), 0))
 
         # malformed filters yield ZERO hits rather than an error on the
         # search path (the reference swallows unknown fields and
@@ -758,12 +771,12 @@ class RayCollection:
                         field=f,
                     )
                     drop_vars = (
-                        [(t, c, tpos) for t, c in exp2]
+                        [(t, c, tpos, sc) for t, c, sc in exp2]
                         if exp2
-                        else [(truncated, 0, tpos)]
+                        else [(truncated, 0, tpos, 0)]
                     )
                 else:
-                    drop_vars = [(truncated, 0, tpos)]
+                    drop_vars = [(truncated, 0, tpos, 0)]
                 fallback_used = True
                 used_variants += drop_vars
                 for si, seg in enumerate(self.segments):
@@ -785,7 +798,7 @@ class RayCollection:
         # typo/prefix/synonym matches get marked, not just verbatim
         # query tokens — and skipped cost levels don't leak in)
         highlight_terms = sorted(
-            {t for terms, _, _ in used_variants for t in terms if t != "*"}
+            {t for terms, *_ in used_variants for t in terms if t != "*"}
         )
 
         # hidden/pinned curation
@@ -1000,11 +1013,15 @@ class RayCollection:
                 else None
             )
             acc: np.ndarray | None = None
+            # exclude tokens ban the doc if present in ANY queried field
+            pexcl = [
+                (t if f == primary else f + FIELD_SEP + t)
+                for f in fields for t in exclude
+            ]
             for field in fields:
                 pref = (lambda t: t) if field == primary else (
                     lambda t, f=field: f + FIELD_SEP + t
                 )
-                pexcl = [pref(e) for e in exclude]
                 if token_terms_variants is None:
                     cand = None
                     for inc in variants:
@@ -1099,14 +1116,14 @@ class RayCollection:
         concatenated (cand, score) arrays — no per-candidate Python loop
         either way."""
         parts: list[tuple[np.ndarray, np.ndarray]] = []
-        for terms, cost, _pos in variants:
+        for terms, _cost, _pos, scost in variants:
             cand, post = seg.candidates(terms, exclude, mask, True)
             if cand.size == 0:
                 continue
             if mode == "bm25":
                 scores = self._score_bm25(seg, cand, post, terms)
             else:
-                scores = self._score_reference(seg, cand, post, terms, cost)
+                scores = self._score_reference(seg, cand, post, terms, scost)
             parts.append((cand.astype(np.int64), scores.astype(np.float64)))
         if not parts:
             return {"cand": np.empty(0, np.int64),
@@ -1143,6 +1160,14 @@ class RayCollection:
         where token coverage is already idf/tf-weighted."""
         primary = self.stats["config"]["text_field"]
         ref_multi = mode != "bm25" and len(fields) > 1
+        # an excluded token bans the doc if it appears in ANY query_by
+        # field, not just the one being evaluated (the reference resolves
+        # exclude tokens across every search field before scoring,
+        # CollectionTest.MultiFieldRelevance's "-downie" case)
+        all_excl = [
+            (t if f == primary else f + FIELD_SEP + t)
+            for f in fields for t in exclude
+        ]
         fld_fis: list[int] = []
         fld_cands: list[np.ndarray] = []
         fld_scores: list[np.ndarray] = []
@@ -1163,16 +1188,15 @@ class RayCollection:
             parts: list[tuple[np.ndarray, np.ndarray]] = []
             part_bits: list[np.ndarray] = []
             part_vidx: list[np.ndarray] = []
-            for vi, (terms, cost, positions) in enumerate(variants):
+            for vi, (terms, _cost, positions, scost) in enumerate(variants):
                 pterms = terms if terms == ["*"] else [pref(t) for t in terms]
-                pexcl = [pref(e) for e in exclude]
-                cand, post = seg.candidates(pterms, pexcl, mask, True)
+                cand, post = seg.candidates(pterms, all_excl, mask, True)
                 if cand.size == 0:
                     continue
                 if mode == "bm25":
                     scores = self._score_bm25(seg, cand, post, pterms, dl_col, avgdl)
                 else:
-                    scores = self._score_reference(seg, cand, post, pterms, cost)
+                    scores = self._score_reference(seg, cand, post, pterms, scost)
                 parts.append(
                     (cand.astype(np.int64), scores.astype(np.float64))
                 )
@@ -1720,7 +1744,9 @@ def highlight_text(
         normed[i] = nt
         if nt and nt in qset:
             matched_idx.append(i)
-            raw_tok = re.sub(r"[^0-9A-Za-z]", "", raw)
+            # keep unicode letters — accented originals are reported
+            # verbatim ("à", CollectionTest.HighlightWithAccentedCharacters)
+            raw_tok = re.sub(r"[\W_]", "", raw)
             if raw_tok and raw_tok not in matched_tokens:
                 matched_tokens.append(raw_tok)
     if not matched_idx:

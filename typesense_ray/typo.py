@@ -375,28 +375,44 @@ class TypoResolver:
         combination_limit: int = 10,
         order: str = "common",
         field: str | None = None,
-    ) -> list[tuple[list[str], int]]:
-        """Query variants as (term-list, total_cost), best (lowest total
-        cost) first — the reference's cost-combination cartesian loop
-        (``src/index.cpp:1673-1755``) flattened into an ordered variant
-        list capped at ``combination_limit``. ``field`` scopes candidate
-        lookup to a secondary field's vocabulary (bare terms returned)."""
+    ) -> list[tuple[list[str], int, int]]:
+        """Query variants as (term-list, total_cost, score_cost), best
+        (lowest total cost) first — the reference's cost-combination
+        cartesian loop (``src/index.cpp:1673-1755``) flattened into an
+        ordered variant list capped at ``combination_limit``.
+        ``score_cost`` adds +1 per matched term whose LENGTH differs from
+        its query token (prefix expansions and insert/delete typo
+        neighbours) — the reference penalizes those at scoring time but
+        not at candidate selection (``next_suggestion``,
+        ``src/index.cpp:2040-2042``: ``key_len != token_size+1`` →
+        ``total_cost++``), which is what ranks an exact 'roti' hit above
+        a prefix-expanded 'rotini' one
+        (CollectionTest.PrefixRankedAfterExactMatch). ``field`` scopes
+        candidate lookup to a secondary field's vocabulary (bare terms
+        returned)."""
         from typesense_ray.index_build import FIELD_SEP
 
         pre = field + FIELD_SEP if field else ""
-        per_token: list[list[tuple[str, int]]] = []
+        per_token: list[list[tuple[str, int, int]]] = []
         for i, tok in enumerate(tokens):
             if prefix_last and i == len(tokens) - 1:
-                cands = [(t, 0)
+                cands = [(t, 0, 0 if len(t) == len(tok) else 1)
                          for t in self.prefix(tok, order=order, field=field)]
                 if not cands:
-                    cands = self.fuzzy(tok, num_typos, order=order,
-                                       field=field)
+                    cands = [
+                        (t, c, c + (0 if len(t) == len(tok) else 1))
+                        for t, c in self.fuzzy(tok, num_typos, order=order,
+                                               field=field)
+                    ]
             elif num_typos > 0:
-                cands = self.fuzzy(tok, num_typos, order=order, field=field)
+                cands = [
+                    (t, c, c + (0 if len(t) == len(tok) else 1))
+                    for t, c in self.fuzzy(tok, num_typos, order=order,
+                                           field=field)
+                ]
             else:
                 cands = (
-                    [(tok, 0)] if (pre + tok) in self._term_index else []
+                    [(tok, 0, 0)] if (pre + tok) in self._term_index else []
                 )
             if not cands:
                 return []  # a token with no candidates → no conjunctive hit
@@ -409,6 +425,8 @@ class TypoResolver:
             terms = [c[0] for c in combo]
             if len(set(terms)) < len(terms):
                 continue  # two query tokens mapping to the same term
-            variants.append((terms, sum(c[1] for c in combo)))
-        variants.sort(key=lambda v: v[1])
+            variants.append(
+                (terms, sum(c[1] for c in combo), sum(c[2] for c in combo))
+            )
+        variants.sort(key=lambda v: (v[1], v[2]))
         return variants[:combination_limit]

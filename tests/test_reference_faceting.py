@@ -379,3 +379,42 @@ def test_facet_count_on_similar_strings(ray_session, tmp_path):
                     facet_by="categories")
     assert r["found"] == 2
     assert counts_of(r) == {"England in India": 1, "India in England": 1}
+
+
+def test_facet_field_string_filtering(ray_session, tmp_path):
+    # CollectionFacetingTest.FacetFieldStringFiltering (:21-95): `:=` on a
+    # string field matches the WHOLE value verbatim (tokenized equality —
+    # single tokens and typo'd tokens must NOT match), while `:` is a
+    # containment filter satisfied by any token
+    from typesense_ray.collection import CollectionRegistry
+    from typesense_ray.validate import FieldSpec
+
+    reg = CollectionRegistry(root=str(tmp_path))
+    coll = reg.create_collection(
+        "coll_str",
+        [FieldSpec("title", "string"),
+         FieldSpec("starring", "string", facet=True),
+         FieldSpec("cast", "string[]"),
+         FieldSpec("points", "int32")],
+        "points",
+    )
+    summary, _ = coll.add_many(
+        [line.strip() for line in open(MUL_JSONL) if line.strip()]
+    )
+    assert summary["num_imported"] == 18
+
+    def found(filter_by):
+        return coll.search("*", mode="reference", facet_by="starring",
+                           filter_by=filter_by)["found"]
+
+    # exact filter fails on a single token of a multi-token value
+    assert found("starring:= samuel") == 0
+    # ... and with a typo in one token
+    assert found("starring:= ssamuel l. Jackson") == 0
+    # verbatim value matches
+    assert found("starring:= samuel l. Jackson") == 2
+    # contains filter works per token
+    assert found("starring: jackson") == 2
+    assert found("starring: samuel") == 2
+    # contains passes when only one token matches
+    assert found("starring: samuel johnson") == 2

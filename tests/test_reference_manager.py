@@ -117,3 +117,167 @@ def test_restore_records_on_restart(ray_session, tmp_path):
         reg2.get("collection1")
     with pytest.raises(KeyError):
         reg2.get("c1")
+
+
+# -- registry lifecycle ports (collection_manager_test.cpp) ----------------
+
+
+def test_collection_creation(ray_session, tmp_path):
+    # CollectionManagerTest.CollectionCreation (:48-92): id assignment,
+    # facet-field extraction, meta round-trip through the manifest
+    from typesense_ray.validate import FieldSpec
+
+    reg = CollectionRegistry(root=str(tmp_path))
+    fields = [
+        FieldSpec("title", "string"),
+        FieldSpec("starring", "string"),
+        FieldSpec("cast", "string[]", facet=True, optional=True),
+        FieldSpec("points", "int32"),
+    ]
+    c1 = reg.create_collection("collection1", fields, "points",
+                               created_at=12345)
+    assert reg.get_collection("collection1") is c1
+    assert c1.collection_id == 0
+    assert [f.name for f in c1.fields if f.facet] == ["cast"]
+    assert c1.default_sorting_field == "points"
+    assert reg.get_next_collection_id() == 1
+
+    summary = c1.get_summary_json()
+    assert summary["created_at"] == 12345
+    assert summary["default_sorting_field"] == "points"
+    assert summary["fields"] == [
+        {"name": "title", "type": "string", "facet": False,
+         "optional": False},
+        {"name": "starring", "type": "string", "facet": False,
+         "optional": False},
+        {"name": "cast", "type": "string[]", "facet": True,
+         "optional": True},
+        {"name": "points", "type": "int32", "facet": False,
+         "optional": False},
+    ]
+    assert reg.collection_meta("collection1") == {
+        "id": 0, "created_at": 12345
+    }
+
+
+def test_should_init_collection(ray_session, tmp_path):
+    # CollectionManagerTest.ShouldInitCollection (:94-119): rebuild a
+    # collection object from persisted meta; created_at defaults to 0
+    reg = CollectionRegistry(root=str(tmp_path))
+    meta = {
+        "name": "foobar", "id": 100,
+        "fields": [{"name": "org", "type": "string", "facet": False}],
+        "default_sorting_field": "",
+    }
+    coll = reg.init_collection(meta)
+    assert coll.name == "foobar"
+    assert coll.collection_id == 100
+    assert len(coll.fields) == 1
+    assert coll.created_at == 0
+
+    coll = reg.init_collection({**meta, "created_at": 12345})
+    assert coll.created_at == 12345
+
+
+def test_get_all_collections(ray_session, tmp_path):
+    # CollectionManagerTest.GetAllCollections (:121-136): most recently
+    # created first
+    from typesense_ray.validate import FieldSpec
+
+    reg = CollectionRegistry(root=str(tmp_path))
+    fields = [FieldSpec("title", "string"), FieldSpec("points", "int32")]
+    reg.create_collection("collection1", fields, "points")
+    assert [c.name for c in reg.get_collections()] == ["collection1"]
+
+    reg.create_collection("collection2", fields, "points")
+    assert [c.name for c in reg.get_collections()] == [
+        "collection2", "collection1"
+    ]
+    reg.drop_collection("collection2")
+
+
+def test_drop_collection_cleanly(ray_session, tmp_path):
+    # CollectionManagerTest.DropCollectionCleanly (:273-304): after the
+    # drop the name resolves to nothing and the next collection id is
+    # NOT reused
+    import json as _json
+
+    from typesense_ray.validate import FieldSpec
+
+    reg = CollectionRegistry(root=str(tmp_path))
+    fields = [
+        FieldSpec("title", "string"),
+        FieldSpec("starring", "string"),
+        FieldSpec("cast", "string[]", facet=True, optional=True),
+        FieldSpec("points", "int32"),
+    ]
+    coll = reg.create_collection("collection1", fields, "points")
+    coll.add_many([_json.loads(line) for line in open(MUL_JSONL)])
+
+    assert reg.get_collection_with_id(0) is not None
+    assert reg.get_collection("collection1") is not None
+
+    reg.drop_collection("collection1")
+    assert reg.get_collection("collection1") is None
+    assert reg.get_collection_with_id(0) is None
+    assert reg.get_next_collection_id() == 1
+
+
+def test_symlinking(ray_session, tmp_path):
+    # CollectionManagerTest.Symlinking (:306-391)
+    from typesense_ray.validate import FieldSpec
+
+    reg = CollectionRegistry(root=str(tmp_path))
+    fields = [FieldSpec("title", "string"), FieldSpec("points", "int32")]
+    reg.create_collection("collection1", fields, "points")
+
+    # resolving on a blank slate → not found
+    with pytest.raises(KeyError):
+        reg.resolve_symlink("collection")
+    assert reg.get_symlinks() == {}
+
+    # symlink name cannot shadow an existing collection
+    with pytest.raises(ValueError) as ei:
+        reg.upsert_symlink("collection1", "collection_2018")
+    assert str(ei.value) == (
+        "Name `collection1` conflicts with an existing collection name."
+    )
+
+    # insert (dangling target is fine)
+    reg.upsert_symlink("collection_link", "collection_2018")
+    assert reg.resolve_symlink("collection_link") == "collection_2018"
+
+    reg.upsert_symlink("company", "company_2018")
+    assert reg.resolve_symlink("company") == "company_2018"
+    assert len(reg.get_symlinks()) == 2
+
+    # update existing symlink
+    reg.upsert_symlink("company", "company_2019")
+    assert reg.resolve_symlink("company") == "company_2019"
+
+    # add and re-point a symlink against an existing collection
+    reg.upsert_symlink("collection1_link", "collection1")
+    assert reg.resolve_symlink("collection1_link") == "collection1"
+    assert reg.get("collection1_link") is reg.get_collection("collection1")
+    reg.upsert_symlink("collection1_link", "collection2")
+    assert reg.resolve_symlink("collection1_link") == "collection2"
+
+    # remove a link
+    reg.delete_symlink("collection_link")
+    with pytest.raises(KeyError):
+        reg.resolve_symlink("collection_link")
+
+    # restore state via save/load
+    reg.upsert_symlink("company_1", "company_2018")
+    reg.upsert_symlink("company_2", "company_2019")
+    reg.upsert_symlink("company_3", "company_2020")
+    # drop the collection so the manifest holds only symlink state
+    reg.drop_collection("collection1")
+    manifest = str(tmp_path / "registry.json")
+    reg.save(manifest)
+
+    reg2 = CollectionRegistry.load(manifest)
+    assert reg2.resolve_symlink("company") == "company_2019"
+    assert reg2.resolve_symlink("company_1") == "company_2018"
+    assert reg2.resolve_symlink("company_3") == "company_2020"
+    assert reg2.get_next_collection_id() == 1

@@ -200,3 +200,16 @@ def test_delete_and_upsert_duplication_of_synonyms():
     syn.remove_synonym("samsung-synonyms")
     assert syn.get_synonyms() == {}
     assert syn.expand(["s3", "smartphone"]) == []
+
+
+def test_synonym_json_serialization():
+    # CollectionSynonymsTest.SynonymJsonSerialization: the view JSON
+    # carries the id, the space-joined root tokens and each synonym's
+    # space-joined token string
+    syn = SynonymIndex()
+    syn.add_json({"id": "ipod-synonyms", "root": "apple ipod",
+                  "synonyms": ["ipod", "i pod", "pod"]})
+    obj = syn.to_json()[0]
+    assert obj["id"] == "ipod-synonyms"
+    assert obj["root"] == "apple ipod"
+    assert obj["synonyms"] == ["ipod", "i pod", "pod"]

@@ -123,8 +123,15 @@ def test_registry_aliases(coll):
     reg.drop_alias("live")
     with pytest.raises(KeyError):
         reg.get("live")
+    # reference symlink semantics (collection_manager_test.cpp:306-391):
+    # dangling targets are fine; lookup through one raises until the
+    # target appears; the alias NAME must not shadow a collection
+    reg.upsert_alias("x", "missing")
+    assert reg.resolve_symlink("x") == "missing"
     with pytest.raises(KeyError):
-        reg.upsert_alias("x", "missing")
+        reg.get("x")
+    with pytest.raises(ValueError):
+        reg.upsert_alias("products", "anything")
 
 
 def test_numeric_sorted_index_matches_compare_path():

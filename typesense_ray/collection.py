@@ -301,11 +301,19 @@ class RayCollection:
         self._token_caches = [StringTokenCache() for _ in self.segments]
         # sorted numeric sidecars (num_tree role) per segment, built lazily
         self._num_caches = [NumericIndexCache() for _ in self.segments]
+        # per-field GLOBAL filter-token vocabulary (the ART-leaf-exists
+        # probe of src/index.cpp:1036-1043), built lazily per field
+        self._filter_vocabs: dict[str, frozenset] = {}
         self._typo_resolver = None
         self._avgdl_cache: dict[str, float] = {}
         schema = self.segments[0].docs.schema if self.segments else pa.schema([])
         self.field_types = {
             name: arrow_field_kind(schema.field(name).type) for name in schema.names
+        }
+        self._list_fields = {
+            name for name in schema.names
+            if pa.types.is_list(schema.field(name).type)
+            or pa.types.is_large_list(schema.field(name).type)
         }
         # default sorting field validation mirrors the reference's
         # create_collection errors (test/collection_sorting_test.cpp:
@@ -362,6 +370,28 @@ class RayCollection:
             return int(raw)
         except ValueError:
             return None
+
+    def _string_filter_vocab(self, field: str) -> frozenset:
+        """Union of a string field's normalized tokens across ALL
+        segments — the global term-exists probe for filter-token
+        skipping (see :func:`~typesense_ray.filtering.eval_filters`).
+        Tokenization reuses the per-segment caches the contains-filter
+        path builds anyway, so this adds one set-union per field per
+        collection lifetime."""
+        vocab = self._filter_vocabs.get(field)
+        if vocab is None:
+            s: set[str] = set()
+            for si, seg in enumerate(self.segments):
+                toks = self._token_caches[si].get(seg.docs, field)
+                if toks and isinstance(toks[0], list):
+                    for row in toks:
+                        for tup in row:
+                            s.update(tup)
+                else:
+                    for tup in toks:
+                        s.update(tup)
+            vocab = self._filter_vocabs[field] = frozenset(s)
+        return vocab
 
     @property
     def typo_resolver(self):
@@ -555,7 +585,17 @@ class RayCollection:
         query_by_weights: list[int] | None = None,
         max_hits: int = 250,
     ) -> dict:
-        per_page = min(per_page, PER_PAGE_MAX)
+        # window validation errors mirror the reference's 422 Options
+        # (src/collection.cpp:532-543; CollectionTest.
+        # KeywordQueryReturnsResultsBasedOnPerPageParam)
+        if per_page > PER_PAGE_MAX:
+            raise ValueError(
+                f"Only upto {PER_PAGE_MAX} hits can be fetched per page."
+            )
+        if page < 1:
+            raise ValueError(
+                "Page must be an integer of value greater than 0."
+            )
         # weights must pair 1:1 with query_by fields
         # (src/collection.cpp:585-590; CollectionTest.FieldWeightsNotProper)
         if query_by_weights:
@@ -674,15 +714,39 @@ class RayCollection:
                 )
         group_fields = [f.strip() for f in group_by.split(",") if f.strip()]
         sort_fields = parse_sort_by(sort_by)
+        # explicit sort fields must be single-valued numerical schema
+        # fields — the reference's sort_schema holds only those, so array
+        # fields, strings and unknown names all yield the same 404
+        # (CollectionTest.SearchingWithMissingFields)
+        for sf in sort_fields:
+            if sf.name == "_text_match" or not self.segments:
+                continue  # an empty index has no schema to validate against
+            if (sf.name not in self.field_types
+                    or self.field_types[sf.name] not in ("int", "float")
+                    or sf.name in self._list_fields):
+                raise ValueError(
+                    f"Could not find a field named `{sf.name}` in the "
+                    f"schema for sorting."
+                )
         if not sort_fields:
             sort_fields = [SortField("_text_match", True)]
             if self.default_sorting_field:
                 sort_fields.append(SortField(self.default_sorting_field, True))
 
-        if query_by:
+        if query_by and self.segments:
             primary = self.stats["config"]["text_field"]
             indexed = set(self.stats["config"].get("indexed_fields") or ())
             for f in query_by:
+                # reference 404/400 Options (src/collection.cpp:551-563;
+                # CollectionTest.SearchingWithMissingFields)
+                if f not in self.field_types and f != primary:
+                    raise ValueError(
+                        f"Could not find a field named `{f}` in the schema."
+                    )
+                if self.field_types.get(f, "str") != "str":
+                    raise ValueError(
+                        f"Field `{f}` should be a string or a string array."
+                    )
                 if f != primary and f not in indexed:
                     raise KeyError(
                         f"query_by field {f!r} is not indexed "
@@ -714,7 +778,8 @@ class RayCollection:
         masks = [
             (
                 eval_filters(seg.docs, clauses, self.field_types,
-                             self._token_caches[si], self._num_caches[si])
+                             self._token_caches[si], self._num_caches[si],
+                             vocab_fn=self._string_filter_vocab)
                 if clauses
                 else None
             )
@@ -1008,7 +1073,8 @@ class RayCollection:
         for si, seg in enumerate(self.segments):
             mask = (
                 eval_filters(seg.docs, clauses, self.field_types,
-                             self._token_caches[si], self._num_caches[si])
+                             self._token_caches[si], self._num_caches[si],
+                             vocab_fn=self._string_filter_vocab)
                 if clauses
                 else None
             )
@@ -1885,24 +1951,135 @@ def _facet_value_matches(value_tokens, query_tokens) -> bool:
 
 
 class CollectionRegistry:
-    """Named collections + aliases (``src/collection_manager.cpp:423-465``):
+    """Named collections + aliases/symlinks (``src/collection_manager.cpp``):
     an alias resolves to a collection name at lookup time, so swapping the
-    target re-points readers atomically."""
+    target re-points readers atomically. Manager parity
+    (test/collection_manager_test.cpp): collections get monotonically
+    increasing ids (never reused after a drop), ``get_collections`` lists
+    most-recently-created first, a symlink may point at a not-yet-existing
+    collection but its NAME must not shadow an existing collection."""
 
-    def __init__(self):
+    def __init__(self, root: str | None = None):
         self._collections: dict[str, RayCollection] = {}
         self._aliases: dict[str, str] = {}
+        self._meta: dict[str, dict] = {}  # name -> {"id", "created_at"}
+        self._next_collection_id = 0
+        self.root = root
 
-    def register(self, name: str, coll: RayCollection):
+    def register(self, name: str, coll, created_at: int = 0):
+        if name not in self._meta:
+            self._meta[name] = {
+                "id": self._next_collection_id,
+                "created_at": int(created_at),
+            }
+            self._next_collection_id += 1
+        if hasattr(coll, "collection_id"):
+            coll.collection_id = self._meta[name]["id"]
         self._collections[name] = coll
+        return coll
 
-    def upsert_alias(self, alias: str, target: str):
-        if target not in self._collections:
-            raise KeyError(f"no collection named {target!r}")
+    def create_collection(self, name: str, fields,
+                          default_sorting_field: str | None = None, *,
+                          created_at: int = 0, index_dir: str | None = None):
+        """``CollectionManager::create_collection``
+        (src/collection_manager.cpp:270-330): schema validation + id
+        assignment. ``fields`` is a list of
+        :class:`~typesense_ray.validate.FieldSpec`."""
+        from typesense_ray.manager import DocumentError, ManagedCollection
+
+        if name in self._collections:
+            raise DocumentError(
+                409, f"A collection with name `{name}` already exists."
+            )
+        if index_dir is None:
+            if self.root is None:
+                raise ValueError(
+                    "pass index_dir or construct the registry with root="
+                )
+            index_dir = f"{self.root}/{name}"
+        coll = ManagedCollection(
+            name, index_dir, fields, default_sorting_field,
+            created_at=created_at,
+        )
+        return self.register(name, coll, created_at=created_at)
+
+    def init_collection(self, meta: dict):
+        """Rebuild an (unregistered) collection object from its persisted
+        meta JSON (``CollectionManager::init_collection``) — ``created_at``
+        defaults to 0 when absent."""
+        from typesense_ray.manager import ManagedCollection
+        from typesense_ray.validate import FieldSpec
+
+        fields = [
+            FieldSpec(f["name"], f["type"], facet=bool(f.get("facet")),
+                      optional=bool(f.get("optional")))
+            for f in meta["fields"]
+        ]
+        coll = ManagedCollection(
+            meta["name"],
+            f"{self.root or '.'}/{meta['name']}",
+            fields,
+            meta.get("default_sorting_field") or None,
+            created_at=meta.get("created_at", 0),
+        )
+        coll.collection_id = meta.get("id")
+        return coll
+
+    # -- lookups ---------------------------------------------------------
+
+    def get_collection(self, name: str):
+        """Manager-style lookup: resolves aliases, returns None when
+        missing (``CollectionManager::get_collection``)."""
+        name = self._aliases.get(name, name)
+        return self._collections.get(name)
+
+    def get_collection_with_id(self, cid: int):
+        for name, m in self._meta.items():
+            if m["id"] == cid and name in self._collections:
+                return self._collections[name]
+        return None
+
+    def get_collections(self) -> list:
+        """Most recently created first
+        (CollectionManagerTest.GetAllCollections)."""
+        names = sorted(
+            (n for n in self._collections),
+            key=lambda n: -self._meta[n]["id"],
+        )
+        return [self._collections[n] for n in names]
+
+    def get_next_collection_id(self) -> int:
+        return self._next_collection_id
+
+    def collection_meta(self, name: str) -> dict | None:
+        return self._meta.get(name)
+
+    # -- symlinks / aliases ------------------------------------------------
+
+    def upsert_symlink(self, alias: str, target: str):
+        """Dangling targets are allowed; the alias NAME must not shadow a
+        collection (CollectionManagerTest.Symlinking)."""
+        if alias in self._collections:
+            raise ValueError(
+                f"Name `{alias}` conflicts with an existing collection "
+                f"name."
+            )
         self._aliases[alias] = target
+
+    upsert_alias = upsert_symlink
+
+    def resolve_symlink(self, alias: str) -> str:
+        if alias not in self._aliases:
+            raise KeyError(f"Not found: {alias}")
+        return self._aliases[alias]
+
+    def get_symlinks(self) -> dict[str, str]:
+        return dict(self._aliases)
 
     def drop_alias(self, alias: str):
         self._aliases.pop(alias, None)
+
+    delete_symlink = drop_alias
 
     def get(self, name: str) -> RayCollection:
         name = self._aliases.get(name, name)
@@ -1914,11 +2091,14 @@ class CollectionRegistry:
     def drop(self, name: str):
         """Drop a collection from the registry (the index dirs stay on
         disk; ``CollectionManager::drop_collection`` also deletes rows,
-        which here is the owner's rm -rf of the index_dir)."""
+        which here is the owner's rm -rf of the index_dir). The next
+        collection id is NOT reused, and symlinks survive — they may
+        dangle until the name is recreated
+        (CollectionManagerTest.DropCollectionCleanly)."""
         self._collections.pop(name, None)
-        self._aliases = {
-            a: t for a, t in self._aliases.items() if t != name
-        }
+        self._meta.pop(name, None)
+
+    drop_collection = drop
 
     # -- persistence (CollectionManager::load role,
     # test/collection_manager_test.cpp:138-271: a fresh manager restores
@@ -1929,10 +2109,16 @@ class CollectionRegistry:
         curation state. Index data itself is already durable parquet."""
         import json as _json
 
-        state = {"collections": {}, "aliases": dict(self._aliases)}
+        state = {
+            "collections": {},
+            "aliases": dict(self._aliases),
+            "meta": self._meta,
+            "next_collection_id": self._next_collection_id,
+        }
         for name, coll in self._collections.items():
             state["collections"][name] = {
-                "index_dir": coll._local.index_dir,
+                "index_dir": getattr(coll, "index_dir", None)
+                or coll._local.index_dir,
                 "default_sorting_field": coll.default_sorting_field,
                 "synonyms": coll.synonyms.get_synonyms(),
                 "overrides": [
@@ -1981,4 +2167,9 @@ class CollectionRegistry:
                 ),
             )
         reg._aliases = dict(state.get("aliases", {}))
+        if "meta" in state:
+            reg._meta = dict(state["meta"])
+        reg._next_collection_id = int(
+            state.get("next_collection_id", len(reg._collections))
+        )
         return reg

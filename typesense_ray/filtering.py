@@ -222,12 +222,27 @@ def eval_filters(
     field_types: dict[str, str],
     token_cache: StringTokenCache,
     numeric_cache: NumericIndexCache | None = None,
+    vocab_fn=None,
 ) -> np.ndarray:
     """AND of all clauses → boolean mask over the segment's docs. With a
     ``numeric_cache``, scalar numeric clauses take the sorted-sidecar
     range-scan path (sublinear per query after the first build); without
     one (one-shot callers like bulk delete) they fall back to the
-    vectorized full-column compare."""
+    vectorized full-column compare.
+
+    ``vocab_fn(field) -> frozenset`` supplies the field's GLOBAL token
+    vocabulary. The reference ANDs a multi-token string filter value but
+    SKIPS tokens whose ART lookup returns no leaf (src/index.cpp:1036-1043
+    just ``continue``s on a null leaf), so ``starring: samuel johnson``
+    matches every doc containing ``samuel`` when ``johnson`` occurs
+    nowhere in the corpus — and the scalar ``:=`` count check compares
+    the doc's token count against the number of FOUND filter tokens
+    (``query_suggestion.size() == fvalues.size()``, src/index.cpp:1070).
+    Because our evaluation is per-segment, the vocabulary must be global
+    (a token present only in ANOTHER segment still participates in the
+    AND here and correctly matches nothing). Without ``vocab_fn``
+    (one-shot destructive callers like bulk delete) every token
+    participates — strictly-narrower, never deletes more than asked."""
     n = docs.num_rows
     mask = np.ones(n, dtype=bool)
     for clause in clauses:
@@ -276,14 +291,28 @@ def eval_filters(
             toks_per_doc = token_cache.get(docs, clause.field)
             is_array = toks_per_doc and isinstance(toks_per_doc[0], list)
             m = np.zeros(n, dtype=bool)
+            vocab = vocab_fn(clause.field) if vocab_fn is not None else None
             for v, comp in zip(clause.values, clause.comparators):
-                want = norm_tokens(v)
+                want_all = norm_tokens(v)
+                if not want_all:
+                    continue
+                # OOV tokens drop out of the AND (null-leaf skip); a value
+                # with NO in-vocab token matches nothing (strt_ids stays
+                # null in the reference)
+                want = (tuple(t for t in want_all if t in vocab)
+                        if vocab is not None else want_all)
                 if not want:
                     continue
                 wset = set(want)
                 if is_array:
                     if comp == "EQUALS":
-                        mm = [any(t == want for t in row) for row in toks_per_doc]
+                        # the array-exact facet-hash check runs over ALL
+                        # filter tokens incl. OOV ones (str_tokens is
+                        # collected before the leaf probe,
+                        # src/index.cpp:1031-1034), so an OOV token can
+                        # never hash-match any stored element
+                        mm = [any(t == want_all for t in row)
+                              for row in toks_per_doc]
                     else:
                         mm = [
                             wset <= set(t for tup in row for t in tup)
@@ -291,8 +320,9 @@ def eval_filters(
                         ]
                 else:
                     if comp == "EQUALS":
-                        # reference exact check: all tokens present AND token
-                        # count equal (src/index.cpp:1070-1074)
+                        # reference exact check: all FOUND tokens present
+                        # AND doc token count == found-token count
+                        # (src/index.cpp:1070-1074)
                         mm = [
                             len(t) == len(want) and wset <= set(t)
                             for t in toks_per_doc

@@ -21,11 +21,32 @@ import pyarrow as pa
 class FieldSpec:
     """Declared field (reference ``include/field.h:28-98``): name, type in
     {'string','int32','int64','float','bool','string[]','int32[]',
-    'int64[]','float[]','bool[]'}, optional flag."""
+    'int64[]','float[]','bool[]'}, facet + optional flags."""
 
     name: str
     type: str
+    facet: bool = False
     optional: bool = False
+
+
+VALID_FIELD_TYPES = frozenset(
+    {"string", "int32", "int64", "float", "bool",
+     "string[]", "int32[]", "int64[]", "float[]", "bool[]"}
+)
+
+# reference type-mismatch article+noun forms
+# (``src/index.cpp:280-346`` validate_index_in_memory)
+_TYPE_ERR = {
+    "string": "a string", "int32": "an int32", "int64": "an int64",
+    "float": "a float", "bool": "a bool",
+    "string[]": "a string array", "int32[]": "an int32 array",
+    "int64[]": "an int64 array", "float[]": "a float array",
+    "bool[]": "a bool array",
+}
+
+
+def type_error(name: str, ftype: str) -> str:
+    return f"Field `{name}` must be {_TYPE_ERR[ftype]}."
 
 
 _SCALAR_OK = {
@@ -64,7 +85,7 @@ def validate_batch(
                     break
                 continue
             if not _check(v, f.type):
-                errors[i] = f"Field `{f.name}` must be a {f.type}."
+                errors[i] = type_error(f.name, f.type)
                 break
     mask = np.array([e is None for e in errors], dtype=bool)
     valid = batch.filter(pa.array(mask))

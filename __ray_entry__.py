@@ -1071,7 +1071,15 @@ def _augmented_docs(sf_dir: str):
     base = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    ds = base.union(rd.from_arrow(mutated)).materialize()
+    ds = base.union(rd.from_arrow(mutated))
+    # a single-file corpus parquet yields only row-group-many blocks
+    # (4 at 400k rows), which caps every downstream map_batches at
+    # 4-way parallelism; spread once here — the materialized result is
+    # shared by every dedup query for this sf_dir
+    import ray as _ray
+
+    n_cpu = int(_ray.cluster_resources().get("CPU", 8))
+    ds = ds.repartition(2 * n_cpu).materialize()
     _CACHE[dk] = ds
     return ds
 

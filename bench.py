@@ -232,8 +232,16 @@ def main() -> None:
     serving_qps = round(len(queries) / t_serve, 1)
 
     # -- operator pipelines over $GRAFT_SF_DIR ---------------------------
+    # GRAFT_BENCH_OPS (comma-separated) restricts the suite to a subset —
+    # used for the larger-scale bench points where only the throughput-
+    # relevant ops (dedup family, ANN, text) run over a tools/make_sf.py
+    # corpus; the tpch/events ops have no scaled-up input there
     import __ray_entry__ as entrymod
 
+    only = {
+        s.strip() for s in os.environ.get("GRAFT_BENCH_OPS", "").split(",")
+        if s.strip()
+    }
     qs = entrymod.queries()
     for name in [
         "term_df_top50",
@@ -298,6 +306,8 @@ def main() -> None:
         "override_search",
         "facet_query_counts",
     ]:
+        if only and name not in only:
+            continue
         _, dt = timed(qs[name], SF_DIR)
         results[name] = round(dt, 3)
 

@@ -418,3 +418,30 @@ def test_facet_field_string_filtering(ray_session, tmp_path):
     assert found("starring: samuel") == 2
     # contains passes when only one token matches
     assert found("starring: samuel johnson") == 2
+
+
+def test_exact_filter_requires_facet_field(ray_session, tmp_path):
+    # CollectionFacetingTest.FacetFieldStringArrayFiltering (:161-164):
+    # ':=' on a non-facet string field is a 400, not zero hits
+    from typesense_ray.collection import CollectionRegistry
+    from typesense_ray.validate import FieldSpec
+
+    reg = CollectionRegistry(root=str(tmp_path))
+    coll = reg.create_collection(
+        "coll_nf",
+        [FieldSpec("name", "string"),
+         FieldSpec("tags", "string[]", facet=True),
+         FieldSpec("age", "int32")],
+        "age",
+    )
+    coll.add_many([{"name": "Jeremy Howard", "tags": ["gold"], "age": 30}])
+
+    with pytest.raises(ValueError) as ei:
+        coll.search("jeremy", mode="reference", filter_by="name:= Jeremy Howard")
+    assert str(ei.value) == (
+        "To perform exact filtering, filter field `name` must be a facet"
+        " field."
+    )
+    # facet-flagged := still works
+    r = coll.search("jeremy", mode="reference", filter_by="tags:= gold")
+    assert r["found"] == 1

@@ -678,3 +678,36 @@ def test_prune_fields_from_document():
     assert prune_document(doc()) == doc()
     assert prune_document(doc(), {"notfound"}) == {}
     assert prune_document(doc(), (), {"notfound"}) == doc()
+
+
+def test_stateful_remove_docs(ray_session, tmp_path):
+    # CoreAPIUtilsTest.StatefulRemoveDocs (test/core_api_utils_test.cpp:
+    # 36-118): filter-matched deletion counts across successive deletes,
+    # plus the malformed-filter error. The reference drains ids in
+    # batches of 4/5/7 with resumable offsets; our delete is one
+    # parallel pass, so the per-batch waypoints collapse into the same
+    # final counts.
+    reg = CollectionRegistry(root=str(tmp_path))
+    coll = reg.create_collection(
+        "coll1",
+        [FieldSpec("title", "string"), FieldSpec("points", "int32")],
+        "points",
+    )
+    summary, _ = coll.add_many(
+        [{"id": str(i), "title": f"Title {i}", "points": i}
+         for i in range(100)]
+    )
+    assert summary["num_imported"] == 100
+
+    # single document match
+    assert coll.remove_by_filter("points: 99") == 1
+    # match 11 documents (points 0..10)
+    assert coll.remove_by_filter("points:< 11") == 11
+    # match 9 documents (11..19 — 0..10 already gone)
+    assert coll.remove_by_filter("points:< 20") == 9
+    assert coll.num_documents == 79
+
+    # bad filter query
+    with pytest.raises(ValueError) as ei:
+        coll.remove_by_filter("bad filter")
+    assert str(ei.value) == "Could not parse the filter query."

@@ -156,3 +156,24 @@ def test_doc_term_positions_matches_slot_walk(text):
             expected.setdefault(tok, []).append(i)
     assert d == expected
     assert n == sum(1 for t in slots if t)
+
+
+def test_should_normalize_string_vectors():
+    """StringUtilsTest.ShouldNormalizeString (test/string_utils_test.cpp:
+    7-40): the whole-string unicode_normalize vectors, applied per
+    separator slot (our normalize_token is the same Any-Latin;
+    Latin-ASCII; Lower(); drop-non-alnum pipeline — the reference's
+    whole-string variant additionally eats spaces, so multi-word vectors
+    compare against the joined slots)."""
+    from typesense_ray.tokenizer import normalize_token, tokenize
+
+    def norm_join(s):
+        return "".join(tokenize(s, keep_empty=False, normalize=True))
+
+    assert normalize_token("Aa12Zz") == "aa12zz"
+    assert norm_join("Aa12Zz 12A") == "aa12zz12a"
+    assert normalize_token("Aa12Zz@W-_?,.R") == "aa12zzwr"
+    assert normalize_token("abcÅà123ß12") == "abcaa123ss12"
+    assert norm_join("தமிழ் நாடு") == "தமிழ்நாடு"
+    assert normalize_token("你好吗") == "你好吗"
+    assert norm_join("çн தமிழ் நாடு so...") == "cнதமிழ்நாடுso"

@@ -69,7 +69,9 @@ def parse_filter(filter_by: str, field_types: dict[str, str]) -> list[FilterClau
         return clauses
     for block in filter_by.split("&&"):
         if ":" not in block:
-            raise ValueError(f"could not parse filter block {block!r}")
+            # reference 400 Option for a malformed block
+            # (src/collection.cpp:1751)
+            raise ValueError("Could not parse the filter query.")
         fname, raw = block.split(":", 1)
         fname = fname.strip()
         raw = raw.strip()

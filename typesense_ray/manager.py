@@ -380,6 +380,30 @@ class ManagedCollection:
         self._delete_ids([doc_id])
         return True
 
+    def remove_by_filter(self, filter_by: str) -> int:
+        """Delete every doc matching ``filter_by``; returns the number
+        removed. The reference's ``stateful_remove_docs``
+        (``src/core_api.cpp``, test/core_api_utils_test.cpp:36-118)
+        drains the matched id list in small batches to keep its
+        single-threaded event loop responsive; here the whole delete is
+        ONE parallel pass over the affected segments
+        (:func:`~typesense_ray.ops.delete_by_filter`), so no resumable
+        offset state is needed — the observable result (matched docs
+        gone, count reported, malformed filter rejected with the
+        reference's message) is identical."""
+        from typesense_ray.filtering import parse_filter
+        from typesense_ray.ops import delete_by_filter
+
+        s = self.searcher
+        if s is None:
+            return 0
+        # validate up front — the reference's get_filter_ids fails fast
+        parse_filter(filter_by, s.field_types)
+        before = int(s.stats["n_docs"])
+        stats = delete_by_filter(self.index_dir, filter_by=filter_by)
+        self._searcher = None
+        return before - int(stats["n_docs"])
+
     def _delete_ids(self, ids: list[str]) -> None:
         from typesense_ray.index_build import doc_id_from_key
         from typesense_ray.ops import delete_by_filter
@@ -434,6 +458,22 @@ class ManagedCollection:
                 raise ValueError(
                     f"Cannot sort by `{sf.name}` as it is defined as an "
                     f"optional field."
+                )
+        # ':=' on a string field requires the facet flag — the reference
+        # 400s at filter parse (src/collection.cpp:1863-1869,
+        # test/collection_faceting_test.cpp:161-164). This propagates as
+        # an error (unlike malformed filter values, which the search path
+        # swallows into zero hits)
+        for block in (kw.get("filter_by") or "").split("&&"):
+            if ":" not in block:
+                continue
+            fname, raw = block.split(":", 1)
+            spec = self._by_name.get(fname.strip())
+            if (spec is not None and spec.type in ("string", "string[]")
+                    and raw.strip().startswith("=") and not spec.facet):
+                raise ValueError(
+                    f"To perform exact filtering, filter field "
+                    f"`{spec.name}` must be a facet field."
                 )
         # the reference resolves facet_by against facet_schema — declared
         # fields that are not facet-flagged give the same 404 as unknown

@@ -1075,11 +1075,17 @@ def _augmented_docs(sf_dir: str):
     # a single-file corpus parquet yields only row-group-many blocks
     # (4 at 400k rows), which caps every downstream map_batches at
     # 4-way parallelism; spread once here — the materialized result is
-    # shared by every dedup query for this sf_dir
+    # shared by every dedup query for this sf_dir. Block count is
+    # row-aware (footer metadata only, no data read): ≥5k rows per
+    # block, else the per-task overhead of 64 near-empty blocks DOUBLES
+    # small-scale op times, capped at 2×CPUs for the big corpora
     import ray as _ray
+    import pyarrow.parquet as pq
 
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_cpu = int(_ray.cluster_resources().get("CPU", 8))
-    ds = ds.repartition(2 * n_cpu).materialize()
+    n_blocks = max(8, min(2 * n_cpu, n_rows // 5_000))
+    ds = ds.repartition(n_blocks).materialize()
     _CACHE[dk] = ds
     return ds
 

@@ -236,3 +236,69 @@ def test_filter_and_query_field_restrictions(mul_coll):
     r = mul_coll.search("captain", mode="reference", query_by=["title"],
                         filter_by="points: >-3230", per_page=10)
     assert r["found"] >= 1
+
+
+def test_string_filter_vocab_skip_matrix(ray_session, tmp_path):
+    """Exhaustive mirror of the reference's string-filter algorithm
+    (src/index.cpp:1026-1113) over a small corpus: for every 1/2/3-token
+    combination of in-vocab and out-of-vocab tokens, CONTAINS must AND
+    only the tokens whose ART lookup finds a leaf (null-leaf skip), a
+    value with NO found token matches nothing, and scalar := compares
+    the doc token count against the FOUND token count. The oracle here
+    is an independent per-doc reimplementation of exactly that C++
+    loop."""
+    import itertools
+
+    import ray.data as rd
+
+    from typesense_ray.filtering import norm_tokens
+
+    titles = [
+        "alpha beta gamma",
+        "alpha beta",
+        "beta gamma delta",
+        "delta",
+        "alpha omega zeta",
+    ]
+    docs = [
+        {"docnum": i, "title": t, "points": i} for i, t in enumerate(titles)
+    ]
+    out = str(tmp_path / "vsk")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=8,
+        meta_fields=("docnum", "title", "points"),
+    )
+    build_index(rd.from_items(docs), out, cfg, concurrency=1)
+    coll = RayCollection(out, default_sorting_field="points")
+
+    doc_toks = [norm_tokens(t) for t in titles]
+    vocab = {tok for toks in doc_toks for tok in toks}
+
+    def oracle(value, exact):
+        want = norm_tokens(value)
+        found = [t for t in want if t in vocab]
+        if not found:
+            return set()
+        hits = {
+            i for i, toks in enumerate(doc_toks)
+            if set(found) <= set(toks)
+        }
+        if exact:
+            hits = {i for i in hits if len(doc_toks[i]) == len(found)}
+        return hits
+
+    pool = ["alpha", "beta", "gamma", "delta", "omega", "zeta",
+            "missing", "absent"]
+    cases = [
+        " ".join(c)
+        for k in (1, 2, 3)
+        for c in itertools.combinations(pool, k)
+    ]
+    for value in cases:
+        for exact in (False, True):
+            fb = f"title:{'= ' if exact else ' '}{value}"
+            got = {
+                h["document"]["docnum"]
+                for h in coll.search("*", filter_by=fb, per_page=250)["hits"]
+            }
+            assert got == oracle(value, exact), (value, exact)

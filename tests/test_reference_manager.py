@@ -281,3 +281,57 @@ def test_symlinking(ray_session, tmp_path):
     assert reg2.resolve_symlink("company_1") == "company_2018"
     assert reg2.resolve_symlink("company_3") == "company_2020"
     assert reg2.get_next_collection_id() == 1
+
+
+def test_restore_typed_collection_on_restart(ray_session, tmp_path):
+    # extends CollectionManagerTest.RestoreRecordsOnRestart (:138-271) to
+    # the typed document surface: a reloaded registry restores a MUTABLE
+    # collection — declared schema, auto-id sequence, synonyms/overrides
+    # — not just a read view, and mutation + validation keep working
+    import json as _json
+
+    from typesense_ray.validate import FieldSpec
+
+    root = str(tmp_path)
+    reg = CollectionRegistry(root=root)
+    coll = reg.create_collection(
+        "companies",
+        [FieldSpec("company_name", "string"),
+         FieldSpec("country", "string", facet=True),
+         FieldSpec("num_employees", "int32")],
+        "num_employees",
+    )
+    coll.add_many(
+        [_json.dumps({"id": f"c{i}", "company_name": f"Comp {i}",
+                      "country": "US" if i % 2 else "DE",
+                      "num_employees": 10 * i})
+         for i in range(1, 6)]
+    )
+    coll.add({"company_name": "Auto", "country": "US",
+              "num_employees": 1})  # auto-id doc 0 consumes a slot
+    reg.upsert_symlink("companies_latest", "companies")
+    reg.save()  # defaults to {root}/registry.json
+
+    reg2 = CollectionRegistry.load(root)  # directory form
+    c2 = reg2.get("companies_latest")
+    assert c2.collection_id == 0
+    assert [f.name for f in c2.fields if f.facet] == ["country"]
+    assert c2.num_documents == 6
+
+    # schema validation survives the reload
+    with pytest.raises(Exception) as ei:
+        c2.add({"company_name": "Bad"})
+    assert "num_employees" in str(ei.value)
+
+    # mutation works, and the auto-id sequence continues (no collision
+    # with the pre-restart auto id)
+    c2.add({"company_name": "Wayne", "country": "US",
+            "num_employees": 900})  # auto id from the restored sequence
+    assert c2.num_documents == 7
+    # auto ids are stringified sequence slots; explicit-id docs consume
+    # slots too, and a FAILED add burns its slot (the reference's
+    # get_next_seq_id is called in to_doc before validation) — so the
+    # pre-restart auto doc got "5", the rejected "Bad" doc burned "6",
+    # and Wayne got "7". No reuse after reload.
+    assert c2.get("5")["company_name"] == "Auto"
+    assert c2.get("7")["company_name"] == "Wayne"

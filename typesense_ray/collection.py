@@ -2104,9 +2104,26 @@ class CollectionRegistry:
     # test/collection_manager_test.cpp:138-271: a fresh manager restores
     # collections, overrides, synonyms and serves identical results) ----
 
-    def save(self, path: str):
+    def _manifest_path(self, path: str | None) -> str:
+        if path is None:
+            if self.root is None:
+                raise ValueError(
+                    "pass path= or construct the registry with root="
+                )
+            path = f"{self.root}/registry.json"
+        import os as _os
+
+        if _os.path.isdir(path):
+            path = _os.path.join(path, "registry.json")
+        return path
+
+    def save(self, path: str | None = None):
         """One JSON manifest: per collection its index_dir + config +
-        curation state. Index data itself is already durable parquet."""
+        curation state (+ the declared FieldSpec schema for typed
+        collections, so a reload restores a mutable
+        :class:`~typesense_ray.manager.ManagedCollection`, not just a
+        read view). Index data itself is already durable parquet.
+        Defaults to ``{root}/registry.json``."""
         import json as _json
 
         state = {
@@ -2116,7 +2133,7 @@ class CollectionRegistry:
             "next_collection_id": self._next_collection_id,
         }
         for name, coll in self._collections.items():
-            state["collections"][name] = {
+            entry = {
                 "index_dir": getattr(coll, "index_dir", None)
                 or coll._local.index_dir,
                 "default_sorting_field": coll.default_sorting_field,
@@ -2132,16 +2149,36 @@ class CollectionRegistry:
                     for o in coll.overrides
                 ],
             }
-        with open(path, "w") as f:
+            if hasattr(coll, "fields"):  # typed ManagedCollection
+                entry["fields"] = [
+                    {"name": f.name, "type": f.type, "facet": f.facet,
+                     "optional": f.optional}
+                    for f in coll.fields
+                ]
+                entry["created_at"] = coll.created_at
+                entry["next_seq"] = coll._next_seq
+            state["collections"][name] = entry
+        with open(self._manifest_path(path), "w") as f:
             _json.dump(state, f)
 
     @classmethod
     def load(cls, path: str) -> "CollectionRegistry":
+        """``path`` may be the manifest file or the registry root
+        directory written by :meth:`save`. Collections saved with a
+        declared schema come back as mutable
+        :class:`~typesense_ray.manager.ManagedCollection`s (continuing
+        the auto-id sequence); schemaless ones as read-view
+        :class:`RayCollection`s."""
         import json as _json
+        import os as _os
 
+        root = None
+        if _os.path.isdir(path):
+            root = path
+            path = _os.path.join(path, "registry.json")
         with open(path) as f:
             state = _json.load(f)
-        reg = cls()
+        reg = cls(root=root)
         for name, c in state["collections"].items():
             syn = SynonymIndex()
             for sid, d in c["synonyms"].items():
@@ -2158,6 +2195,25 @@ class CollectionRegistry:
                 )
                 for o in c["overrides"]
             ]
+            if c.get("fields"):
+                from typesense_ray.manager import ManagedCollection
+                from typesense_ray.validate import FieldSpec
+
+                coll = ManagedCollection(
+                    name,
+                    c["index_dir"],
+                    [FieldSpec(f["name"], f["type"],
+                               facet=bool(f.get("facet")),
+                               optional=bool(f.get("optional")))
+                     for f in c["fields"]],
+                    c["default_sorting_field"] or None,
+                    created_at=c.get("created_at", 0),
+                )
+                coll._next_seq = int(c.get("next_seq", 0))
+                coll.synonyms = syn
+                coll.overrides = ovs
+                reg.register(name, coll)
+                continue
             reg.register(
                 name,
                 RayCollection(
@@ -2169,6 +2225,12 @@ class CollectionRegistry:
         reg._aliases = dict(state.get("aliases", {}))
         if "meta" in state:
             reg._meta = dict(state["meta"])
+            # register() handed out fresh sequential ids; re-sync each
+            # collection's id to the persisted meta
+            for name, m in reg._meta.items():
+                c = reg._collections.get(name)
+                if c is not None and hasattr(c, "collection_id"):
+                    c.collection_id = m["id"]
         reg._next_collection_id = int(
             state.get("next_collection_id", len(reg._collections))
         )

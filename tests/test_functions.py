@@ -1921,3 +1921,30 @@ def test_simhash_groups_scales_without_per_key_callbacks(ray_session):
     assert all(int(r["simhash"]) in dup_hashes for r in out)
     sizes = {int(h): int(c) for h, c in zip(uniq, counts) if c >= 2}
     assert all(r["group_size"] == sizes[int(r["simhash"])] for r in out)
+
+
+def test_simhash_arrow_equals_batch_kernel():
+    """simhash_arrow must equal simhash_batch on EVERY input — ASCII rows
+    take the Arrow fast path, non-ASCII rows (where utf8_lower diverges
+    from str.lower on e.g. Turkish İ / Greek final sigma) fall back to
+    the scalar-compatible kernel and are scattered back."""
+    import pyarrow as pa
+
+    from typesense_ray.functions.dedup import simhash_arrow, simhash_batch
+
+    texts = [
+        "plain ascii tokens here", "", None, "  spaced\t\nout  ",
+        "İstanbul ŞEHİR", "ΣΊΣΥΦΟΣ ΤΕΛΟΣ", "mixed ascii και ελληνικά",
+        "x " * 300, "MiXeD CaSe", "ümlaut ß straße",
+    ]
+    col = pa.array(texts, pa.string())
+    got = simhash_arrow(col)
+    want = simhash_batch([t for t in texts])
+    assert got.tolist() == want.tolist()
+    # chunked input too
+    ch = pa.chunked_array([texts[:4], texts[4:]])
+    assert simhash_arrow(ch).tolist() == want.tolist()
+    # all-non-ascii and all-ascii corners
+    assert simhash_arrow(pa.array(["İİ", "ΣΣ"])).tolist() == \
+        simhash_batch(["İİ", "ΣΣ"]).tolist()
+    assert simhash_arrow(pa.array([], pa.string())).tolist() == []

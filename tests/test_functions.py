@@ -1948,3 +1948,28 @@ def test_simhash_arrow_equals_batch_kernel():
     assert simhash_arrow(pa.array(["İİ", "ΣΣ"])).tolist() == \
         simhash_batch(["İİ", "ΣΣ"]).tolist()
     assert simhash_arrow(pa.array([], pa.string())).tolist() == []
+
+
+def test_langid_arrow_path_equals_regex_path():
+    """LangId's Arrow tokenize-once fast path must match the
+    regex-per-language path exactly — including the non-ASCII fallback
+    rows (Turkish İ lowers to 'i'+combining-dot in Python, splitting the
+    token differently than utf8_lower) and und/empty corners."""
+    import pyarrow as pa
+
+    from typesense_ray.functions.text import LangId
+
+    li = LangId()
+    texts = [
+        "the quick and of to in fox", "le chat est dans la maison de",
+        "İstanbul the and of", "der und die das ist", None, "",
+        "ΣΊΣΥΦΟΣ the and", "el que la es un y", "no profile words here",
+        "the the the", "für nicht ein", "punct,only.!?", "123 456 the",
+    ]
+    batch = pa.table({"text": pa.array(texts, pa.string()),
+                      "doc_id": pa.array(range(len(texts)), pa.int64())})
+    out = li(batch)
+    nt, ct = li._counts_regex(texts)
+    preds, confs = li._score(nt, ct)
+    assert out["lang_pred"].to_pylist() == preds.tolist()
+    assert out["lang_conf"].to_pylist() == confs.tolist()

@@ -56,21 +56,100 @@ class LangId:
         }
         self.tok_re = re.compile(r"[a-z0-9]+")
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        s = _texts(batch, "text").str.lower()
-        n_toks = s.str.count(self.tok_re).to_numpy(dtype=np.float64)
+    def _score(self, n_toks: np.ndarray, counts: np.ndarray):
+        """(n_docs,) token counts + (n_langs, n_docs) profile-hit counts
+        → (preds, confs). Shared by both tokenization paths."""
         safe_n = np.where(n_toks > 0, n_toks, 1.0)
-        scores = np.stack(
-            [
-                s.str.count(self.patterns[lang]).to_numpy(np.float64) / safe_n
-                for lang in self.langs_desc
-            ]
-        )  # (n_langs, n_docs), langs in DESC name order
+        scores = counts / safe_n  # langs in DESC name order
         best_idx = np.argmax(scores, axis=0)  # first max == largest name
         best = scores[best_idx, np.arange(scores.shape[1])]
         langs_arr = np.array(self.langs_desc, dtype=object)
         preds = np.where((best > 0) & (n_toks > 0), langs_arr[best_idx], "und")
         confs = np.where(n_toks > 0, np.round(best, 6), 0.0)
+        return preds, confs
+
+    def _counts_regex(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        s = pd.Series(texts).fillna("").str.lower()
+        n_toks = s.str.count(self.tok_re).to_numpy(dtype=np.float64)
+        counts = np.stack(
+            [
+                s.str.count(self.patterns[lang]).to_numpy(np.float64)
+                for lang in self.langs_desc
+            ]
+        )
+        return n_toks, counts
+
+    def _counts_arrow(self, col) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize ONCE in Arrow C++ (utf8_lower → split on non-token
+        runs → dictionary_encode), then profile membership is a set probe
+        over the DISTINCT tokens only — replaces n_langs+1 full regex
+        scans of the batch text. Occurrence counts per (doc, lang) fold
+        with one reduceat, matching the regex path's semantics exactly
+        (token = maximal [a-z0-9]+ run; profile word must equal a full
+        token; repeated words count per occurrence)."""
+        import pyarrow.compute as pc
+
+        m = len(col)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(col, "")), r"[^a-z0-9]+"
+        )
+        flat = pc.list_flatten(toks)
+        lens_all = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        doc_ix = np.repeat(np.arange(m, dtype=np.int64), lens_all)
+        keep_arr = pc.not_equal(flat, "")
+        doc_ix = doc_ix[keep_arr.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep_arr)
+        denc = pc.dictionary_encode(flat)
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary.to_pylist()
+        member = np.zeros((len(uniq), len(self.langs_desc)), dtype=np.uint8)
+        for li, lang in enumerate(self.langs_desc):
+            words = _LANG_PROFILES[lang]
+            for ti, tok in enumerate(uniq):
+                if tok in words:
+                    member[ti, li] = 1
+        n_toks = np.bincount(doc_ix, minlength=m).astype(np.float64)
+        counts = np.zeros((len(self.langs_desc), m), dtype=np.float64)
+        nz = n_toks > 0
+        if nz.any() and len(uniq):
+            starts = np.concatenate(
+                ([0], np.cumsum(n_toks.astype(np.int64))[:-1])
+            )[nz]
+            per_doc = np.add.reduceat(member[codes], starts, axis=0,
+                                      dtype=np.int64)
+            counts[:, nz] = per_doc.T
+        return n_toks, counts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+        n = len(col)
+        n_toks = np.zeros(n, np.float64)
+        counts = np.zeros((len(self.langs_desc), n), np.float64)
+        if ascii_mask.any():
+            idx = np.flatnonzero(ascii_mask)
+            nt, ct = self._counts_arrow(col.filter(pa.array(ascii_mask)))
+            n_toks[idx] = nt
+            counts[:, idx] = ct
+        if not ascii_mask.all():
+            # non-ASCII rows keep the str.lower()-based regex path
+            # (utf8_lower diverges on e.g. Turkish İ, whose Python
+            # lowering emits an ASCII 'i' + combining dot that splits
+            # the token differently)
+            rows = np.flatnonzero(~ascii_mask)
+            nt, ct = self._counts_regex(
+                col.take(pa.array(rows)).to_pylist()
+            )
+            n_toks[rows] = nt
+            counts[:, rows] = ct
+        preds, confs = self._score(n_toks, counts)
         return batch.append_column(
             "lang_pred", pa.array(preds.tolist(), pa.string())
         ).append_column("lang_conf", pa.array(confs, pa.float64()))

@@ -1973,3 +1973,44 @@ def test_langid_arrow_path_equals_regex_path():
     preds, confs = li._score(nt, ct)
     assert out["lang_pred"].to_pylist() == preds.tolist()
     assert out["lang_conf"].to_pylist() == confs.tolist()
+
+
+def test_text_kernels_arrow_paths_equal_pandas_paths():
+    """token_count_batch and quality_batch route ASCII rows through Arrow
+    C++ counts; both must equal the pandas-regex reference path on every
+    input — unicode digits/spaces (where RE2's \\d/\\s are ASCII-only)
+    take the fallback."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from typesense_ray.functions.text import (
+        _BPE_RE,
+        _quality_counts_pandas,
+        quality_batch,
+        token_count_batch,
+    )
+
+    mix = ["the quick, brown fox!", "héllo the wörld", "٣٤ the and",
+           None, "", "THE The the", "a\tb the", "x\ny the z",
+           "punct;,.", "123 45", " nb sp", "CamelCase123 mix"]
+    batch = pa.table({"text": pa.array(mix, pa.string()),
+                      "doc_id": pa.array(range(len(mix)), pa.int64())})
+
+    tc = token_count_batch(batch)
+    s = pd.Series(mix).fillna("")
+    assert tc["ws_tokens"].to_pylist() == s.str.count(r"\S+").tolist()
+    assert tc["bpe_tokens"].to_pylist() == s.str.count(_BPE_RE).tolist()
+
+    q = quality_batch(batch)
+    nt, tkc, nc, dg, pct, st = _quality_counts_pandas(mix)
+    safe_nt = np.where(nt > 0, nt, 1).astype(np.float64)
+    safe_nc = np.where(nc > 0, nc, 1.0)
+    assert q["n_tokens"].to_pylist() == nt.tolist()
+    assert q["mean_token_len"].to_pylist() == \
+        np.where(nt > 0, np.round(tkc / safe_nt, 6), 0.0).tolist()
+    assert q["digit_ratio"].to_pylist() == \
+        np.where(nc > 0, np.round(dg / safe_nc, 6), 0.0).tolist()
+    assert q["punct_ratio"].to_pylist() == \
+        np.where(nc > 0, np.round(pct / safe_nc, 6), 0.0).tolist()
+    assert q["stopword_ratio"].to_pylist() == \
+        np.where(nt > 0, np.round(st / safe_nt, 6), 0.0).tolist()

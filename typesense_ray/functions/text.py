@@ -162,19 +162,97 @@ _STOP_PAT = re.compile(
 )
 
 
+def _quality_counts_pandas(texts: list):
+    """The original pandas-regex raw counts — the reference path for
+    non-ASCII rows (Python's ``\\s`` and ``str.len`` are Unicode-aware
+    where RE2's are not) and for the equality tests."""
+    s = pd.Series(texts).fillna("")
+    return (
+        s.str.count(_TOKEN_CHARS + "+").to_numpy(np.int64),
+        s.str.count(_TOKEN_CHARS).to_numpy(np.float64),
+        s.str.len().to_numpy(np.float64),
+        s.str.count(r"[0-9]").to_numpy(np.float64),
+        s.str.count(r"[^a-zA-Z0-9\s]").to_numpy(np.float64),
+        s.str.count(_STOP_PAT).to_numpy(np.float64),
+    )
+
+
+def _quality_counts_arrow(sub):
+    """ASCII-row raw counts in Arrow C++. The stopword count can't use
+    ``count_substring_regex`` (RE2 has no lookbehind), so it's the
+    tokenize-once shape: split on ``[ \\n]+`` runs, lower, ``is_in`` the
+    stopword list, one reduceat per doc — exactly the boundary-anchored
+    case-insensitive full-token semantics of ``_STOP_PAT``."""
+    import pyarrow.compute as pc
+
+    m = len(sub)
+    n_tokens = pc.count_substring_regex(sub, r"[^ \n]+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    tok_chars = pc.count_substring_regex(sub, r"[^ \n]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    n_chars = pc.utf8_length(sub).to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    digits = pc.count_substring_regex(sub, r"[0-9]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    punct = pc.count_substring_regex(sub, r"[^a-zA-Z0-9\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    toks = pc.split_pattern_regex(sub, r"[ \n]+")
+    flat = pc.utf8_lower(pc.list_flatten(toks))
+    hit = pc.is_in(
+        flat, value_set=pa.array(sorted(_STOP_EN), pa.string())
+    ).to_numpy(zero_copy_only=False).astype(np.uint8)
+    lens_all = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    stops = np.zeros(m, np.float64)
+    nz = lens_all > 0
+    if nz.any() and hit.size:
+        starts = np.concatenate(([0], np.cumsum(lens_all)[:-1]))[nz]
+        stops[nz] = np.add.reduceat(hit, starts).astype(np.float64)
+    return n_tokens, tok_chars, n_chars, digits, punct, stops
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality-signal columns: n_tokens, mean token length, digit ratio,
     punctuation ratio, stopword ratio, and a composite [0,1] score.
-    All columns come from vectorized regex counts (pandas ``str.count``
-    with compiled patterns); pure-SQL-expressible components are kept
-    bit-identical to the oracle (see __ray_entry__.oracle_sql)."""
-    s = _texts(batch, text_col)
-    n_tokens = s.str.count(_TOKEN_CHARS + "+").to_numpy(np.int64)
-    tok_chars = s.str.count(_TOKEN_CHARS).to_numpy(np.float64)
-    n_chars = s.str.len().to_numpy(np.float64)
-    digits = s.str.count(r"[0-9]").to_numpy(np.float64)
-    punct = s.str.count(r"[^a-zA-Z0-9\s]").to_numpy(np.float64)
-    stops = s.str.count(_STOP_PAT).to_numpy(np.float64)
+    ASCII rows count in Arrow C++ (one split replaces the lookbehind
+    stopword regex); non-ASCII rows keep the pandas-regex path —
+    bit-identical outputs either way, and pure-SQL-expressible
+    components stay bit-identical to the oracle (see
+    __ray_entry__.oracle_sql)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    n_tokens = np.zeros(n, np.int64)
+    tok_chars = np.zeros(n, np.float64)
+    n_chars = np.zeros(n, np.float64)
+    digits = np.zeros(n, np.float64)
+    punct = np.zeros(n, np.float64)
+    stops = np.zeros(n, np.float64)
+    if ascii_mask.any():
+        idx = np.flatnonzero(ascii_mask)
+        parts = _quality_counts_arrow(col.filter(pa.array(ascii_mask)))
+        for dst, src in zip(
+            (n_tokens, tok_chars, n_chars, digits, punct, stops), parts
+        ):
+            dst[idx] = src
+    if not ascii_mask.all():
+        rows = np.flatnonzero(~ascii_mask)
+        parts = _quality_counts_pandas(col.take(pa.array(rows)).to_pylist())
+        for dst, src in zip(
+            (n_tokens, tok_chars, n_chars, digits, punct, stops), parts
+        ):
+            dst[rows] = src
 
     safe_nt = np.where(n_tokens > 0, n_tokens, 1).astype(np.float64)
     safe_nc = np.where(n_chars > 0, n_chars, 1.0)
@@ -201,11 +279,35 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count + BPE-ish subword count (compiled regex,
-    vectorized via pandas str)."""
-    s = _texts(batch, text_col)
-    ws = s.str.count(r"\S+").to_numpy(np.int64)
-    bpe = s.str.count(_BPE_RE).to_numpy(np.int64)
+    """Whitespace token count + BPE-ish subword count. ASCII rows count
+    in Arrow C++ (``count_substring_regex`` — RE2); non-ASCII rows keep
+    the Python regex path, whose ``\\d``/``\\s`` are Unicode-aware where
+    RE2's are ASCII-only, so the output equals the original pandas
+    kernel on every input."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    ws = np.zeros(n, np.int64)
+    bpe = np.zeros(n, np.int64)
+    if ascii_mask.any():
+        sub = col.filter(pa.array(ascii_mask))
+        idx = np.flatnonzero(ascii_mask)
+        ws[idx] = pc.count_substring_regex(sub, r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        bpe[idx] = pc.count_substring_regex(
+            sub, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+        ).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        rows = np.flatnonzero(~ascii_mask)
+        s = pd.Series(col.take(pa.array(rows)).to_pylist()).fillna("")
+        ws[rows] = s.str.count(r"\S+").to_numpy(np.int64)
+        bpe[rows] = s.str.count(_BPE_RE).to_numpy(np.int64)
     out = batch.append_column("ws_tokens", pa.array(ws, pa.int64()))
     return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))
 

@@ -2014,3 +2014,45 @@ def test_text_kernels_arrow_paths_equal_pandas_paths():
         np.where(nc > 0, np.round(pct / safe_nc, 6), 0.0).tolist()
     assert q["stopword_ratio"].to_pylist() == \
         np.where(nt > 0, np.round(st / safe_nt, 6), 0.0).tolist()
+
+
+def test_repetition_stats_matches_groupby_reference():
+    """The integer-code run-detection path must equal the original
+    pandas (doc, term)-groupby + bigram drop_duplicates reference."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from typesense_ray.functions.text import (
+        batch_ngram_stream,
+        batch_term_stream,
+        repetition_stats_batch,
+    )
+
+    texts = ["", None, "a", "a a a a", "a b a b", "x y", "single",
+             "a  b\tc", "the the the cat", "w1 w2 w3 w1 w2 w3",
+             "dup dup other dup dup"]
+    batch = pa.table({"text": pa.array(texts, pa.string()),
+                      "doc_id": pa.array(range(len(texts)), pa.int64())})
+    out = repetition_stats_batch(batch)
+
+    m = len(texts)
+    flat, unit = batch_term_stream(texts)
+    tot = np.bincount(unit, minlength=m).astype(np.float64)
+    max_cnt = np.zeros(m)
+    if len(flat):
+        c = pd.DataFrame({"u": unit, "t": flat}).groupby(
+            ["u", "t"], sort=False).size()
+        mx = c.groupby(level=0).max()
+        max_cnt[mx.index.to_numpy()] = mx.to_numpy()
+    ng, ngu = batch_ngram_stream(texts, 2)
+    tot2 = np.bincount(ngu, minlength=m).astype(np.float64)
+    dist2 = np.zeros(m)
+    if len(ng):
+        d2 = pd.DataFrame({"u": ngu, "g": ng}).drop_duplicates()
+        dist2 = np.bincount(d2["u"].to_numpy(), minlength=m).astype(
+            np.float64)
+    top = np.where(tot > 0, max_cnt / np.where(tot > 0, tot, 1.0), 0.0)
+    dup2 = np.where(tot2 > 0, 1.0 - dist2 / np.where(tot2 > 0, tot2, 1.0),
+                    0.0)
+    assert out["top_unigram_frac"].to_pylist() == top.tolist()
+    assert out["dup_2gram_frac"].to_pylist() == dup2.tolist()

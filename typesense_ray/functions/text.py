@@ -441,20 +441,45 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     flat, unit = batch_term_stream(texts)
     tot = np.bincount(unit, minlength=m).astype(np.float64)
     max_cnt = np.zeros(m)
-    if len(flat):
-        c = (
-            pd.DataFrame({"u": unit, "t": flat})
-            .groupby(["u", "t"], sort=False)
-            .size()
-        )
-        mx = c.groupby(level=0).max()
-        max_cnt[mx.index.to_numpy()] = mx.to_numpy()
-    ng, ngu = batch_ngram_stream(texts, 2)
-    tot2 = np.bincount(ngu, minlength=m).astype(np.float64)
+    tot2 = np.zeros(m, np.float64)
     dist2 = np.zeros(m)
-    if len(ng):
-        d2 = pd.DataFrame({"u": ngu, "g": ng}).drop_duplicates()
-        dist2 = np.bincount(d2["u"].to_numpy(), minlength=m).astype(np.float64)
+    if len(flat):
+        # terms → int codes ONCE; both the per-(doc, term) counts and
+        # the bigram-distinct counts become sorted-run detection over
+        # integer keys (normalized tokens never contain spaces, so a
+        # code-pair equals the old space-joined bigram string exactly).
+        # Replaces two pandas object-key groupbys — ~4× faster.
+        codes, _ = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        U = np.int64(codes.max() + 1)
+        pair = unit * U + codes
+        sp = np.sort(pair)
+        run_start = np.r_[True, sp[1:] != sp[:-1]]
+        run_pos = np.flatnonzero(run_start)
+        counts = np.diff(np.r_[run_pos, sp.size])
+        docs_of = sp[run_start] // U  # ascending within the sort
+        doc_start = np.r_[True, docs_of[1:] != docs_of[:-1]]
+        max_cnt[docs_of[doc_start]] = np.maximum.reduceat(
+            counts, np.flatnonzero(doc_start)
+        )
+        # bigrams: within-doc adjacent code pairs
+        if len(flat) > 1:
+            valid = unit[:-1] == unit[1:]
+            bu = unit[:-1][valid]
+            b0 = codes[:-1][valid]
+            b1 = codes[1:][valid]
+            tot2 = np.bincount(bu, minlength=m).astype(np.float64)
+            if bu.size:
+                order = np.lexsort((b1, b0, bu))
+                su, s0, s1 = bu[order], b0[order], b1[order]
+                uniq_run = np.r_[
+                    True,
+                    (su[1:] != su[:-1]) | (s0[1:] != s0[:-1])
+                    | (s1[1:] != s1[:-1]),
+                ]
+                dist2 = np.bincount(
+                    su[uniq_run], minlength=m
+                ).astype(np.float64)
     top_frac = np.where(tot > 0, max_cnt / np.where(tot > 0, tot, 1.0), 0.0)
     dup2 = np.where(tot2 > 0, 1.0 - dist2 / np.where(tot2 > 0, tot2, 1.0), 0.0)
     keep = ((top_frac <= 0.3) & (dup2 <= 0.2)).astype(np.int64)

@@ -2056,3 +2056,28 @@ def test_repetition_stats_matches_groupby_reference():
                     0.0)
     assert out["top_unigram_frac"].to_pylist() == top.tolist()
     assert out["dup_2gram_frac"].to_pylist() == dup2.tolist()
+
+
+def test_redact_pii_arrow_path_equals_pandas_path():
+    """redact_pii_batch's ASCII-row RE2 path must equal the Python regex
+    path byte-for-byte, including docs with multiple hits and the
+    non-ASCII fallback rows."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from typesense_ray.functions.text import _PII_COMPILED, redact_pii_batch
+
+    texts = ["contact a@b.co now", "ip 10.0.0.1 and 1.2.3.4!",
+             "+1234567890 call", None, "",
+             "mixed ümlaut a@b.de +123456789", "٣٤@x.yz", "a@b.c",
+             "999.999.999.999", "+12 short", "x@y.zz x@y.zz +9876543210"]
+    batch = pa.table({"text": pa.array(texts, pa.string()),
+                      "doc_id": pa.array(range(len(texts)), pa.int64())})
+    out = redact_pii_batch(batch)
+    s = pd.Series(texts).fillna("")
+    hits = np.zeros(len(s), np.int64)
+    for rx, repl in _PII_COMPILED:
+        hits += s.str.count(rx).to_numpy(np.int64)
+        s = s.str.replace(rx, repl, regex=True)
+    assert out["text"].to_pylist() == s.tolist()
+    assert out["pii_hits"].to_pylist() == hits.tolist()

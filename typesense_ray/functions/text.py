@@ -694,17 +694,43 @@ _PII_COMPILED = tuple(
 
 def redact_pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Scrub emails / IPv4s / E.164-ish phone numbers to placeholder
-    tokens — the standard pre-training privacy pass. One vectorized
-    ``str.replace`` per pattern per batch (compiled once at import),
-    applied in declaration order; emits ``text`` (redacted) and
-    ``pii_hits`` (total substitutions per doc)."""
-    s = _texts(batch, text_col)
-    hits = np.zeros(len(s), np.int64)
-    for rx, repl in _PII_COMPILED:
-        hits += s.str.count(rx).to_numpy(np.int64)
-        s = s.str.replace(rx, repl, regex=True)
+    tokens — the standard pre-training privacy pass, applied in
+    declaration order; emits ``text`` (redacted) and ``pii_hits``
+    (total substitutions per doc). ASCII rows run the substitutions in
+    Arrow C++ (the patterns are deliberately RE2-compatible — that's
+    also what lets the DuckDB oracle run them byte-identically);
+    non-ASCII rows keep the Python path, whose ``\\d`` additionally
+    matches Unicode digits."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    hits = np.zeros(n, np.int64)
+    texts = np.empty(n, dtype=object)
+    if ascii_mask.any():
+        idx = np.flatnonzero(ascii_mask)
+        sub = col.filter(pa.array(ascii_mask))
+        for pat, repl in PII_PATTERNS:
+            hits[idx] += pc.count_substring_regex(sub, pat).to_numpy(
+                zero_copy_only=False
+            )
+            sub = pc.replace_substring_regex(sub, pat, repl)
+        texts[idx] = np.asarray(sub.to_pylist(), dtype=object)
+    if not ascii_mask.all():
+        rows = np.flatnonzero(~ascii_mask)
+        s = pd.Series(col.take(pa.array(rows)).to_pylist()).fillna("")
+        h = np.zeros(len(rows), np.int64)
+        for rx, repl in _PII_COMPILED:
+            h += s.str.count(rx).to_numpy(np.int64)
+            s = s.str.replace(rx, repl, regex=True)
+        hits[rows] = h
+        texts[rows] = s.to_numpy(dtype=object)
     out = batch.drop_columns([text_col])
-    out = out.append_column(text_col, pa.array(s.tolist(), pa.string()))
+    out = out.append_column(text_col, pa.array(texts.tolist(), pa.string()))
     return out.append_column("pii_hits", pa.array(hits, pa.int64()))
 
 

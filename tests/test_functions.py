@@ -2081,3 +2081,22 @@ def test_redact_pii_arrow_path_equals_pandas_path():
         s = s.str.replace(rx, repl, regex=True)
     assert out["text"].to_pylist() == s.tolist()
     assert out["pii_hits"].to_pylist() == hits.tolist()
+
+
+def test_top_bigrams_groupby_mode_matches_stream(ray_session):
+    """The distributed coarse-exchange merge must equal the driver fold,
+    including lexicographic tie-breaks at the k boundary."""
+    import ray.data as rd
+
+    from typesense_ray.functions.text import top_bigrams
+
+    texts = (["a b c a b"] * 5 + ["b c d"] * 3 + ["z z"] * 2
+             + [f"u{i} v{i}" for i in range(50)])
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    a = top_bigrams(rd.from_arrow(t), k=8, mode="stream")
+    b = top_bigrams(rd.from_arrow(t), k=8, mode="groupby")
+    assert a["bigram"].tolist() == b["bigram"].tolist()
+    assert a["cnt"].tolist() == b["cnt"].tolist()
+    # known heads
+    assert a["bigram"].tolist()[:3] == ["a b", "b c", "c a"]
+    assert a["cnt"].tolist()[:3] == [10, 8, 5]

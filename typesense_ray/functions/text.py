@@ -766,26 +766,83 @@ def oov_rate(ds, vocab_terms, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(rate, batch_format="pyarrow")
 
 
-def top_bigrams(ds, text_col: str = "text", k: int = 30) -> pd.DataFrame:
+def top_bigrams(ds, text_col: str = "text", k: int = 30,
+                mode: str = "auto",
+                stream_max_rows: int = 5_000_000) -> pd.DataFrame:
     """Corpus-wide word-bigram counts, top-k by (count desc, bigram asc)
-    — the co-occurrence table LM data reports start from. Per-batch
-    bigram-count combiners (vectorized shifted string concat), then a
-    vocab-bounded merge; ties broken lexicographically."""
-    from typesense_ray.agg import combiner_aggregate
+    — the co-occurrence table LM data reports start from.
+
+    Per-batch combiner counts adjacent-token pairs as INTEGER codes
+    (factorize once, ``np.unique`` on packed int64 keys) and decodes
+    only the batch's DISTINCT bigrams to strings — the previous
+    shifted-string-concat allocated one Python string per OCCURRENCE
+    (388 s at 400k docs). The merge is size-aware like the other folds
+    (``functions/dedup.py``): partials under ``stream_max_rows`` fold
+    on the driver; above that, ONE coarse ``hash(bigram) % 64``
+    exchange (the same int-keyed partition shape as the dedup
+    exchanges — a full Ray sort keyed by the bigram STRINGS was
+    measured minutes-slow at ~29M distinct keys) co-locates each key
+    in exactly one partition, so a per-partition pandas sum + top-k
+    followed by a tiny driver merge is exact (same (cnt desc, bigram
+    asc) order at both levels)."""
+    empty = pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                          "cnt": pd.Series([], dtype=np.int64)})
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        grams, _ = batch_ngram_stream(df[text_col].tolist(), 2)
-        if not len(grams):
-            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
-                                 "cnt": pd.Series([], dtype=np.int64)})
-        g = pd.Series(grams, dtype=object).value_counts()
-        return pd.DataFrame({"bigram": g.index.to_numpy(object),
-                             "cnt": g.to_numpy(np.int64)})
+        flat, unit = batch_term_stream(df[text_col].tolist())
+        if len(flat) < 2:
+            return empty.copy()
+        codes, uniq = pd.factorize(flat)
+        codes = codes.astype(np.int64)
+        U = np.int64(len(uniq))
+        valid = unit[:-1] == unit[1:]
+        pair = codes[:-1][valid] * U + codes[1:][valid]
+        if not pair.size:
+            return empty.copy()
+        up, cnt = np.unique(pair, return_counts=True)
+        ua = np.asarray(uniq, dtype=object)
+        grams = [f"{a} {b}" for a, b in zip(ua[up // U], ua[up % U])]
+        return pd.DataFrame({"bigram": pd.Series(grams, dtype=object),
+                             "cnt": cnt.astype(np.int64)})
 
-    out = combiner_aggregate(ds, partial, ["bigram"], {"cnt": "sum"})
-    return (
-        out.sort_values(["cnt", "bigram"], ascending=[False, True],
-                        kind="stable")
-        .head(k)
-        .reset_index(drop=True)
-    )
+    part_ds = ds.map_batches(partial, batch_format="pandas").materialize()
+    if mode == "auto":
+        mode = "stream" if part_ds.count() <= stream_max_rows else "groupby"
+
+    def _order(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "bigram"], ascending=[False, True],
+                              kind="stable").head(k)
+
+    if mode == "stream":
+        parts = list(
+            part_ds.iter_batches(batch_format="pandas", batch_size=None)
+        )
+        if not parts:
+            return empty
+        allp = pd.concat(parts, ignore_index=True)
+        if allp.empty:
+            return empty
+        out = allp.groupby("bigram", as_index=False).agg(cnt=("cnt", "sum"))
+    else:
+        n_parts = 64
+
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_array(df["bigram"].to_numpy(dtype=object))
+            df = df.copy()
+            df["part"] = (h % n_parts).astype(np.int32)
+            return df
+
+        def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("bigram", as_index=False).agg(cnt=("cnt", "sum"))
+            return _order(s)
+
+        tops = list(
+            part_ds.map_batches(add_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(part_topk, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)
+        )
+        if not tops:
+            return empty
+        out = pd.concat(tops, ignore_index=True)
+    return _order(out).reset_index(drop=True)

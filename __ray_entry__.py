@@ -150,12 +150,14 @@ def q_term_df_top50(sf_dir: str) -> pa.Table:
     from typesense_ray.agg import combiner_aggregate
 
     def triples(df: pd.DataFrame) -> pd.DataFrame:
-        from typesense_ray.functions.text import batch_term_stream
+        from typesense_ray.functions.text import (
+            batch_term_stream,
+            doc_freq_partial,
+        )
 
         flat, unit = batch_term_stream(df["text"].tolist())
-        dd = pd.DataFrame({"term": flat, "u": unit}).drop_duplicates()
-        g = dd.groupby("term", sort=False, as_index=False).size()
-        return pd.DataFrame({"term": g["term"], "df": g["size"]})
+        terms, cnt = doc_freq_partial(flat, unit)
+        return pd.DataFrame({"term": terms, "df": cnt})
 
     out = combiner_aggregate(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
@@ -180,16 +182,16 @@ def q_top_terms_per_lang(sf_dir: str) -> pa.Table:
     from typesense_ray.agg import combiner_aggregate
 
     def triples(df: pd.DataFrame) -> pd.DataFrame:
-        from typesense_ray.functions.text import batch_term_stream
+        from typesense_ray.functions.text import (
+            batch_term_stream,
+            doc_freq_partial,
+        )
 
         flat, unit = batch_term_stream(df["text"].tolist())
-        langs = df["lang"].to_numpy()
-        dd = pd.DataFrame(
-            {"lang": langs[unit], "term": flat, "u": unit}
-        ).drop_duplicates()
-        g = dd.groupby(["lang", "term"], sort=False, as_index=False).size()
+        lang_codes, lang_uniq = pd.factorize(df["lang"].to_numpy())
+        gids, terms, cnt = doc_freq_partial(flat, unit, lang_codes)
         return pd.DataFrame(
-            {"lang": g["lang"], "term": g["term"], "df": g["size"]}
+            {"lang": lang_uniq[gids], "term": terms, "df": cnt}
         )
 
     out = combiner_aggregate(

@@ -409,6 +409,51 @@ def batch_term_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
     return flat[keep], unit_ix[keep]
 
 
+def doc_freq_partial(
+    flat: np.ndarray,
+    unit: np.ndarray,
+    group_codes: np.ndarray | None = None,
+):
+    """Per-batch document-frequency combiner over an occurrence stream:
+    distinct-(unit, term) dedup then a count per term (or per
+    (group, term) when ``group_codes`` gives an int code per unit) —
+    all INTEGER ops (one ``pd.factorize`` of the terms, then composite
+    int64 ``np.unique``), never an object-dtype ``drop_duplicates`` /
+    multi-key groupby (~4× faster on token-scale batches; the same
+    integer-run shape as :func:`top_bigrams`' combiner).
+
+    Returns ``(terms, counts)`` or ``(group_ids, terms, counts)``.
+    """
+    codes, uniq = pd.factorize(flat)
+    nt = len(uniq)
+    if nt == 0:
+        empty = np.empty(0, np.int64)
+        terms = np.empty(0, dtype=object)
+        return (terms, empty) if group_codes is None else (empty, terms, empty)
+    comp_u = np.unique(unit.astype(np.int64) * nt + codes)
+    tc = comp_u % nt
+    if group_codes is None:
+        key_u, cnt = np.unique(tc, return_counts=True)
+        return uniq[key_u], cnt
+    gt = group_codes[comp_u // nt].astype(np.int64) * nt + tc
+    key_u, cnt = np.unique(gt, return_counts=True)
+    return key_u // nt, uniq[key_u % nt], cnt
+
+
+def unit_term_tf(flat: np.ndarray, unit: np.ndarray):
+    """Per-(unit, term) term-frequency counts over an occurrence stream
+    via the composite-int64 ``np.unique`` (no object-key groupby).
+    Returns ``(unit_ids, term_codes, term_uniq, tf)`` — term strings
+    stay factorized so downstream sorts can use integer ranks."""
+    codes, uniq = pd.factorize(flat)
+    nt = len(uniq)
+    if nt == 0:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, dtype=object), e
+    ku, cnt = np.unique(unit.astype(np.int64) * nt + codes, return_counts=True)
+    return ku // nt, ku % nt, uniq, cnt
+
+
 def batch_ngram_stream(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Word n-grams per doc as space-joined strings over the normalized
     occurrence stream: returns (ngrams, unit_index). Vectorized: one
@@ -636,15 +681,18 @@ def tfidf_topk(
 
     def df_partial(batch: pa.Table) -> pa.Table:
         flat, unit = batch_term_stream(batch[text_col].to_pylist())
-        dd = pd.DataFrame({"term": flat, "u": unit}).drop_duplicates()
-        g = dd.groupby("term", sort=False, as_index=False).size()
+        terms, cnt = doc_freq_partial(flat, unit)
         return pa.table(
-            {"term": pa.array(g["term"], pa.string()),
-             "df": pa.array(g["size"], pa.int64())}
+            {"term": pa.array(terms, pa.string()),
+             "df": pa.array(cnt, pa.int64())}
         )
 
-    parts = ds.map_batches(df_partial, batch_format="pyarrow").to_pandas()
-    dfs = parts.groupby("term", as_index=False)["df"].sum().sort_values("term")
+    from typesense_ray.agg import fold_grouped
+
+    parts = ds.map_batches(
+        df_partial, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    dfs = fold_grouped(parts, ["term"], {"df": "sum"})
     n_docs = ds.count()
     terms_sorted = dfs["term"].to_numpy(dtype=object)
     df_arr = dfs["df"].to_numpy(np.int64)
@@ -654,25 +702,24 @@ def tfidf_topk(
         terms, dfv, n = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         flat, unit = batch_term_stream(batch[text_col].to_pylist())
-        tf = (
-            pd.DataFrame({"u": unit, "term": flat})
-            .groupby(["u", "term"], sort=False, as_index=False)
-            .size()
-        )
-        pos = np.searchsorted(terms, tf["term"].to_numpy(dtype=object))
-        score = tf["size"].to_numpy(np.float64) * np.log(n / dfv[pos])
-        tf = tf.assign(score=score, doc_id=ids[tf["u"].to_numpy()])
-        top = (
-            tf.sort_values(["u", "score", "term"],
-                           ascending=[True, False, True], kind="mergesort")
-            .groupby("u", sort=False)
-            .head(k)
-        )
+        u, tc, uniq, tf = unit_term_tf(flat, unit)
+        pos = np.searchsorted(terms, uniq[tc])
+        score = tf.astype(np.float64) * np.log(n / dfv[pos])
+        # per-doc top-k by (score desc, term asc) without an object-key
+        # sort: term asc == rank asc where rank is the term's position
+        # in the lexicographic order of this batch's vocab
+        rank = np.empty(len(uniq), np.int64)
+        rank[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+        o = np.lexsort((rank[tc], -score, u))
+        us = u[o]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        offset = np.repeat(starts, np.diff(np.r_[starts, len(us)]))
+        sel = o[np.arange(len(us)) - offset < k]
         return pa.table(
             {
-                id_col: pa.array(top["doc_id"], pa.int64()),
-                "term": pa.array(top["term"], pa.string()),
-                "score": pa.array(top["score"], pa.float64()),
+                id_col: pa.array(ids[u[sel]], pa.int64()),
+                "term": pa.array(uniq[tc[sel]], pa.string()),
+                "score": pa.array(score[sel], pa.float64()),
             }
         )
 

@@ -381,3 +381,29 @@ def test_gc_segments_grace_window(tmp_path):
     assert gc_segments(root, grace_s=60.0) == ["seg-stale"]
     assert not os.path.isdir(os.path.join(seg_root, "seg-stale"))
     assert os.path.isdir(os.path.join(seg_root, "seg-live"))
+
+
+def test_jsonl_embedded_newline_roundtrip(ray_session, tmp_path):
+    """StringUtilsTest.ShouldSplitString (test/string_utils_test.cpp:64-97)
+    behavioral kernel: the JSONL import splits records on RAW newlines
+    only — '\\n' escapes inside JSON string values stay inside one record
+    and survive to the stored document."""
+    rows = [
+        {"docnum": 0, "title": "Line one.\nLine two.\n", "points": 1},
+        {"docnum": 1, "title": "Line 1.\nLine 2.\n", "points": 2},
+    ]
+    jsonl = tmp_path / "nl.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = str(tmp_path / "nlidx")
+    cfg = IndexConfig(
+        text_field="title", id_field="docnum", sha_field=None, batch_docs=2,
+        meta_fields=("docnum", "title", "points"),
+    )
+    stats = import_documents(str(jsonl), out, cfg, concurrency=1)
+    assert stats["n_docs"] == 2
+    coll = RayCollection(out, default_sorting_field="points")
+    r = coll.search("two")
+    assert r["found"] == 1
+    assert r["hits"][0]["document"]["title"] == "Line one.\nLine two.\n"

@@ -2100,3 +2100,101 @@ def test_top_bigrams_groupby_mode_matches_stream(ray_session):
     # known heads
     assert a["bigram"].tolist()[:3] == ["a b", "b c", "c a"]
     assert a["cnt"].tolist()[:3] == [10, 8, 5]
+
+
+def test_fold_grouped_matches_pandas_groupby():
+    """The integer-keyed segment-reduce fold (agg.fold_grouped) must be
+    drop-in for groupby(as_index=False, sort=True): NaN keys drop,
+    output sorted by key columns, sum/min/max per merge spec — property-
+    checked against pandas on randomized multi-key frames."""
+    import pandas as pd
+
+    from typesense_ray.agg import fold_grouped
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        n = int(rng.randint(1, 2000))
+        df = pd.DataFrame(
+            {
+                "k1": rng.choice(["a", "b", "c", "dd", "e"], n),
+                "k2": rng.randint(0, 7, n),
+                "s": rng.randint(-50, 50, n).astype(np.int64),
+                "m": rng.rand(n),
+            }
+        )
+        if trial >= 3:  # NaN keys must drop like pandas groupby
+            df.loc[rng.choice(n, max(1, n // 10), replace=False), "k1"] = None
+        got = fold_grouped(df, ["k1", "k2"], {"s": "sum", "m": "max"})
+        exp = (
+            df.groupby(["k1", "k2"], as_index=False)
+            .agg(s=("s", "sum"), m=("m", "max"))
+            .sort_values(["k1", "k2"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp, check_dtype=False
+        )
+
+
+def test_fold_grouped_empty_and_single_key():
+    import pandas as pd
+
+    from typesense_ray.agg import fold_grouped
+
+    df = pd.DataFrame({"k": ["x", "x", "y"], "v": [1, 2, 3]})
+    got = fold_grouped(df, ["k"], {"v": "min"})
+    assert got["k"].tolist() == ["x", "y"]
+    assert got["v"].tolist() == [1, 3]
+    empty = fold_grouped(df.iloc[:0], ["k"], {"v": "sum"})
+    assert len(empty) == 0
+
+
+def test_doc_freq_partial_and_unit_term_tf():
+    """The composite-int64 df/tf combiners must equal the object-key
+    pandas equivalents they replaced."""
+    import pandas as pd
+
+    from typesense_ray.functions.text import doc_freq_partial, unit_term_tf
+
+    rng = np.random.RandomState(5)
+    vocab = np.array(["w%d" % i for i in range(40)], dtype=object)
+    flat = rng.choice(vocab, 5000)
+    unit = np.sort(rng.randint(0, 300, 5000)).astype(np.int64)
+
+    terms, cnt = doc_freq_partial(flat, unit)
+    exp = (
+        pd.DataFrame({"term": flat, "u": unit})
+        .drop_duplicates()
+        .groupby("term", as_index=False)
+        .size()
+    )
+    assert dict(zip(terms, cnt)) == dict(zip(exp["term"], exp["size"]))
+
+    groups = (unit % 3).astype(np.int64)
+    gids, terms2, cnt2 = doc_freq_partial(flat, unit, groups)
+    exp2 = (
+        pd.DataFrame({"g": groups[unit], "term": flat, "u": unit})
+        .drop_duplicates()
+        .groupby(["g", "term"], as_index=False)
+        .size()
+    )
+    assert (
+        {(int(g), t): int(c) for g, t, c in zip(gids, terms2, cnt2)}
+        == {(int(g), t): int(c)
+            for g, t, c in zip(exp2["g"], exp2["term"], exp2["size"])}
+    )
+
+    u, tc, uniq, tf = unit_term_tf(flat, unit)
+    exp3 = (
+        pd.DataFrame({"u": unit, "term": flat})
+        .groupby(["u", "term"], as_index=False)
+        .size()
+    )
+    assert (
+        {(int(a), uniq[b]): int(c) for a, b, c in zip(u, tc, tf)}
+        == {(int(a), t): int(c)
+            for a, t, c in zip(exp3["u"], exp3["term"], exp3["size"])}
+    )
+
+    # empty stream
+    t0, c0 = doc_freq_partial(np.empty(0, object), np.empty(0, np.int64))
+    assert len(t0) == 0 and len(c0) == 0

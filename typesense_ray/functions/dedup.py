@@ -781,13 +781,16 @@ def word_ngram_jaccard_pairs(
     Distributed shape: map_batches(shingle+hash, distinct per doc) →
     COARSE-partitioned shingle exchange (``part = h % 64`` → ≤64
     ``map_groups`` callbacks; a per-shingle groupby would pay one Python
-    callback per distinct shingle — 10^5+ of them) emitting (a, b)
-    co-occurrence rows for shingle groups of size ≤ df_cap — the diagonal
-    row (d, d) carries each doc's kept-shingle size contribution so ONE
-    pair-count groupby yields both sizes (diagonal) and common counts
-    (off-diagonal) — → final jaccard over the aggregated counts. The
-    all-to-alls move only (uint64, int64) rows; per-group pair fan-out is
-    bounded by df_cap².
+    callback per distinct shingle — 10^5+ of them) emitting combined
+    (a, b, c) co-occurrence partials for shingle groups of size ≤ df_cap.
+    Per-doc set sizes ride the same reduce as diagonal (d, d, c) rows,
+    but are computed as ONE sentinel total per doc in the shingle map
+    (each doc lives in one batch) plus NEGATIVE per-doc corrections for
+    dropped (df > df_cap) memberships from the exchange — the earlier
+    per-partition diagonal design emitted one (d, d) row per (doc,
+    partition) pair, ~17M finish-exchange rows at 400k docs vs ~400k
+    now. The all-to-alls move only (uint64, int64) rows; per-group pair
+    fan-out is bounded by df_cap².
 
     ``mode``: the final pair-count reduce. 'stream' folds the partition
     partials with ONE vectorized pandas groupby on the driver (fastest at
@@ -848,18 +851,59 @@ def word_ngram_jaccard_pairs(
         )
         within = np.arange(tot_s, dtype=np.int64) - grp_off
         starts = np.repeat(doc_offs, n_starts) + within
+        # in-place fold with one reused gather buffer — fresh numpy
+        # temps here cost more in first-touch page faults than the
+        # arithmetic (measured: iteration 0 of an allocate-per-step fold
+        # ran 100× slower than iterations 1-2 on warm buffers)
         g = np.full(tot_s, 0xCBF29CE484222325, dtype=np.uint64)
         prime = np.uint64(0x100000001B3)
-        for k in range(n):
-            g = (g ^ ph[starts + k]) * prime
+        gat = np.empty(tot_s, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for k in range(n):
+                np.take(ph, starts + k, out=gat)
+                np.bitwise_xor(g, gat, out=g)
+                np.multiply(g, prime, out=g)
         did_s = np.repeat(ids, n_starts)
-        dedup = pd.DataFrame({id_col: did_s, "h": g}).drop_duplicates()
-        h = dedup["h"].to_numpy()
+        # distinct (doc, h): ids arrive doc-grouped, so one lexsort +
+        # neighbor-diff replaces the hash-table drop_duplicates
+        # (~5× faster at 1.4M mostly-unique rows; downstream is an
+        # order-insensitive partition exchange)
+        order = np.lexsort((g, did_s))
+        ds_s, g_s = did_s[order], g[order]
+        keep = np.empty(len(g_s), bool)
+        keep[0:1] = True
+        np.not_equal(g_s[1:], g_s[:-1], out=keep[1:])
+        keep[1:] |= ds_s[1:] != ds_s[:-1]
+        h = g_s[keep]
+        kept_ids = ds_s[keep]
+        # per-doc distinct-shingle TOTALS as sentinel rows (part = -1,
+        # h = count): each doc lives in exactly one batch, so this is
+        # exact and costs ONE row per doc — the earlier design derived
+        # per-doc sizes from diagonal (d, d) rows emitted by every
+        # partition touching the doc, which multiplied the finish
+        # exchange by the partition count (~17M partial rows at 400k
+        # docs vs ~400k now; dropped-shingle corrections flow as
+        # negative diagonals from part_cooc)
+        run_start = np.empty(len(kept_ids), bool)
+        run_start[0:1] = True
+        np.not_equal(kept_ids[1:], kept_ids[:-1], out=run_start[1:])
+        doc_u = kept_ids[run_start]
+        tot = np.diff(np.r_[np.flatnonzero(run_start), len(kept_ids)])
+        part = np.concatenate(
+            [
+                (h % np.uint64(n_parts)).astype(np.int32),
+                np.full(len(doc_u), -1, np.int32),
+            ]
+        )
         return pa.table(
             {
-                "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
-                "h": pa.array(h, pa.uint64()),
-                id_col: pa.array(dedup[id_col].to_numpy(), pa.int64()),
+                "part": pa.array(part),
+                "h": pa.array(
+                    np.concatenate([h, tot.astype(np.uint64)]), pa.uint64()
+                ),
+                id_col: pa.array(
+                    np.concatenate([kept_ids, doc_u]), pa.int64()
+                ),
             }
         )
 
@@ -869,6 +913,13 @@ def word_ngram_jaccard_pairs(
         # fully vectorized: lexsort by (h, doc), find group runs, then ONE
         # triu per DISTINCT group size (≤ df_cap sizes) over a (groups,
         # size) matrix — no per-shingle Python loop.
+        if int(g["part"].iat[0]) == -1:
+            # sentinel group: per-doc distinct-shingle totals computed in
+            # shingle_rows — pass through as positive diagonal counts
+            d = g[id_col].to_numpy()
+            return pd.DataFrame(
+                {"a": d, "b": d, "c": g["h"].to_numpy().astype(np.int64)}
+            )
         h = g["h"].to_numpy()
         d = g[id_col].to_numpy()
         order = np.lexsort((d, h))
@@ -878,11 +929,21 @@ def word_ngram_jaccard_pairs(
             h, return_index=True, return_counts=True
         )
         keepg = counts <= df_cap
-        row_keep = np.repeat(keepg, counts)
-        # diagonal (d, d): one row per kept (shingle, doc)
-        out_a = [d[row_keep]]
-        out_b = [d[row_keep]]
+        out_a, out_b, out_c = [], [], []
+        dropped = ~keepg
+        if dropped.any():
+            # stopword shingles (df > df_cap) are excluded from BOTH the
+            # pair candidates and the per-doc set sizes: emit one
+            # NEGATIVE diagonal per (doc, dropped-membership count) to
+            # correct the sentinel totals — rows scale with dropped
+            # memberships (≈0 on natural corpora), not with docs×parts
+            dmem = d[np.repeat(dropped, counts)]
+            du, dc = np.unique(dmem, return_counts=True)
+            out_a.append(du)
+            out_b.append(du)
+            out_c.append(-dc.astype(np.int64))
         multi = keepg & (counts >= 2)
+        pair_a, pair_b = [], []
         if multi.any():
             starts_m = idx_start[multi]
             counts_m = counts[multi]
@@ -890,18 +951,51 @@ def word_ngram_jaccard_pairs(
                 sel = starts_m[counts_m == s]
                 mat = d[sel[:, None] + np.arange(int(s))[None, :]]
                 ia, ib = np.triu_indices(int(s), k=1)
-                out_a.append(mat[:, ia].ravel())
-                out_b.append(mat[:, ib].ravel())
+                pair_a.append(mat[:, ia].ravel())
+                pair_b.append(mat[:, ib].ravel())
         # COMBINE inside the partition: the same (a, b) pair recurs across
         # many shingles, so shipping raw co-occurrence rows to the global
         # pair-count groupby explodes the shuffle (10^7-10^8 rows at a few
-        # thousand docs of repetitive text) — one vectorized value_counts
-        # reduces each partition to its distinct pairs with partial counts
-        raw = pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        )
-        return raw.groupby(["a", "b"], as_index=False).size().rename(
-            columns={"size": "c"}
+        # thousand docs of repetitive text) — one vectorized count reduces
+        # each partition to its distinct pairs with partial counts; the
+        # pre-combined negative size corrections (out_*) append after
+        if pair_a:
+            aa = np.concatenate(pair_a).astype(np.int64, copy=False)
+            bb = np.concatenate(pair_b).astype(np.int64, copy=False)
+            if aa.min() >= 0 and max(aa.max(), bb.max()) < (1 << 31):
+                # composite-uint64 count (~4× faster than the two-int-key
+                # pandas groupby at 10^6 rows); ids ≥ 2^31 fall back
+                key, c = np.unique(
+                    (aa.astype(np.uint64) << np.uint64(32))
+                    | bb.astype(np.uint64),
+                    return_counts=True,
+                )
+                out_a.append((key >> np.uint64(32)).astype(np.int64))
+                out_b.append((key & np.uint64(0xFFFFFFFF)).astype(np.int64))
+                out_c.append(c.astype(np.int64))
+            else:
+                raw = (
+                    pd.DataFrame({"a": aa, "b": bb})
+                    .groupby(["a", "b"], as_index=False)
+                    .size()
+                )
+                out_a.append(raw["a"].to_numpy())
+                out_b.append(raw["b"].to_numpy())
+                out_c.append(raw["size"].to_numpy(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "a": np.empty(0, np.int64),
+                    "b": np.empty(0, np.int64),
+                    "c": np.empty(0, np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "c": np.concatenate(out_c),
+            }
         )
 
     import time

@@ -1020,11 +1020,11 @@ def word_ngram_jaccard_pairs(
     # Driver state is bounded by the distinct-pair count.
     parts = list(cooc.iter_batches(batch_format="pandas", batch_size=None))
     if parts:
+        from typesense_ray.agg import fold_grouped
+
         allp = pd.concat(parts, ignore_index=True)
-        counts = (
-            allp.groupby(["a", "b"], as_index=False)["c"]
-            .sum()
-            .rename(columns={"c": "count()"})
+        counts = fold_grouped(allp, ["a", "b"], {"c": "sum"}).rename(
+            columns={"c": "count()"}
         )
     else:
         counts = pd.DataFrame({"a": [], "b": [], "count()": []})

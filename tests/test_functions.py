@@ -2198,3 +2198,27 @@ def test_doc_freq_partial_and_unit_term_tf():
     # empty stream
     t0, c0 = doc_freq_partial(np.empty(0, object), np.empty(0, np.int64))
     assert len(t0) == 0 and len(c0) == 0
+
+
+def test_fold_grouped_skips_nan_values_like_pandas():
+    """NaN VALUES (not keys) must aggregate with pandas' skipna=True
+    semantics: ignored where other values exist; all-NaN groups give
+    sum=0.0 and min/max=NaN."""
+    import pandas as pd
+
+    from typesense_ray.agg import fold_grouped
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "c", "c"],
+            "s": [1.0, np.nan, np.nan, np.nan, 2.0, 3.0],
+            "m": [np.nan, 5.0, np.nan, np.nan, 7.0, 1.0],
+        }
+    )
+    got = fold_grouped(df, ["k"], {"s": "sum", "m": "min"})
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(s=("s", "sum"), m=("m", "min"))
+        .sort_values("k", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)

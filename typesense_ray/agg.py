@@ -66,11 +66,25 @@ def fold_grouped(
     out = {c: allp[c].to_numpy()[first] for c in group_cols}
     for c, how in merges.items():
         v = allp[c].to_numpy()[rows][order]
-        out[c] = (
-            _REDUCEAT[how].reduceat(v, starts)
-            if len(ks)
-            else v[:0]
-        )
+        if not len(ks):
+            out[c] = v[:0]
+            continue
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            # pandas groupby aggregates with skipna=True: NaN values are
+            # ignored (all-NaN groups: sum → 0.0, min/max → NaN) while
+            # reduceat would propagate them — substitute the identity and
+            # restore NaN for empty min/max groups
+            nanm = np.isnan(v)
+            ident = (
+                0.0 if how == "sum" else (np.inf if how == "min" else -np.inf)
+            )
+            red = _REDUCEAT[how].reduceat(np.where(nanm, ident, v), starts)
+            if how != "sum":
+                n_ok = np.add.reduceat((~nanm).astype(np.int64), starts)
+                red = np.where(n_ok == 0, np.nan, red)
+            out[c] = red
+        else:
+            out[c] = _REDUCEAT[how].reduceat(v, starts)
     res = pd.DataFrame(out)
     return res.sort_values(
         group_cols, kind="stable", ignore_index=True

@@ -2222,3 +2222,57 @@ def test_fold_grouped_skips_nan_values_like_pandas():
         .sort_values("k", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+def test_ngram_jaccard_partial_drop_corrections(ray_session):
+    """df_cap drops SOME shingles (not all): the sentinel-total +
+    negative-correction size accounting must renormalize Jaccard over
+    the kept-shingle universe identically in stream and groupby modes,
+    and match a hand-computed set Jaccard."""
+    import pandas as pd
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import word_ngram_jaccard_pairs
+
+    # 'common one two' appears in ALL four docs -> its 3-grams exceed
+    # df_cap=3 and drop; the remaining shingles decide the pairs
+    rows = [
+        {"doc_id": 1, "text": "common one two alpha beta gamma delta"},
+        {"doc_id": 2, "text": "common one two alpha beta gamma epsilon"},
+        {"doc_id": 3, "text": "common one two totally different words here"},
+        {"doc_id": 4, "text": "common one two unrelated content entirely x"},
+    ]
+    ds = rd.from_items(rows)
+    got_s = word_ngram_jaccard_pairs(
+        ds, n=3, threshold=0.1, df_cap=3, mode="stream"
+    ).to_pandas().sort_values(["a", "b"], ignore_index=True)
+    got_g = word_ngram_jaccard_pairs(
+        ds, n=3, threshold=0.1, df_cap=3, mode="groupby"
+    ).to_pandas().sort_values(["a", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got_s, got_g, check_dtype=False)
+
+    # hand-computed over kept shingles: per doc, 3-grams; any 3-gram
+    # present in >3 docs is excluded from sizes and intersections
+    def grams(t):
+        w = t.split()
+        return {tuple(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {r["doc_id"]: grams(r["text"]) for r in rows}
+    from collections import Counter
+
+    df = Counter(g for s in sets.values() for g in s)
+    kept = {d: {g for g in s if df[g] <= 3} for d, s in sets.items()}
+    exp = {}
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(kept[a] & kept[b])
+            uni = len(kept[a] | kept[b])
+            if uni and inter / uni >= 0.1:
+                exp[(a, b)] = inter / uni
+    got_pairs = {
+        (int(r.a), int(r.b)): r.jaccard for r in got_s.itertuples()
+    }
+    assert set(got_pairs) == set(exp)
+    for k in exp:
+        assert abs(got_pairs[k] - exp[k]) < 1e-9, (k, got_pairs[k], exp[k])

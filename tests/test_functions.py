@@ -2276,3 +2276,42 @@ def test_ngram_jaccard_partial_drop_corrections(ray_session):
     assert set(got_pairs) == set(exp)
     for k in exp:
         assert abs(got_pairs[k] - exp[k]) < 1e-9, (k, got_pairs[k], exp[k])
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+             min_size=0, max_size=600),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_segment_bit_counts_property(hashes, data):
+    """_segment_bit_counts ≡ unpackbits + reduceat on arbitrary segment
+    layouts, including segments longer than the 255-hash lane capacity."""
+    from typesense_ray.functions.dedup import _segment_bit_counts
+
+    h = np.array(hashes, dtype=np.uint64)
+    if h.size == 0:
+        got = _segment_bit_counts(
+            h, np.empty(0, np.int64), np.empty(0, np.int64)
+        )
+        assert got.shape == (0, 64)
+        return
+    # random segmentation of [0, n)
+    n = h.size
+    n_cuts = data.draw(st.integers(min_value=0, max_value=min(n - 1, 8)))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=n - 1),
+                min_size=n_cuts, max_size=n_cuts, unique=True,
+            )
+        )
+    ) if n > 1 else []
+    starts = np.array([0] + cuts, dtype=np.int64)
+    seg_lens = np.diff(np.r_[starts, n])
+    got = _segment_bit_counts(h, starts, seg_lens)
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    exp = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    assert np.array_equal(got, exp)

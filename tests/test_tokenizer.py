@@ -177,3 +177,56 @@ def test_should_normalize_string_vectors():
     assert norm_join("தமிழ் நாடு") == "தமிழ்நாடு"
     assert normalize_token("你好吗") == "你好吗"
     assert norm_join("çн தமிழ் நாடு so...") == "cнதமிழ்நாடுso"
+
+
+def test_normalized_slot_codes_matches_python_path():
+    """The Arrow-encoded slot stream (ASCII fast path) must produce the
+    exact (token, unit, position) stream of per-doc normalized_slots —
+    including separator-slot numbering with empties kept, punctuation
+    deletion inside tokens, and the newline separator."""
+    import numpy as np
+
+    from typesense_ray.tokenizer import normalized_slot_codes, normalized_slots
+
+    def ref(texts):
+        toks, units, poss = [], [], []
+        for u, t in enumerate(texts):
+            slots = normalized_slots(t) if t else []
+            for p, tok in enumerate(slots):
+                if tok:
+                    toks.append(tok)
+                    units.append(u)
+                    poss.append(p)
+        return toks, units, poss
+
+    cases = [
+        ["Hello World", "foo-bar  baz!", "", None, " lead trail ", "a\tb",
+         "line1\nline2", "MiXeD 42x", "\n", "  ", "!!!", "x"],
+        ["ascii only here", "Üben von Xylophon", "தமிழ் 你好"],  # fallback
+    ]
+    for texts in cases:
+        codes, uniq, unit_ix, pos = normalized_slot_codes(texts)
+        got = (list(uniq[codes]), unit_ix.tolist(), pos.tolist())
+        assert got == ref(texts), texts
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=60,
+), max_size=12))
+@settings(max_examples=120, deadline=None)
+def test_normalized_slot_codes_property_ascii(texts):
+    from typesense_ray.tokenizer import normalized_slot_codes, normalized_slots
+
+    codes, uniq, unit_ix, pos = normalized_slot_codes(texts)
+    toks, units, poss = [], [], []
+    for u, t in enumerate(texts):
+        slots = normalized_slots(t) if t else []
+        for p, tok in enumerate(slots):
+            if tok:
+                toks.append(tok)
+                units.append(u)
+                poss.append(p)
+    assert list(uniq[codes]) == toks
+    assert unit_ix.tolist() == units
+    assert pos.tolist() == poss

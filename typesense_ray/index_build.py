@@ -363,54 +363,45 @@ class SegmentWriter:
         # the reference's per-element offset sentinel scheme,
         # src/index.cpp:558-606); field terms enter the shared code space
         # by prefixing only the field's UNIQUE terms, never the stream.
-        from itertools import chain
-
-        import pandas as pd
-
-        from typesense_ray.tokenizer import normalized_slots
+        from typesense_ray.tokenizer import normalized_slot_codes
 
         def slot_stream(unit_texts, docs_of, base_pos):
-            """(occ_tok, occ_doc, occ_pos) over tokenization units."""
-            m = len(unit_texts)
-            tok_lists = [normalized_slots(t) if t else [] for t in unit_texts]
-            lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=m)
-            total = int(lens.sum())
-            flat = np.fromiter(
-                chain.from_iterable(tok_lists), dtype=object, count=total
+            """(codes, uniq, occ_doc, occ_pos) over tokenization units —
+            dictionary-encoded by :func:`normalized_slot_codes` (Arrow
+            C++ for all-ASCII batches, per-unit translate+split
+            otherwise; identical streams either way). ``unit_texts`` may
+            be a list or an Arrow string column.
+
+            Within-unit positions wrap to 16 bits: the reference stores
+            full offsets but its decode casts every position to uint16
+            (src/index.cpp:1995-2013 populate_token_positions), so the
+            observable (element, position) sets — and therefore phrase
+            adjacency and proximity windows — wrap identically there.
+            With the wrap, stride-composed positions are decode-
+            equivalent to the reference's repeated-last-offset +
+            array-index sentinel encoding for EVERY input, not just
+            elements under 2^16 tokens."""
+            codes, uniq, unit_ix, pos_in_unit = normalized_slot_codes(
+                unit_texts
             )
-            nonempty = flat != ""
-            unit_ix = np.repeat(np.arange(m, dtype=np.int64), lens)
-            slot_off = np.zeros(m, dtype=np.int64)
-            np.cumsum(lens[:-1], out=slot_off[1:])
-            pos_in_unit = (
-                np.arange(total, dtype=np.int64) - np.repeat(slot_off, lens)
-            )
-            # within-unit positions wrap to 16 bits: the reference stores
-            # full offsets but its decode casts every position to uint16
-            # (src/index.cpp:1995-2013 populate_token_positions), so the
-            # observable (element, position) sets — and therefore phrase
-            # adjacency and proximity windows — wrap identically there.
-            # With the wrap, stride-composed positions are decode-
-            # equivalent to the reference's repeated-last-offset +
-            # array-index sentinel encoding for EVERY input, not just
-            # elements under 2^16 tokens.
             return (
-                flat[nonempty],
-                docs_of[unit_ix[nonempty]],
-                (pos_in_unit[nonempty] & 0xFFFF)
-                + base_pos[unit_ix[nonempty]],
+                codes,
+                uniq,
+                docs_of[unit_ix],
+                (pos_in_unit & 0xFFFF) + base_pos[unit_ix],
             )
 
         all_docs = np.arange(n, dtype=np.int64)
         zero_pos = np.zeros(n, dtype=np.int64)
-        occ_tok, p_doc, p_pos = slot_stream(texts, all_docs, zero_pos)
+        codes0, uniq0, p_doc, p_pos = slot_stream(
+            batch[cfg.text_field], all_docs, zero_pos
+        )
         doclens = np.bincount(p_doc, minlength=n).astype(np.int32)
 
         code_parts, uniq_parts, doc_parts, pos_parts = [], [], [], []
-        if occ_tok.size:
-            codes0, uniq0 = pd.factorize(occ_tok)
-            code_parts.append(codes0.astype(np.int64))
-            uniq_parts.append(np.asarray(uniq0, dtype=object))
+        if codes0.size:
+            code_parts.append(codes0)
+            uniq_parts.append(uniq0)
             doc_parts.append(p_doc)
             pos_parts.append(p_pos)
 
@@ -438,13 +429,14 @@ class SegmentWriter:
                 elem_texts = [v or "" for v in vals]
                 docs_of = all_docs
                 base_pos = zero_pos
-            f_tok, f_doc, f_pos = slot_stream(elem_texts, docs_of, base_pos)
+            codes_f, uniq_f, f_doc, f_pos = slot_stream(
+                elem_texts, docs_of, base_pos
+            )
             extra_doclens[fld] = np.bincount(f_doc, minlength=n).astype(np.int32)
-            if f_tok.size:
-                codes_f, uniq_f = pd.factorize(f_tok)
+            if codes_f.size:
                 prefix = fld + FIELD_SEP
                 offset = int(sum(len(u) for u in uniq_parts))
-                code_parts.append(codes_f.astype(np.int64) + offset)
+                code_parts.append(codes_f + offset)
                 uniq_parts.append(
                     np.array([prefix + t for t in uniq_f], dtype=object)
                 )

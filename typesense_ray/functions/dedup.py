@@ -805,20 +805,20 @@ def word_ngram_jaccard_pairs(
     """
     import pandas as pd
 
-    from typesense_ray.tokenizer import normalized_slots
+    from typesense_ray.tokenizer import normalized_slot_codes
 
     n_parts = 64
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        # Vectorized shingling: factorize the batch's token stream once,
-        # hash only the DISTINCT tokens, then one FNV-style fold over the
-        # n positions of every n-gram start (no per-doc set / " ".join —
-        # both were the measured hot loop). The hash is deterministic per
-        # token value (pd.util.hash_array), so shingle identity is
-        # consistent across batches; 64-bit collisions are negligible at
-        # corpus vocabulary sizes (same risk the string hash already had).
-        from itertools import chain
-
+        # Vectorized shingling over the dictionary-encoded slot stream
+        # (Arrow C++ tokenize+factorize for ASCII batches, see
+        # ``normalized_slot_codes``): hash only the DISTINCT tokens, then
+        # one FNV-style fold over the n positions of every n-gram start
+        # (no per-doc set / " ".join — both were the measured hot loop).
+        # The hash is deterministic per token value
+        # (``pd.util.hash_array``), so shingle identity is consistent
+        # across batches; 64-bit collisions are negligible at corpus
+        # vocabulary sizes (same risk the string hash already had).
         empty = pa.table(
             {
                 "part": pa.array([], pa.int32()),
@@ -826,19 +826,12 @@ def word_ngram_jaccard_pairs(
                 id_col: pa.array([], pa.int64()),
             }
         )
-        texts = batch[text_col].to_pylist()
+        m = batch.num_rows
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        tok_lists = [
-            [t for t in normalized_slots(x or "") if t] for x in texts
-        ]
-        lens = np.fromiter(map(len, tok_lists), np.int64, count=len(texts))
-        total = int(lens.sum())
-        if total == 0:
+        codes, uniq, unit_ix, _pos = normalized_slot_codes(batch[text_col])
+        if codes.size == 0:
             return empty
-        flat = np.fromiter(
-            chain.from_iterable(tok_lists), dtype=object, count=total
-        )
-        codes, uniq = pd.factorize(flat)
+        lens = np.bincount(unit_ix, minlength=m)
         tokh = pd.util.hash_array(np.asarray(uniq, dtype=object))
         ph = tokh[codes]
         n_starts = np.maximum(lens - (n - 1), 0)

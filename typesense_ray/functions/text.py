@@ -391,22 +391,16 @@ def fnv1a_ascii_batch(strings: list) -> np.ndarray:
 
 def batch_term_stream(texts: list) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a batch of texts into one (term, unit_index) occurrence
-    stream using the index tokenizer's normalization — the same
-    per-unit-split-then-numpy shape as the build's occurrence kernel
-    (index_build.SegmentWriter): one C-level split per doc, then every
-    per-token step is a numpy op. Empty slots are dropped."""
-    from itertools import chain
+    stream using the index tokenizer's normalization. Tokenization and
+    factorization run through :func:`tokenizer.normalized_slot_codes`
+    (Arrow C++ for all-ASCII batches), so each distinct token string is
+    materialized ONCE — the returned object array is a gather of
+    dictionary references, not fresh per-occurrence strings. Empty slots
+    are dropped. Accepts a list or an Arrow string column."""
+    from typesense_ray.tokenizer import normalized_slot_codes
 
-    from typesense_ray.tokenizer import normalized_slots
-
-    m = len(texts)
-    tok_lists = [normalized_slots(t) if t else [] for t in texts]
-    lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=m)
-    total = int(lens.sum())
-    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
-    unit_ix = np.repeat(np.arange(m, dtype=np.int64), lens)
-    keep = flat != ""
-    return flat[keep], unit_ix[keep]
+    codes, uniq, unit_ix, _pos = normalized_slot_codes(texts)
+    return uniq[codes], unit_ix
 
 
 def doc_freq_partial(

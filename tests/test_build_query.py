@@ -165,6 +165,40 @@ def test_index_server_shards_partition_segments(ray_session, index_dir):
         remove_placement_group(pg)
 
 
+@pytest.mark.parametrize("q", QUERIES)
+def test_fused_bm25_equals_per_segment_composition(index_dir, q):
+    """The fused one-pass scorer must be bitwise-equal to the composition
+    it replaced: per-segment ``search_bm25`` top-k + ``merge_topk``."""
+    from typesense_ray.query import fused_bm25, merge_topk
+    from typesense_ray.tokenizer import tokenize_query
+
+    s = LocalIndexSearcher(index_dir)
+    include, exclude = tokenize_query(q)
+    dfs = s._dfs([t for t in include if t != "*"])
+    if include != ["*"] and any(dfs[t] == 0 for t in dfs):
+        return  # zero-df short-circuits before either path runs
+    st = s.stats
+    k = 20
+    fi, fs = fused_bm25(
+        s.segments, include, exclude, k, dfs, st["n_docs"],
+        st["avgdl"], st["k1"], st["b"],
+    )
+    parts = []
+    for seg in s.segments:
+        ids, scores = seg.search_bm25(
+            include, exclude, k, dfs, st["n_docs"],
+            st["avgdl"], st["k1"], st["b"],
+        )
+        if ids.size:
+            parts.append((ids, scores))
+    merged = merge_topk(parts, k)
+    if merged is None:
+        assert fi.size == 0
+        return
+    assert fi.tolist() == merged[0].tolist(), q
+    assert fs.tolist() == merged[1].tolist(), q
+
+
 def test_resume_skips_complete_segments(ray_session, corpus, index_dir):
     import ray.data as rd
 

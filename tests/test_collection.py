@@ -459,6 +459,12 @@ def test_highlight_threshold_affix_tags_newline(ray_session, tmp_path):
                   "straight to the forest to sleep.",
          "points": 25},
         {"docnum": 1, "title": "Blah, blah\nStark Industries", "points": 5},
+        # the reference's SearchHighlightShouldUseHighlightTags corpus has
+        # doubled spaces and a trailing space; the snippet must preserve the
+        # raw whitespace exactly (test/collection_test.cpp:2069-2101)
+        {"docnum": 2,
+         "title": "The quick brown  fox jumped over the  lazy fox. ",
+         "points": 1},
     ]
     out = str(tmp_path / "hl")
     cfg = IndexConfig(
@@ -494,6 +500,15 @@ def test_highlight_threshold_affix_tags_newline(ray_session, tmp_path):
     hl = r["hits"][0]["highlights"][0]
     assert hl["snippet"] == "Blah, blah <mark>Stark</mark> Industries"
     assert hl["matched_tokens"] == ["Stark"]
+
+    # whitespace-exact snippet on the reference's doubled-space corpus
+    r = coll.search("lazy", sort_by="points:asc",
+                    highlight_start_tag='<em class="h">',
+                    highlight_end_tag="</em>")
+    assert r["hits"][0]["highlights"][0]["snippet"] == (
+        'The quick brown  fox jumped over the  <em class="h">lazy</em> '
+        "fox. "
+    )
 
 
 def test_pinned_and_hidden_hits_params(ray_session, tmp_path):

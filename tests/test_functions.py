@@ -1936,6 +1936,10 @@ def test_simhash_arrow_equals_batch_kernel():
         "plain ascii tokens here", "", None, "  spaced\t\nout  ",
         "İstanbul ŞEHİR", "ΣΊΣΥΦΟΣ ΤΕΛΟΣ", "mixed ascii και ελληνικά",
         "x " * 300, "MiXeD CaSe", "ümlaut ß straße",
+        # exotic ASCII separators: str.split() treats \x0b and \x1c-\x1f
+        # as whitespace; RE2's \s+ did NOT (the old regex split diverged
+        # here) — utf8_split_whitespace must agree with the scalar kernel
+        "a\x0bb", "a\x1cb\x1dc", "a\x1eb\x1fc", "\x0b\x1c",
     ]
     col = pa.array(texts, pa.string())
     got = simhash_arrow(col)

@@ -1172,7 +1172,7 @@ def simhash_arrow(col) -> np.ndarray:
     """Arrow-native SimHash over a string column — bit-identical to
     ``simhash_batch(col.to_pylist())`` but ~7× faster on ASCII text:
     lowering, whitespace split and token factorization all stay in
-    Arrow C++ (``utf8_lower`` → ``split_pattern_regex`` →
+    Arrow C++ (``utf8_lower`` → ``utf8_split_whitespace`` →
     ``dictionary_encode``), so per-occurrence Python string objects are
     never materialized and only the DISTINCT tokens cross into Python
     for hashing (the host is DRAM-bandwidth-bound at full concurrency —
@@ -1203,7 +1203,11 @@ def simhash_arrow(col) -> np.ndarray:
     else:
         idx = None
     m = len(col)
-    toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    # utf8_split_whitespace ≡ str.split() on EVERY ASCII char (probed
+    # 0x00-0x7F), where RE2's \s+ missed \x0b and \x1c-\x1f — so this is
+    # both 2.9x faster than split_pattern_regex and closer to the
+    # simhash_batch contract; affix empties still come out of the filter
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
     flat = pc.list_flatten(toks)
     lens_all = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False

@@ -1172,7 +1172,7 @@ def simhash_arrow(col) -> np.ndarray:
     """Arrow-native SimHash over a string column — bit-identical to
     ``simhash_batch(col.to_pylist())`` but ~7× faster on ASCII text:
     lowering, whitespace split and token factorization all stay in
-    Arrow C++ (``utf8_lower`` → ``utf8_split_whitespace`` →
+    Arrow C++ (``ascii_lower`` → ``utf8_split_whitespace`` →
     ``dictionary_encode``), so per-occurrence Python string objects are
     never materialized and only the DISTINCT tokens cross into Python
     for hashing (the host is DRAM-bandwidth-bound at full concurrency —
@@ -1207,7 +1207,7 @@ def simhash_arrow(col) -> np.ndarray:
     # 0x00-0x7F), where RE2's \s+ missed \x0b and \x1c-\x1f — so this is
     # both 2.9x faster than split_pattern_regex and closer to the
     # simhash_batch contract; affix empties still come out of the filter
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
+    toks = pc.utf8_split_whitespace(pc.ascii_lower(col))
     flat = pc.list_flatten(toks)
     lens_all = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False

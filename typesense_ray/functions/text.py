@@ -80,7 +80,7 @@ class LangId:
         return n_toks, counts
 
     def _counts_arrow(self, col) -> tuple[np.ndarray, np.ndarray]:
-        """Tokenize ONCE in Arrow C++ (utf8_lower → split on non-token
+        """Tokenize ONCE in Arrow C++ (ascii_lower → split on non-token
         runs → dictionary_encode), then profile membership is a set probe
         over the DISTINCT tokens only — replaces n_langs+1 full regex
         scans of the batch text. Occurrence counts per (doc, lang) fold
@@ -91,7 +91,7 @@ class LangId:
 
         m = len(col)
         toks = pc.split_pattern_regex(
-            pc.utf8_lower(pc.fill_null(col, "")), r"[^a-z0-9]+"
+            pc.ascii_lower(pc.fill_null(col, "")), r"[^a-z0-9]+"
         )
         flat = pc.list_flatten(toks)
         lens_all = pc.list_value_length(toks).to_numpy(
@@ -202,7 +202,7 @@ def _quality_counts_arrow(sub):
         zero_copy_only=False
     ).astype(np.float64)
     toks = pc.split_pattern_regex(sub, r"[ \n]+")
-    flat = pc.utf8_lower(pc.list_flatten(toks))
+    flat = pc.ascii_lower(pc.list_flatten(toks))
     hit = pc.is_in(
         flat, value_set=pa.array(sorted(_STOP_EN), pa.string())
     ).to_numpy(zero_copy_only=False).astype(np.uint8)

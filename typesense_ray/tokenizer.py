@@ -240,7 +240,8 @@ def normalized_slot_codes(texts: list):
     separator-slot position — exactly the stream
     ``[normalized_slots(t) for t in texts]`` yields, but for all-ASCII
     batches the lowering, punctuation deletion, slot split and token
-    factorization all run in Arrow C++ (``utf8_lower`` →
+    factorization all run in Arrow C++ (``ascii_lower`` — 4× cheaper
+    than ``utf8_lower`` and bit-equal on the ASCII-only input —  →
     ``replace_substring_regex`` → ``split_pattern`` →
     ``dictionary_encode``), so per-occurrence Python strings are never
     materialized — the index build's hot loop (~88 µs/doc → ~20).
@@ -269,7 +270,7 @@ def normalized_slot_codes(texts: list):
         col = pa.array([t or "" for t in texts], pa.string())
     if pc.all(pc.string_is_ascii(col)).as_py():
         norm = pc.replace_substring_regex(
-            pc.replace_substring_regex(pc.utf8_lower(col), r"[^a-z0-9 \n]", ""),
+            pc.replace_substring_regex(pc.ascii_lower(col), r"[^a-z0-9 \n]", ""),
             r"\n", " ",
         )
         # empty/None inputs yield one "" slot here where the Python path

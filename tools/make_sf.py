@@ -126,25 +126,87 @@ def make_embeddings(out: str, n_vecs: int, dim: int = 64,
             writer.close()
 
 
+EVENT_TYPES = np.array(["view", "click", "purchase", "signup", "error"])
+EVENT_P = np.array([0.40, 0.30, 0.12, 0.09, 0.09])
+
+
+def make_events(out: str, n_events: int, seed: int = 44,
+                n_users: int | None = None, block_rows: int = 250_000):
+    """`events` stream table in the driver's shape (TESTDATA.md):
+    monotone microsecond timestamps over ~30 days (exponential
+    inter-arrival), uniform-ish user ids, categorical event_type,
+    exp-tailed positive value rounded to cents, and a tiny JSON props
+    string — the 10x bench point for the windowing / sessionization /
+    quantile / sketch family, whose sf0.1 input (100k rows) is floored
+    by per-op fixed cost."""
+    rng = np.random.default_rng(seed)
+    if n_users is None:
+        n_users = max(100, (n_events * 15) // 1000)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    mean_gap = span_us / n_events
+    writer = None
+    t_cursor = np.int64(1_704_067_200_000_000)  # 2024-01-01 00:00:00 UTC
+    try:
+        for start in range(0, n_events, block_rows):
+            n = min(block_rows, n_events - start)
+            gaps = rng.exponential(mean_gap, size=n).astype(np.int64) + 1
+            ts = t_cursor + np.cumsum(gaps)
+            t_cursor = ts[-1]
+            users = rng.integers(0, n_users, size=n).astype(np.int64)
+            types = EVENT_TYPES[
+                rng.choice(len(EVENT_TYPES), size=n, p=EVENT_P)
+            ]
+            value = np.round(rng.exponential(50.0, size=n), 2)
+            k = rng.integers(0, 100, size=n)
+            props = np.char.add(
+                np.char.add('{"k": ', k.astype(str)), "}"
+            )
+            tbl = pa.table({
+                "event_id": pa.array(
+                    np.arange(start, start + n, dtype=np.int64)),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(users),
+                "event_type": pa.array(types.tolist(), pa.string()),
+                "value": pa.array(value, pa.float64()),
+                "props": pa.array(props.tolist(), pa.string()),
+            })
+            if writer is None:
+                writer = pq.ParquetWriter(out, tbl.schema)
+            writer.write_table(tbl, row_group_size=50_000)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--docs", type=int, default=400_000)
     ap.add_argument("--embeddings", type=int, default=100_000)
+    ap.add_argument("--events", type=int, default=0,
+                    help="also generate events.parquet with this many rows")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     marker = os.path.join(
         args.out_dir, f"_DONE_{args.docs}_{args.embeddings}_{args.seed}")
-    if os.path.exists(marker):
+    if not os.path.exists(marker):
+        make_documents(os.path.join(args.out_dir, "documents.parquet"),
+                       args.docs, seed=args.seed)
+        make_embeddings(os.path.join(args.out_dir, "embeddings.parquet"),
+                        args.embeddings, seed=args.seed + 1)
+        with open(marker, "w") as f:
+            f.write("ok")
+    else:
         print("already generated:", args.out_dir)
-        return
-    make_documents(os.path.join(args.out_dir, "documents.parquet"),
-                   args.docs, seed=args.seed)
-    make_embeddings(os.path.join(args.out_dir, "embeddings.parquet"),
-                    args.embeddings, seed=args.seed + 1)
-    with open(marker, "w") as f:
-        f.write("ok")
+    if args.events:
+        ev_marker = os.path.join(
+            args.out_dir, f"_DONE_EVENTS_{args.events}_{args.seed}")
+        if not os.path.exists(ev_marker):
+            make_events(os.path.join(args.out_dir, "events.parquet"),
+                        args.events, seed=args.seed + 2)
+            with open(ev_marker, "w") as f:
+                f.write("ok")
     print("wrote", args.out_dir)
 
 

@@ -238,18 +238,25 @@ def normalized_slot_codes(texts: list):
     ``codes`` indexes ``uniq`` (the batch's distinct normalized tokens),
     ``unit_ix`` is each occurrence's row index and ``pos_in_unit`` its
     separator-slot position — exactly the stream
-    ``[normalized_slots(t) for t in texts]`` yields, but for all-ASCII
-    batches the lowering, punctuation deletion, slot split and token
-    factorization all run in Arrow C++ (``ascii_lower`` — 4× cheaper
-    than ``utf8_lower`` and bit-equal on the ASCII-only input —  →
-    ``replace_substring_regex`` → ``split_pattern`` →
-    ``dictionary_encode``), so per-occurrence Python strings are never
-    materialized — the index build's hot loop (~88 µs/doc → ~20).
-    Batches containing any non-ASCII row take the per-doc
-    ``normalized_slots`` path (transliteration semantics,
-    ``src/tokenizer.cpp:43-100``); outputs are identical either way.
-    ``None``/empty texts contribute zero slots."""
+    ``[normalized_slots(t) for t in texts]`` yields, for EVERY batch
+    (ASCII or not): the separator-slot split runs in Arrow C++
+    (``replace_substring`` \\n→space → ``split_pattern`` →
+    ``dictionary_encode`` on the RAW slots), and normalization runs only
+    over the DISTINCT raw slots — Arrow ``ascii_lower`` + one regex
+    delete for ASCII tokens, the ``_NORM_TBL`` translate
+    (transliteration semantics, ``src/tokenizer.cpp:43-100``) for the
+    rest. Splitting before normalizing is exact because normalization
+    can neither create nor consume separators: space/\\n are ASCII, the
+    ASCII rule deletes-or-keeps in place, and every ``_translit`` output
+    is ``[a-z0-9]*`` (its trailing ``_TOKEN_TBL`` translate strips
+    anything else). Per-occurrence Python strings are never
+    materialized; Python cost is O(distinct raw slots), not
+    O(occurrences) — the previous all-or-nothing ASCII gate sent a
+    2048-doc batch with ONE non-ASCII row down a per-occurrence object
+    path (~240 µs/doc on the 95 %-non-ASCII bench corpus vs ~25 µs
+    here). ``None``/empty texts contribute zero slots."""
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -268,51 +275,49 @@ def normalized_slot_codes(texts: list):
         col = pc.fill_null(texts, "")
     else:
         col = pa.array([t or "" for t in texts], pa.string())
-    if pc.all(pc.string_is_ascii(col)).as_py():
-        norm = pc.replace_substring_regex(
-            pc.replace_substring_regex(pc.ascii_lower(col), r"[^a-z0-9 \n]", ""),
-            r"\n", " ",
-        )
-        # empty/None inputs yield one "" slot here where the Python path
-        # yields zero slots — harmless, since empty tokens are dropped
-        # below and a lone slot 0 carries no occurrence
-        slots = pc.split_pattern(norm, " ")
-        lens = pc.list_value_length(slots).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat_all = pc.list_flatten(slots)
-        total = int(lens.sum())
-        unit_ix = np.repeat(np.arange(m, dtype=np.int64), lens)
-        off = np.zeros(m, dtype=np.int64)
-        np.cumsum(lens[:-1], out=off[1:])
-        pos = np.arange(total, dtype=np.int64) - np.repeat(off, lens)
-        keep = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
-        denc = pc.dictionary_encode(flat_all.filter(pa.array(keep)))
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-        return codes, uniq, unit_ix[keep], pos[keep]
-
-    from itertools import chain
-
-    import pandas as pd
-
-    tok_lists = [
-        normalized_slots(t) if t else [] for t in col.to_pylist()
-    ]
-    lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=m)
+    # empty/None inputs yield one "" raw slot here where the Python path
+    # yields zero slots — harmless: "" normalizes to "" and every
+    # empty-normalized slot is dropped below, and a lone slot 0 carries
+    # no occurrence
+    slots = pc.split_pattern(pc.replace_substring(col, "\n", " "), " ")
+    lens = pc.list_value_length(slots).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat_all = pc.list_flatten(slots)
     total = int(lens.sum())
-    if total == 0:
-        return empty
-    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object, count=total)
     unit_ix = np.repeat(np.arange(m, dtype=np.int64), lens)
     off = np.zeros(m, dtype=np.int64)
     np.cumsum(lens[:-1], out=off[1:])
     pos = np.arange(total, dtype=np.int64) - np.repeat(off, lens)
-    keep = flat != ""
-    codes, uniq = pd.factorize(flat[keep])
-    return (
-        codes.astype(np.int64),
-        np.asarray(uniq, dtype=object),
-        unit_ix[keep],
-        pos[keep],
-    )
+    denc = pc.dictionary_encode(flat_all)
+    raw_codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    raw_uniq = denc.dictionary
+    n_raw = len(raw_uniq)
+    norm_uniq = np.empty(n_raw, dtype=object)
+    am = pc.string_is_ascii(raw_uniq).to_numpy(zero_copy_only=False)
+    if am.any():
+        asc = pc.replace_substring_regex(
+            pc.ascii_lower(raw_uniq.filter(pa.array(am))), r"[^a-z0-9]", ""
+        )
+        norm_uniq[np.flatnonzero(am)] = np.asarray(
+            asc.to_pylist(), dtype=object
+        )
+    if not am.all():
+        for i in np.flatnonzero(~am):
+            norm_uniq[i] = raw_uniq[i].as_py().translate(_NORM_TBL)
+    # distinct raw → distinct normalized: factorize over the raw-uniq
+    # order assigns each normalized token the id of its EARLIEST raw
+    # carrier, which is also its first occurrence in the stream — the
+    # same first-appearance order pd.factorize over the full stream (the
+    # per-doc path) produces
+    ncodes, nuniq = pd.factorize(norm_uniq)
+    nuniq = np.asarray(nuniq, dtype=object)
+    occ_n = ncodes[raw_codes]
+    nonempty = nuniq != ""
+    if nonempty.all():
+        return occ_n.astype(np.int64), nuniq, unit_ix, pos
+    new_id = np.full(len(nuniq), -1, dtype=np.int64)
+    new_id[nonempty] = np.arange(int(nonempty.sum()), dtype=np.int64)
+    occ_new = new_id[occ_n]
+    keep = occ_new >= 0
+    return occ_new[keep], nuniq[nonempty], unit_ix[keep], pos[keep]

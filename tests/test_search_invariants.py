@@ -1,0 +1,218 @@
+"""Metamorphic invariants over the full ``RayCollection.search`` surface.
+
+The conformance ports (test_reference_*.py) pin the reference's golden
+orderings on ITS corpora; this module attacks the parameter-interaction
+space those fixed cases can't reach: for a seeded random corpus and a
+seeded query grid, properties that must hold for ANY corpus/query are
+asserted across filters × typos × prefix × facets × groups × pagination
+× curation. Each is a relation the reference engine also satisfies by
+construction (``src/collection.cpp`` search flow), so a violation here
+is a real interaction bug even without a golden vector.
+
+Invariants:
+  pagination  — concatenating pages == one wide page (ids AND scores)
+  filters     — a tautological filter is a no-op; a narrowing filter
+                yields an order-preserving subsequence, exactly the
+                unfiltered hits whose field passes
+  typos       — hit-id sets grow monotonically with num_typos
+  prefix      — prefix=True hits ⊇ prefix=False hits (a token always
+                prefix-matches itself)
+  facets      — single-valued facet counts sum to `found`
+  groups      — group_by yields one group per distinct matching value,
+                members all carry the group's value
+  curation    — hidden_hits removes exactly the hidden id, preserving
+                the others' relative order
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from typesense_ray.collection import RayCollection
+from typesense_ray.corpus import PLANTED_TERMS, generate_corpus_table
+from typesense_ray.index_build import IndexConfig, build_index
+
+N_DOCS = 200
+SEED = 977
+WIDE = 250  # one page holds every possible hit (corpus is 200 docs)
+
+ALL_LANGS = ["py", "rs", "go", "md", "cpp", "c", "java", "js"]
+
+
+def _queries() -> list[str]:
+    """Seeded query grid: clean planted terms, misspellings (1-2 edits),
+    prefixes, multi-token mixes, negations — the shapes that route
+    through typo expansion, drop-tokens and prefix completion."""
+    rng = np.random.default_rng(SEED)
+    qs = []
+    for _ in range(8):
+        k = int(rng.integers(1, 4))
+        qs.append(" ".join(rng.choice(PLANTED_TERMS, size=k, replace=False)))
+    # misspellings: drop / swap a char in a planted term
+    for t in ("quasar", "pulsar", "redshift", "tokamak"):
+        qs.append(t[:-2] + t[-1])           # 1 deletion
+        qs.append(t[0] + t[2] + t[1] + t[3:])  # 1 transposition
+    # prefixes of planted terms (prefix=True paths)
+    qs += ["quas", "grav", "helio pul", "entrop lattic"]
+    # negation + mixed
+    qs += ["quasar -pulsar", "redshift entropy -gluon"]
+    return qs
+
+
+QUERIES = _queries()
+
+
+@pytest.fixture(scope="module")
+def coll(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("inv_idx"))
+    cfg = IndexConfig(batch_docs=32, meta_fields=("repo", "path", "lang"))
+    build_index(
+        rd.from_arrow(generate_corpus_table(N_DOCS, SEED)), out, cfg,
+        concurrency=2,
+    )
+    return RayCollection(out)
+
+
+def _ids(resp) -> list[int]:
+    return [h["document"]["doc_id"] for h in resp["hits"]]
+
+
+def _scores(resp) -> list:
+    key = "score" if "score" in (resp["hits"][0] if resp["hits"] else {}) \
+        else "text_match"
+    return [h.get(key) for h in resp["hits"]]
+
+
+def _is_subsequence(sub: list[int], full: list[int]) -> bool:
+    it = iter(full)
+    return all(x in it for x in sub)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_pagination_concat(coll, q):
+    wide = coll.search(q, per_page=WIDE, highlight=False)
+    paged_ids, paged_scores = [], []
+    per = 7
+    for page in range(1, (wide["found"] // per) + 2):
+        r = coll.search(q, per_page=per, page=page, highlight=False)
+        paged_ids += _ids(r)
+        paged_scores += _scores(r)
+    assert paged_ids == _ids(wide)
+    assert paged_scores == _scores(wide)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_filter_tautology_and_narrowing(coll, q):
+    base = coll.search(q, per_page=WIDE, highlight=False)
+    taut = coll.search(
+        q, per_page=WIDE, highlight=False,
+        filter_by=f"lang:[{','.join(ALL_LANGS)}]",
+    )
+    assert _ids(taut) == _ids(base)
+    assert _scores(taut) == _scores(base)
+
+    # drop-tokens re-triggers on the POST-filter count (reference
+    # parity: a filter that starves a multi-token query below
+    # drop_tokens_threshold re-searches with dropped tokens and ADDS
+    # hits — src/collection.cpp drop_tokens loop), so the
+    # subsequence relation only holds with dropping disabled on both
+    # sides.
+    keep = {"py", "rs", "go"}
+    base = coll.search(q, per_page=WIDE, highlight=False,
+                       drop_tokens_threshold=0)
+    narrowed = coll.search(
+        q, per_page=WIDE, highlight=False, filter_by="lang:[py,rs,go]",
+        drop_tokens_threshold=0,
+    )
+    # exactly the base hits whose lang passes, in base order
+    want = [
+        h["document"]["doc_id"] for h in base["hits"]
+        if h["document"]["lang"] in keep
+    ]
+    assert _ids(narrowed) == want
+    assert narrowed["found"] == len(want)
+    assert all(h["document"]["lang"] in keep for h in narrowed["hits"])
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_typo_budget_monotone(coll, q):
+    sets = []
+    for nt in (0, 1, 2):
+        r = coll.search(q, per_page=WIDE, num_typos=nt, highlight=False)
+        sets.append(set(_ids(r)))
+    assert sets[0] <= sets[1] <= sets[2]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_prefix_superset(coll, q):
+    # exclusion tokens stay exact-match (reference: -tok never
+    # typo/prefix-expands), so monotonicity holds for negations too
+    off = set(_ids(coll.search(q, per_page=WIDE, highlight=False)))
+    on = set(_ids(coll.search(q, per_page=WIDE, prefix=True,
+                              highlight=False)))
+    assert off <= on
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_facet_counts_conserve_found(coll, q):
+    r = coll.search(q, per_page=WIDE, facet_by="lang",
+                    max_facet_values=50, highlight=False)
+    if not r["found"]:
+        assert not r.get("facet_counts") or \
+            sum(c["count"] for c in r["facet_counts"][0]["counts"]) == 0
+        return
+    counts = r["facet_counts"][0]["counts"]
+    assert sum(c["count"] for c in counts) == r["found"]
+    # and the facet histogram equals the hits' own lang histogram
+    langs = [h["document"]["lang"] for h in r["hits"]]
+    got = {c["value"]: c["count"] for c in counts}
+    want: dict[str, int] = {}
+    for l in langs:
+        want[l] = want.get(l, 0) + 1
+    assert got == want
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_group_by_partitions_hits(coll, q):
+    base = coll.search(q, per_page=WIDE, highlight=False)
+    grouped = coll.search(q, per_page=WIDE, group_by="lang",
+                          group_limit=3, highlight=False)
+    base_langs = {h["document"]["lang"] for h in base["hits"]}
+    assert grouped["found"] == len(base_langs)
+    seen = set()
+    for g in grouped["grouped_hits"]:
+        key = tuple(g["group_key"])
+        assert key not in seen
+        seen.add(key)
+        assert len(g["hits"]) <= 3
+        for h in g["hits"]:
+            assert h["document"]["lang"] == key[0]
+    assert {k[0] for k in seen} == base_langs
+
+
+@pytest.mark.parametrize("q", QUERIES[:8])
+def test_hidden_hits_removes_exactly(coll, q):
+    base = coll.search(q, per_page=WIDE, highlight=False)
+    if not base["hits"]:
+        pytest.skip("no hits to hide")
+    top = _ids(base)[0]
+    r = coll.search(q, per_page=WIDE, highlight=False,
+                    hidden_hits=str(top))
+    assert _ids(r) == [i for i in _ids(base) if i != top]
+
+
+@pytest.mark.parametrize("q", QUERIES[:8])
+def test_window_prefix_invariance(coll, q):
+    wide = coll.search(q, per_page=WIDE, highlight=False)
+    small = coll.search(q, per_page=5, highlight=False)
+    assert _ids(small) == _ids(wide)[:5]
+    assert small["found"] == wide["found"]
+
+
+def test_wildcard_found_is_corpus(coll):
+    r = coll.search("*", per_page=WIDE, highlight=False)
+    assert r["found"] == N_DOCS == r["out_of"]
+    assert len(r["hits"]) == N_DOCS

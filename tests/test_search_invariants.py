@@ -76,6 +76,13 @@ def coll(ray_session, tmp_path_factory):
     return RayCollection(out)
 
 
+@pytest.fixture(scope="module", params=["bm25", "reference"])
+def mode(request):
+    """Every invariant must hold in BOTH scoring modes (BM25 and the
+    reference's packed proximity match score)."""
+    return request.param
+
+
 def _ids(resp) -> list[int]:
     return [h["document"]["doc_id"] for h in resp["hits"]]
 
@@ -92,12 +99,12 @@ def _is_subsequence(sub: list[int], full: list[int]) -> bool:
 
 
 @pytest.mark.parametrize("q", QUERIES)
-def test_pagination_concat(coll, q):
-    wide = coll.search(q, per_page=WIDE, highlight=False)
+def test_pagination_concat(coll, mode, q):
+    wide = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
     paged_ids, paged_scores = [], []
     per = 7
     for page in range(1, (wide["found"] // per) + 2):
-        r = coll.search(q, per_page=per, page=page, highlight=False)
+        r = coll.search(q, mode=mode, per_page=per, page=page, highlight=False)
         paged_ids += _ids(r)
         paged_scores += _scores(r)
     assert paged_ids == _ids(wide)
@@ -105,10 +112,9 @@ def test_pagination_concat(coll, q):
 
 
 @pytest.mark.parametrize("q", QUERIES)
-def test_filter_tautology_and_narrowing(coll, q):
-    base = coll.search(q, per_page=WIDE, highlight=False)
-    taut = coll.search(
-        q, per_page=WIDE, highlight=False,
+def test_filter_tautology_and_narrowing(coll, mode, q):
+    base = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
+    taut = coll.search(q, mode=mode, per_page=WIDE, highlight=False,
         filter_by=f"lang:[{','.join(ALL_LANGS)}]",
     )
     assert _ids(taut) == _ids(base)
@@ -121,10 +127,9 @@ def test_filter_tautology_and_narrowing(coll, q):
     # subsequence relation only holds with dropping disabled on both
     # sides.
     keep = {"py", "rs", "go"}
-    base = coll.search(q, per_page=WIDE, highlight=False,
+    base = coll.search(q, mode=mode, per_page=WIDE, highlight=False,
                        drop_tokens_threshold=0)
-    narrowed = coll.search(
-        q, per_page=WIDE, highlight=False, filter_by="lang:[py,rs,go]",
+    narrowed = coll.search(q, mode=mode, per_page=WIDE, highlight=False, filter_by="lang:[py,rs,go]",
         drop_tokens_threshold=0,
     )
     # exactly the base hits whose lang passes, in base order
@@ -138,27 +143,27 @@ def test_filter_tautology_and_narrowing(coll, q):
 
 
 @pytest.mark.parametrize("q", QUERIES)
-def test_typo_budget_monotone(coll, q):
+def test_typo_budget_monotone(coll, mode, q):
     sets = []
     for nt in (0, 1, 2):
-        r = coll.search(q, per_page=WIDE, num_typos=nt, highlight=False)
+        r = coll.search(q, mode=mode, per_page=WIDE, num_typos=nt, highlight=False)
         sets.append(set(_ids(r)))
     assert sets[0] <= sets[1] <= sets[2]
 
 
 @pytest.mark.parametrize("q", QUERIES)
-def test_prefix_superset(coll, q):
+def test_prefix_superset(coll, mode, q):
     # exclusion tokens stay exact-match (reference: -tok never
     # typo/prefix-expands), so monotonicity holds for negations too
-    off = set(_ids(coll.search(q, per_page=WIDE, highlight=False)))
-    on = set(_ids(coll.search(q, per_page=WIDE, prefix=True,
+    off = set(_ids(coll.search(q, mode=mode, per_page=WIDE, highlight=False)))
+    on = set(_ids(coll.search(q, mode=mode, per_page=WIDE, prefix=True,
                               highlight=False)))
     assert off <= on
 
 
 @pytest.mark.parametrize("q", QUERIES)
-def test_facet_counts_conserve_found(coll, q):
-    r = coll.search(q, per_page=WIDE, facet_by="lang",
+def test_facet_counts_conserve_found(coll, mode, q):
+    r = coll.search(q, mode=mode, per_page=WIDE, facet_by="lang",
                     max_facet_values=50, highlight=False)
     if not r["found"]:
         assert not r.get("facet_counts") or \
@@ -176,9 +181,9 @@ def test_facet_counts_conserve_found(coll, q):
 
 
 @pytest.mark.parametrize("q", QUERIES)
-def test_group_by_partitions_hits(coll, q):
-    base = coll.search(q, per_page=WIDE, highlight=False)
-    grouped = coll.search(q, per_page=WIDE, group_by="lang",
+def test_group_by_partitions_hits(coll, mode, q):
+    base = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
+    grouped = coll.search(q, mode=mode, per_page=WIDE, group_by="lang",
                           group_limit=3, highlight=False)
     base_langs = {h["document"]["lang"] for h in base["hits"]}
     assert grouped["found"] == len(base_langs)
@@ -194,25 +199,25 @@ def test_group_by_partitions_hits(coll, q):
 
 
 @pytest.mark.parametrize("q", QUERIES[:8])
-def test_hidden_hits_removes_exactly(coll, q):
-    base = coll.search(q, per_page=WIDE, highlight=False)
+def test_hidden_hits_removes_exactly(coll, mode, q):
+    base = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
     if not base["hits"]:
         pytest.skip("no hits to hide")
     top = _ids(base)[0]
-    r = coll.search(q, per_page=WIDE, highlight=False,
+    r = coll.search(q, mode=mode, per_page=WIDE, highlight=False,
                     hidden_hits=str(top))
     assert _ids(r) == [i for i in _ids(base) if i != top]
 
 
 @pytest.mark.parametrize("q", QUERIES[:8])
-def test_window_prefix_invariance(coll, q):
-    wide = coll.search(q, per_page=WIDE, highlight=False)
-    small = coll.search(q, per_page=5, highlight=False)
+def test_window_prefix_invariance(coll, mode, q):
+    wide = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
+    small = coll.search(q, mode=mode, per_page=5, highlight=False)
     assert _ids(small) == _ids(wide)[:5]
     assert small["found"] == wide["found"]
 
 
-def test_wildcard_found_is_corpus(coll):
-    r = coll.search("*", per_page=WIDE, highlight=False)
+def test_wildcard_found_is_corpus(coll, mode):
+    r = coll.search("*", mode=mode, per_page=WIDE, highlight=False)
     assert r["found"] == N_DOCS == r["out_of"]
     assert len(r["hits"]) == N_DOCS

@@ -159,3 +159,112 @@ def test_connected_components_layout_invariant(ray_session, mode):
             comp.setdefault(int(r["cluster"]), []).append(int(r["node"]))
         outs.append(sorted(tuple(sorted(v)) for v in comp.values()))
     _assert_all_equal(outs, f"connected_components[{mode}]")
+
+
+# --- sampling / packing / shuffle / corpus-trained scoring -------------
+#
+# These four are the repo's "pure function of the data" claims made
+# explicit: the sample membership, shard placement, pack layout and
+# corpus-trained LM scores must not move when the block layout or row
+# order does.
+
+def _rows2() -> list[dict]:
+    rng = np.random.default_rng(SEED + 3)
+    langs = ["en", "de", "fr", "zh"]
+    out = []
+    for i in range(150):
+        out.append(
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    np.random.default_rng(SEED + 4 + i).choice(
+                        ["lorem", "ipsum", "dolor", "sit", "amet"],
+                        int(rng.integers(3, 40)),
+                    )
+                ),
+                "lang": langs[int(rng.integers(0, 4))],
+                "weight": float(rng.uniform(0.1, 9.0)),
+            }
+        )
+    return out
+
+
+ROWS2 = _rows2()
+
+
+def _layouts2(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(SEED + 5)
+    shuffled = [ROWS2[i] for i in rng.permutation(len(ROWS2))]
+    return [
+        rd.from_items(ROWS2).repartition(2),
+        rd.from_items(ROWS2).repartition(17),
+        rd.from_items(shuffled).repartition(7),
+    ]
+
+
+def test_stratified_sample_layout_invariant(ray_session):
+    from typesense_ray.functions.sampling import stratified_sample
+
+    outs = []
+    for ds in _layouts2(ray_session):
+        got = stratified_sample(ds, group_col="lang", k=5).take_all()
+        outs.append(sorted((r["lang"], r["doc_id"]) for r in got))
+    _assert_all_equal(outs, "stratified_sample")
+
+
+def test_weighted_sample_layout_invariant(ray_session):
+    from typesense_ray.functions.sampling import weighted_sample
+
+    outs = []
+    for ds in _layouts2(ray_session):
+        got = weighted_sample(ds, weight_col="weight", k=20)
+        outs.append(sorted(int(x) for x in got["doc_id"]))
+    _assert_all_equal(outs, "weighted_sample")
+
+
+def test_shard_shuffle_layout_invariant(ray_session):
+    from typesense_ray.functions.sampling import shard_shuffle
+
+    outs = []
+    for ds in _layouts2(ray_session):
+        got = shard_shuffle(ds, n_shards=4).take_all()
+        outs.append(
+            sorted((r["doc_id"], r["shard"], r["pos"]) for r in got)
+        )
+    _assert_all_equal(outs, "shard_shuffle")
+    # and each shard's positions are a contiguous 0..n-1 permutation
+    by_shard: dict[int, list[int]] = {}
+    for _id, sh, pos in outs[0]:
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {sh} positions"
+
+
+def test_pack_sequences_layout_invariant(ray_session):
+    from typesense_ray.functions.packing import pack_sequences
+
+    outs = []
+    for ds in _layouts2(ray_session):
+        got = pack_sequences(ds, budget=64).take_all()
+        outs.append(
+            sorted(
+                (r["doc_id"], r["n_tokens"], r["pack_id"], r["pack_off"])
+                for r in got
+            )
+        )
+    _assert_all_equal(outs, "pack_sequences")
+
+
+def test_char_lm_score_layout_invariant(ray_session):
+    """The bigram model is trained on the corpus itself — the global
+    histogram fold and the per-doc scores must both be layout-blind
+    (scores compared bitwise: the probe sums in text order per doc)."""
+    from typesense_ray.functions.text import char_lm_score
+
+    outs = []
+    for ds in _layouts2(ray_session):
+        got = char_lm_score(ds).take_all()
+        outs.append(sorted((r["doc_id"], r["avg_logprob"]) for r in got))
+    _assert_all_equal(outs, "char_lm_score")

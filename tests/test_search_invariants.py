@@ -221,3 +221,74 @@ def test_wildcard_found_is_corpus(coll, mode):
     r = coll.search("*", mode=mode, per_page=WIDE, highlight=False)
     assert r["found"] == N_DOCS == r["out_of"]
     assert len(r["hits"]) == N_DOCS
+
+
+# --- wave 2: projection, facet truncation, synonyms, curation ----------
+
+@pytest.mark.parametrize("q", QUERIES[:6])
+def test_field_projection_preserves_ranking(coll, mode, q):
+    """include/exclude_fields shape the documents, never the ranking."""
+    base = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
+    inc = coll.search(q, mode=mode, per_page=WIDE, highlight=False,
+                      include_fields=["doc_id", "lang"])
+    exc = coll.search(q, mode=mode, per_page=WIDE, highlight=False,
+                      exclude_fields=["sha256", "doclen"])
+    assert _ids(inc) == _ids(base) and _scores(inc) == _scores(base)
+    assert _ids(exc) == _ids(base) and _scores(exc) == _scores(base)
+    for h in inc["hits"]:
+        assert set(h["document"]) <= {"doc_id", "lang"}
+    for h in exc["hits"]:
+        assert not ({"sha256", "doclen"} & set(h["document"]))
+
+
+@pytest.mark.parametrize("q", QUERIES[:6])
+def test_max_facet_values_truncates_prefix(coll, mode, q):
+    full = coll.search(q, mode=mode, per_page=WIDE, facet_by="lang",
+                       max_facet_values=50, highlight=False)
+    cut = coll.search(q, mode=mode, per_page=WIDE, facet_by="lang",
+                      max_facet_values=3, highlight=False)
+    if not full["found"]:
+        return
+    fc = full["facet_counts"][0]["counts"]
+    cc = cut["facet_counts"][0]["counts"]
+    assert cc == fc[:3]
+
+
+def test_synonyms_only_add_hits(coll, mode):
+    """Registering a synonym can only grow a query's hit set, and a
+    query via a pure synonym token reaches the root term's docs."""
+    from typesense_ray.collection import RayCollection, SynonymIndex
+
+    syn = SynonymIndex()
+    syn.add_synonym("nosuchword", ["quasar"])
+    coll2 = RayCollection(coll._local.index_dir, synonyms=syn) \
+        if hasattr(coll._local, "index_dir") else None
+    if coll2 is None:
+        import pytest as _pytest
+        _pytest.skip("no index_dir handle")
+    base_q = set(_ids(coll.search("quasar", mode=mode, per_page=WIDE,
+                                  highlight=False)))
+    via_syn = set(_ids(coll2.search("nosuchword", mode=mode,
+                                    per_page=WIDE, highlight=False)))
+    assert base_q and base_q <= via_syn
+    # and for an unrelated query the synonym table changes nothing
+    for q in QUERIES[:4]:
+        a = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
+        b = coll2.search(q, mode=mode, per_page=WIDE, highlight=False)
+        assert _ids(a) == _ids(b)
+
+
+@pytest.mark.parametrize("q", QUERIES[:4])
+def test_pinned_hit_lands_at_position(coll, mode, q):
+    base = coll.search(q, mode=mode, per_page=WIDE, highlight=False)
+    if len(base["hits"]) < 3:
+        pytest.skip("needs >=3 hits")
+    victim = _ids(base)[-1]  # pin the worst hit to position 2
+    r = coll.search(q, mode=mode, per_page=WIDE, highlight=False,
+                    pinned_hits=f"{victim}:2")
+    ids = _ids(r)
+    assert ids[1] == victim
+    assert ids[0] == _ids(base)[0]
+    # everything else keeps relative order
+    rest = [i for i in ids if i != victim]
+    assert rest == [i for i in _ids(base) if i != victim]

@@ -1419,19 +1419,26 @@ def q_multifield_search(sf_dir: str) -> pa.Table:
     Reference per-field token-erase semantics (src/index.cpp:1722-1731):
     the source field doesn't know 'data' (its query reduces to ['src8'],
     every src8-source doc matches) and the text field doesn't know
-    'src8' (its query reduces to ['data']); result = union, bounded
-    under the 250-hit window by the lang filter."""
+    'src8' (its query reduces to ['data']); result = union. Multi-field
+    queries cap their fetch window at ``max_hits`` (reference parity,
+    src/collection.cpp:746-751), so the query raises max_hits above the
+    corpus size and paginates — at sf0.1 the filtered union is 581 docs,
+    past the 250-hit default window."""
     coll = _multifield_coll(sf_dir)
-    r = coll.search(
-        "src8 data", query_by=["text", "source"], query_by_weights=[1, 2],
-        filter_by="lang:= fr",
-        per_page=250, highlight=False, drop_tokens_threshold=1,
-    )
-    return pa.table(
-        {"doc_id": pa.array(
-            sorted(h["document"]["doc_id"] for h in r["hits"]), pa.int64()
-        )}
-    )
+    ids: list[int] = []
+    page = 1
+    while True:
+        r = coll.search(
+            "src8 data", query_by=["text", "source"],
+            query_by_weights=[1, 2], filter_by="lang:= fr",
+            per_page=250, page=page, highlight=False,
+            drop_tokens_threshold=1, max_hits=1 << 30,
+        )
+        ids += [h["document"]["doc_id"] for h in r["hits"]]
+        if len(ids) >= r["found"] or not r["hits"]:
+            break
+        page += 1
+    return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
 
 
 def q_multimodal_decode(sf_dir: str) -> pa.Table:

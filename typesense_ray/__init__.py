@@ -16,6 +16,7 @@ A from-scratch rebuild of the capabilities of the reference engine
   rank-identity conformance (SURVEY.md §7.0).
 """
 
+from typesense_ray.auth import ApiKey, AuthManager, generate_scoped_key
 from typesense_ray.tokenizer import tokenize, normalize_token, doc_term_positions
 from typesense_ray.codec import (
     varbyte_encode,
@@ -25,6 +26,9 @@ from typesense_ray.codec import (
 )
 
 __all__ = [
+    "ApiKey",
+    "AuthManager",
+    "generate_scoped_key",
     "tokenize",
     "normalize_token",
     "doc_term_positions",

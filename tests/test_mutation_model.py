@@ -17,6 +17,8 @@ tables, segment surgery) would surface.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -68,7 +70,14 @@ def _check_agreement(coll, model):
     assert got == want_hist
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+_FUZZ_SEEDS = (
+    [int(s) for s in os.environ["GRAFT_MUTATION_SEEDS"].split(",")]
+    if os.environ.get("GRAFT_MUTATION_SEEDS")
+    else [11, 23, 47]
+)
+
+
+@pytest.mark.parametrize("seed", _FUZZ_SEEDS)
 def test_mutation_sequence_agrees_with_model(ray_session, tmp_path, seed):
     reg = CollectionRegistry(root=str(tmp_path))
     coll = reg.create_collection(

@@ -26,6 +26,8 @@ Invariants:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -34,7 +36,9 @@ from typesense_ray.corpus import PLANTED_TERMS, generate_corpus_table
 from typesense_ray.index_build import IndexConfig, build_index
 
 N_DOCS = 200
-SEED = 977
+# Default seed is pinned for CI reproducibility; set GRAFT_INVARIANT_SEED
+# to fuzz the same invariants over a fresh corpus + query grid.
+SEED = int(os.environ.get("GRAFT_INVARIANT_SEED", "977"))
 WIDE = 250  # one page holds every possible hit (corpus is 200 docs)
 
 ALL_LANGS = ["py", "rs", "go", "md", "cpp", "c", "java", "js"]

@@ -75,6 +75,18 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--target-docs", type=int, default=65536)
 
+    v = sub.add_parser(
+        "serve",
+        help="run the reference-parity HTTP API "
+             "(src/main/typesense_server.cpp role)")
+    v.add_argument("--data-dir", required=True,
+                   help="registry root (collections + registry.json; "
+                        "reloaded when a manifest exists)")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8108)
+    v.add_argument("--api-key", default=None,
+                   help="bootstrap admin key (open mode when omitted)")
+
     args = p.parse_args(argv)
     _ensure_ray()
 
@@ -132,6 +144,30 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(
             {k: res[k] for k in ("n_docs", "n_segments", "merges")}
         ))
+    elif args.cmd == "serve":
+        import os
+
+        from typesense_ray.auth import AuthManager
+        from typesense_ray.collection import CollectionRegistry
+        from typesense_ray.http_api import ApiServer, serve
+
+        manifest = os.path.join(args.data_dir, "registry.json")
+        if os.path.exists(manifest):
+            registry = CollectionRegistry.load(args.data_dir)
+        else:
+            os.makedirs(args.data_dir, exist_ok=True)
+            registry = CollectionRegistry(root=args.data_dir)
+        api = ApiServer(registry, auth=AuthManager(args.data_dir),
+                        bootstrap_key=args.api_key)
+        httpd = serve(api, host=args.host, port=args.port)
+        print(json.dumps({"listening": list(httpd.server_address)}),
+              flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
     return 0
 
 

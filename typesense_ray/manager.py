@@ -315,7 +315,8 @@ class ManagedCollection:
         return doc, doc_id, True
 
     def add_many(self, records, action: str = "create",
-                 id_param: str = "") -> tuple[dict, list[dict]]:
+                 id_param: str = "", docs_out: list | None = None
+                 ) -> tuple[dict, list[dict]]:
         """Batch import. Returns (summary, per-record results) — the
         reference's ``add_many`` response plus its overwritten
         ``json_lines`` result stream."""
@@ -354,6 +355,8 @@ class ManagedCollection:
                 continue
             staged[doc_id] = doc
             results.append({"success": True})
+            if docs_out is not None:
+                docs_out.append(doc)
             num_ok += 1
         if staged:
             self._commit(list(staged.values()))
@@ -363,10 +366,14 @@ class ManagedCollection:
         )
 
     def add(self, record, action: str = "create", id_param: str = "") -> dict:
-        summary, results = self.add_many([record], action, id_param)
+        """Returns the committed document (id assigned / merged) — the
+        reference's ``Collection::add`` contract."""
+        docs: list[dict] = []
+        summary, results = self.add_many([record], action, id_param,
+                                         docs_out=docs)
         if not summary["success"]:
             raise DocumentError(results[0]["code"], results[0]["error"])
-        return results[0]
+        return docs[0]
 
     def remove(self, doc_id: str) -> dict:
         doc = self.get(doc_id)  # 404 when missing
@@ -493,3 +500,21 @@ class ManagedCollection:
     def get_document(self, *a, **kw):
         s = self.searcher
         return None if s is None else s.get_document(*a, **kw)
+
+    # -- curation (same upsert-by-rule_id semantics as the read view,
+    # src/collection.cpp:2120-2156; the cached searcher is dropped so
+    # the next search sees the current override set) ------------------
+
+    def add_override(self, ov) -> None:
+        if ov.rule_id is not None:
+            self.overrides[:] = [
+                o for o in self.overrides if o.rule_id != ov.rule_id
+            ]
+        self.overrides.append(ov)
+        self._searcher = None
+
+    def remove_override(self, rule_id: str) -> None:
+        self.overrides[:] = [
+            o for o in self.overrides if o.rule_id != rule_id
+        ]
+        self._searcher = None

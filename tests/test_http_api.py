@@ -249,6 +249,35 @@ def test_override_routes(api):
     assert r["found"] == 2
 
 
+def test_overrides_survive_registry_reload(api, tmp_path):
+    """The reference persists override rules in the store and a restarted
+    server still lists them (test/collection_manager_test.cpp:138-271);
+    here: PUT → registry.save → CollectionRegistry.load → a fresh facade
+    echoes the identical user-facing JSON and still applies the rule."""
+    rule = {
+        "rule": {"query": "wind", "match": "exact"},
+        "includes": [{"id": "3", "position": 1}],
+        "excludes": [{"id": "1"}],
+    }
+    jreq(api, "PUT", "/collections/movies/overrides/wind-rule",
+         json.dumps(rule))
+    api.registry.save()
+    reloaded = ApiServer(CollectionRegistry.load(str(tmp_path)))
+    listed = jreq(reloaded, "GET", "/collections/movies/overrides")
+    assert listed["overrides"] == [dict(rule, id="wind-rule")]
+    got = jreq(reloaded, "GET",
+               "/collections/movies/overrides/wind-rule")
+    assert got["includes"] == [{"id": "3", "position": 1}]
+    r = jreq(reloaded, "GET", "/collections/movies/documents/search"
+                              "?q=wind&query_by=title")
+    ids = [h["document"]["id"] for h in r["hits"]]
+    assert ids[0] == "3" and "1" not in ids
+    # and DELETE through the fresh facade still works
+    jreq(reloaded, "DELETE", "/collections/movies/overrides/wind-rule")
+    req(reloaded, "GET", "/collections/movies/overrides/wind-rule",
+        expect=404)
+
+
 def test_synonym_routes(api):
     jreq(api, "PUT", "/collections/movies/synonyms/syn-1",
          json.dumps({"root": "quiet", "synonyms": ["silent"]}))

@@ -96,6 +96,25 @@ class Override:
     includes: list[tuple[int, int]] = dc_field(default_factory=list)  # (doc_id, 1-based pos)
     excludes: list[int] = dc_field(default_factory=list)
     rule_id: str | None = None
+    # the user-facing override JSON as PUT over the HTTP surface (string
+    # doc ids, not our internal hashed ids) — kept on the rule so a
+    # registry save/load round-trip still echoes it from GET /overrides,
+    # matching the reference's durable override store
+    # (src/collection_manager.cpp load path + core_api.cpp:1078-1188)
+    raw: dict | None = None
+
+    def to_view_json(self) -> dict:
+        """The GET /overrides representation: the original PUT body when
+        we have it, else a synthesized view (internal ids stringified)."""
+        if self.raw is not None:
+            return self.raw
+        return {
+            "id": self.rule_id,
+            "rule": {"query": self.rule_query, "match": self.match},
+            "includes": [{"id": str(d), "position": p}
+                         for d, p in self.includes],
+            "excludes": [{"id": str(d)} for d in self.excludes],
+        }
 
     def matches(self, query: str) -> bool:
         q = " ".join(norm_tokens(query))
@@ -2145,6 +2164,7 @@ class CollectionRegistry:
                         "match": o.match,
                         "includes": list(map(list, o.includes)),
                         "excludes": list(o.excludes),
+                        **({"raw": o.raw} if o.raw is not None else {}),
                     }
                     for o in coll.overrides
                 ],
@@ -2192,6 +2212,7 @@ class CollectionRegistry:
                     match=o["match"],
                     includes=[tuple(x) for x in o["includes"]],
                     excludes=list(o["excludes"]),
+                    raw=o.get("raw"),
                 )
                 for o in c["overrides"]
             ]

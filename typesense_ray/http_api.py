@@ -182,10 +182,6 @@ class ApiServer:
         # monotonically increasing mutation sequence (GET /sequence — the
         # reference reports the store's latest seq number)
         self.seq_num = 0
-        # rule_id -> original override JSON per collection, so
-        # get_overrides can echo user-facing doc ids (our Override
-        # objects hold internal hashed ids)
-        self._override_json: dict[str, dict[str, dict]] = {}
 
     # ------------------------------------------------------------------
     # dispatch
@@ -341,7 +337,6 @@ class ApiServer:
         coll = self._collection(params)
         summary = coll.get_summary_json()
         self.registry.drop_collection(params["collection"])
-        self._override_json.pop(params["collection"], None)
         self.seq_num += 1
         return _json_ok(200, summary)
 
@@ -588,21 +583,21 @@ class ApiServer:
     # overrides (core_api.cpp:1078-1188)
     # ------------------------------------------------------------------
 
-    def _override_view(self, name: str) -> list[dict]:
-        store = self._override_json.get(name, {})
-        return [store[k] for k in sorted(store)]
-
     def get_overrides(self, params, body):
+        # read straight off the collection's override store (which the
+        # registry persists, so the view survives a save/load round-trip)
         coll = self._collection(params)
+        by_id = {o.rule_id: o for o in coll.overrides
+                 if o.rule_id is not None}
         return _json_ok(200, {
-            "overrides": self._override_view(coll.name)})
+            "overrides": [by_id[k].to_view_json() for k in sorted(by_id)]})
 
     def get_override(self, params, body):
         coll = self._collection(params)
-        ov = self._override_json.get(coll.name, {}).get(params["id"])
-        if ov is None:
-            _not_found()
-        return _json_ok(200, ov)
+        for o in coll.overrides:
+            if o.rule_id == params["id"]:
+                return _json_ok(200, o.to_view_json())
+        _not_found()
 
     def put_override(self, params, body):
         from typesense_ray.collection import Override
@@ -624,17 +619,14 @@ class ApiServer:
         coll.add_override(Override(
             rule_id=params["id"], rule_query=req["rule"]["query"],
             match=req["rule"]["match"], includes=includes,
-            excludes=excludes))
-        self._override_json.setdefault(coll.name, {})[params["id"]] = req
+            excludes=excludes, raw=req))
         self.seq_num += 1
         return _json_ok(200, req)
 
     def del_override(self, params, body):
         coll = self._collection(params)
-        store = self._override_json.get(coll.name, {})
-        if params["id"] not in store:
+        if not any(o.rule_id == params["id"] for o in coll.overrides):
             _not_found()
-        store.pop(params["id"])
         coll.remove_override(params["id"])
         self.seq_num += 1
         return _json_ok(200, {"id": params["id"]})

@@ -79,13 +79,31 @@ def main(argv: list[str] | None = None) -> int:
         "serve",
         help="run the reference-parity HTTP API "
              "(src/main/typesense_server.cpp role)")
-    v.add_argument("--data-dir", required=True,
+    # the reference server's option set (src/typesense_server_utils.cpp:
+    # 74-106), resolved env → --config file → explicit flags
+    # (typesense_ray.config.resolve_server_config). Defaults are None so
+    # only EXPLICIT flags reach the cmdline layer (cmdline::parser::exist
+    # semantics); the ServerConfig owns the real defaults.
+    v.add_argument("--data-dir", default=None,
                    help="registry root (collections + registry.json; "
-                        "reloaded when a manifest exists)")
-    v.add_argument("--host", default="127.0.0.1")
-    v.add_argument("--port", type=int, default=8108)
+                        "reloaded when a manifest exists); also via "
+                        "TYPESENSE_DATA_DIR or the config file")
     v.add_argument("--api-key", default=None,
-                   help="bootstrap admin key (open mode when omitted)")
+                   help="bootstrap admin key (open mode when no key is "
+                        "configured anywhere)")
+    v.add_argument("--config", default=None,
+                   help="ini configuration file ([server] section, "
+                        "reference option names)")
+    v.add_argument("--api-address", default=None)
+    v.add_argument("--api-port", type=int, default=None)
+    v.add_argument("--log-dir", default=None)
+    v.add_argument("--enable-cors", action="store_true", default=False)
+    # deprecated aliases kept for reference parity; --host/--port are
+    # this CLI's historical spellings of the same two options
+    v.add_argument("--listen-address", "--host", dest="listen_address",
+                   default=None)
+    v.add_argument("--listen-port", "--port", dest="listen_port",
+                   type=int, default=None)
 
     args = p.parse_args(argv)
     _ensure_ray()
@@ -149,17 +167,39 @@ def main(argv: list[str] | None = None) -> int:
 
         from typesense_ray.auth import AuthManager
         from typesense_ray.collection import CollectionRegistry
+        from typesense_ray.config import resolve_server_config
         from typesense_ray.http_api import ApiServer, serve
 
-        manifest = os.path.join(args.data_dir, "registry.json")
+        explicit = {
+            ref_name: val
+            for ref_name, val in [
+                ("data-dir", args.data_dir), ("api-key", args.api_key),
+                ("config", args.config), ("api-address", args.api_address),
+                ("api-port", args.api_port), ("log-dir", args.log_dir),
+                ("listen-address", args.listen_address),
+                ("listen-port", args.listen_port),
+            ] if val is not None
+        }
+        if args.enable_cors:
+            explicit["enable-cors"] = True
+        cfg = resolve_server_config(explicit)
+        ok, err = cfg.is_valid()
+        if not ok and err != "API key is not specified.":
+            # missing api-key is OPEN MODE here (documented divergence:
+            # no Raft/production hardening in the rebuild); the other
+            # validation errors are the reference's, verbatim
+            print(err, file=sys.stderr)
+            return 1
+        data_dir = cfg.data_dir
+        manifest = os.path.join(data_dir, "registry.json")
         if os.path.exists(manifest):
-            registry = CollectionRegistry.load(args.data_dir)
+            registry = CollectionRegistry.load(data_dir)
         else:
-            os.makedirs(args.data_dir, exist_ok=True)
-            registry = CollectionRegistry(root=args.data_dir)
-        api = ApiServer(registry, auth=AuthManager(args.data_dir),
-                        bootstrap_key=args.api_key)
-        httpd = serve(api, host=args.host, port=args.port)
+            os.makedirs(data_dir, exist_ok=True)
+            registry = CollectionRegistry(root=data_dir)
+        api = ApiServer(registry, auth=AuthManager(data_dir),
+                        bootstrap_key=cfg.api_key or None)
+        httpd = serve(api, host=cfg.api_address, port=cfg.api_port)
         print(json.dumps({"listening": list(httpd.server_address)}),
               flush=True)
         try:

@@ -399,3 +399,57 @@ def test_stdlib_server_round_trip(api):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_stdlib_server_cors(api):
+    """--enable-cors parity (src/http_server.cpp:293-327): every
+    response carries Access-Control-Allow-Origin: *, and an OPTIONS
+    preflight with Access-Control-Request-Headers is answered with the
+    allow-methods list, the echoed headers and the 86400 max-age,
+    without hitting the route table."""
+    httpd = serve(api, port=0, enable_cors=True)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health") as resp:
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        pre = urllib.request.Request(
+            f"http://127.0.0.1:{port}/collections", method="OPTIONS",
+            headers={"Access-Control-Request-Headers":
+                     "x-typesense-api-key, content-type"})
+        with urllib.request.urlopen(pre) as resp:
+            assert resp.status == 200
+            assert resp.read() == b""
+            assert resp.headers["Access-Control-Allow-Methods"] == \
+                "POST, GET, DELETE, PUT, PATCH, OPTIONS"
+            assert resp.headers["Access-Control-Allow-Headers"] == \
+                "x-typesense-api-key, content-type"
+            assert resp.headers["Access-Control-Max-Age"] == "86400"
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        # OPTIONS without the preflight header falls through to routing
+        plain = urllib.request.Request(
+            f"http://127.0.0.1:{port}/collections", method="OPTIONS")
+        try:
+            urllib.request.urlopen(plain)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_stdlib_server_no_cors_by_default(api):
+    httpd = serve(api, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health") as resp:
+            assert "Access-Control-Allow-Origin" not in resp.headers
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

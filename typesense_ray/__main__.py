@@ -199,7 +199,8 @@ def main(argv: list[str] | None = None) -> int:
             registry = CollectionRegistry(root=data_dir)
         api = ApiServer(registry, auth=AuthManager(data_dir),
                         bootstrap_key=cfg.api_key or None)
-        httpd = serve(api, host=cfg.api_address, port=cfg.api_port)
+        httpd = serve(api, host=cfg.api_address, port=cfg.api_port,
+                      enable_cors=cfg.enable_cors)
         print(json.dumps({"listening": list(httpd.server_address)}),
               flush=True)
         try:

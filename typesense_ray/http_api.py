@@ -756,10 +756,18 @@ def _status_for(message: str) -> int:
     return 400
 
 
-def serve(api: ApiServer, host: str = "127.0.0.1", port: int = 8108):
+def serve(api: ApiServer, host: str = "127.0.0.1", port: int = 8108,
+          enable_cors: bool = False):
     """Run the facade on stdlib ``ThreadingHTTPServer``. Returns the
     server object (call ``.serve_forever()``, or use it from a thread in
-    tests; ``.server_address[1]`` carries the bound port when 0)."""
+    tests; ``.server_address[1]`` carries the bound port when 0).
+
+    ``enable_cors`` mirrors the reference server's ``--enable-cors``
+    (src/http_server.cpp:293-327): every response carries
+    ``Access-Control-Allow-Origin: *``, and an OPTIONS request that
+    sends ``Access-Control-Request-Headers`` is answered as a preflight
+    (allow-methods list, the request's headers echoed back, 86400s
+    max-age, empty body) without touching the route table."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -768,17 +776,24 @@ def serve(api: ApiServer, host: str = "127.0.0.1", port: int = 8108):
         def log_message(self, *a):  # silence per-request stderr noise
             pass
 
+        def _send(self, status: int, payload: bytes, ctype: str,
+                  extra: list[tuple[str, str]] = ()):
+            self.send_response(status)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            if enable_cors:
+                self.send_header("Access-Control-Allow-Origin", "*")
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(payload)
+
         def _dispatch(self, method: str):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length).decode() if length else ""
             status, out, ctype = api.handle(
                 method, self.path, body, dict(self.headers.items()))
-            payload = out.encode()
-            self.send_response(status)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
+            self._send(status, out.encode(), ctype)
 
         def do_GET(self):
             self._dispatch("GET")
@@ -794,5 +809,20 @@ def serve(api: ApiServer, host: str = "127.0.0.1", port: int = 8108):
 
         def do_DELETE(self):
             self._dispatch("DELETE")
+
+        def do_OPTIONS(self):
+            acl_req = self.headers.get("Access-Control-Request-Headers")
+            if enable_cors and acl_req is not None:
+                self._send(200, b"", "application/json; charset=utf-8", [
+                    ("Access-Control-Allow-Methods",
+                     "POST, GET, DELETE, PUT, PATCH, OPTIONS"),
+                    ("Access-Control-Allow-Headers", acl_req),
+                    ("Access-Control-Max-Age", "86400"),
+                ])
+            else:
+                # no preflight headers → normal routing (no OPTIONS
+                # routes exist, so a 404 like the reference's h2o
+                # fall-through)
+                self._dispatch("OPTIONS")
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -1175,11 +1175,17 @@ def q_clean_corpus(sf_dir: str) -> pa.Table:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     out = clean_corpus(ds, keep_langs=("en",), min_tokens=10)
-    df = (
-        out.select_columns(["doc_id", "lang_pred", "n_tokens"])
-        .to_pandas()
-        .sort_values("doc_id", ignore_index=True)
-    )
+    df = out.select_columns(["doc_id", "lang_pred", "n_tokens"]).to_pandas()
+    if len(df) == 0:
+        # a Dataset with zero surviving rows loses its schema in
+        # to_pandas(); a corpus where nothing passes the language
+        # filter is a legitimate outcome, not an error
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang_pred": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+    df = df.sort_values("doc_id", ignore_index=True)
     return pa.table(
         {
             "doc_id": pa.array(df["doc_id"], pa.int64()),

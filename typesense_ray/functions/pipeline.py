@@ -28,12 +28,14 @@ class _ScoreAndFilter:
         self.min_tokens = min_tokens
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
         import pyarrow.compute as pc
 
+        from typesense_ray.functions.text import ws_token_counts
+
         scored = self.langid(batch)
-        s = pd.Series(batch["text"].to_pylist()).fillna("")
-        ntok = s.str.count(r"\S+").to_numpy(np.int64)
+        # ASCII-gated Arrow count (RE2) with a Unicode-exact fallback —
+        # same kernel as token_counts; no to_pylist on the hot path
+        ntok = ws_token_counts(batch["text"])
         scored = scored.append_column("n_tokens", pa.array(ntok, pa.int64()))
         keep = pc.and_(
             pc.is_in(

@@ -278,6 +278,31 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("quality", pa.array(score, pa.float64()))
 
 
+def ws_token_counts(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Whitespace token count per row. ASCII rows count in Arrow C++
+    (``count_substring_regex`` — RE2); non-ASCII rows keep the Python
+    regex path, whose ``\\s`` is Unicode-aware where RE2's is
+    ASCII-only, so the output equals a pandas ``str.count(r"\\S+")`` on
+    every input."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    ws = np.zeros(len(col), np.int64)
+    if ascii_mask.any():
+        sub = col.filter(pa.array(ascii_mask))
+        ws[np.flatnonzero(ascii_mask)] = pc.count_substring_regex(
+            sub, r"\S+"
+        ).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        rows = np.flatnonzero(~ascii_mask)
+        s = pd.Series(col.take(pa.array(rows)).to_pylist()).fillna("")
+        ws[rows] = s.str.count(r"\S+").to_numpy(np.int64)
+    return ws
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count + BPE-ish subword count. ASCII rows count
     in Arrow C++ (``count_substring_regex`` — RE2); non-ASCII rows keep
@@ -292,21 +317,17 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     col = pc.fill_null(col, "")
     ascii_mask = pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
     n = len(col)
-    ws = np.zeros(n, np.int64)
     bpe = np.zeros(n, np.int64)
+    ws = ws_token_counts(col)
     if ascii_mask.any():
         sub = col.filter(pa.array(ascii_mask))
         idx = np.flatnonzero(ascii_mask)
-        ws[idx] = pc.count_substring_regex(sub, r"\S+").to_numpy(
-            zero_copy_only=False
-        )
         bpe[idx] = pc.count_substring_regex(
             sub, r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
         ).to_numpy(zero_copy_only=False)
     if not ascii_mask.all():
         rows = np.flatnonzero(~ascii_mask)
         s = pd.Series(col.take(pa.array(rows)).to_pylist()).fillna("")
-        ws[rows] = s.str.count(r"\S+").to_numpy(np.int64)
         bpe[rows] = s.str.count(_BPE_RE).to_numpy(np.int64)
     out = batch.append_column("ws_tokens", pa.array(ws, pa.int64()))
     return out.append_column("bpe_tokens", pa.array(bpe, pa.int64()))

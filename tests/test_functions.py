@@ -2319,3 +2319,33 @@ def test_segment_bit_counts_property(hashes, data):
     )
     exp = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
     assert np.array_equal(got, exp)
+
+
+def test_clean_corpus_all_rows_filtered_keeps_schema(ray_session, tmp_path):
+    """A corpus where NO row passes the language filter is a legitimate
+    outcome: the query helper must return an empty, correctly-typed
+    table instead of crashing on a schemaless empty to_pandas()
+    (regression: /tmp/sf1's synthetic vocabulary scores 'und'
+    everywhere)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "zabo riku vemo lidra " * 6,
+                "kotu zena bir velu " * 6,
+                "nipo dralo kasi vemu " * 6,
+            ]),
+            "lang": pa.array(["zz", "zz", "zz"]),
+            "source": pa.array(["s", "s", "s"]),
+            "n_chars": pa.array([10, 10, 10], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    out = em.q_clean_corpus(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "lang_pred", "n_tokens"]
+    assert out.schema.field("doc_id").type == pa.int64()

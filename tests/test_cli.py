@@ -105,8 +105,9 @@ def test_cli_serve_resolves_env_file_and_flags(
         def server_close(self):
             pass
 
-    def fake_serve(api, host, port):
+    def fake_serve(api, host, port, enable_cors=False):
         seen["api"], seen["host"], seen["port"] = api, host, port
+        seen["cors"] = enable_cors
         return _FakeHTTPD()
 
     monkeypatch.setattr(http_api, "serve", fake_serve)

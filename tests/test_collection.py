@@ -496,6 +496,8 @@ def test_highlight_threshold_affix_tags_newline(ray_session, tmp_path):
          "dog and ran straight to the forest to sleep.")
 
     # newline flattening + original-case matched_tokens
+    # (= CollectionTest.SearchHighlightWithNewLine,
+    # test/collection_test.cpp:2103-2135)
     r = coll.search("stark", sort_by="points:desc")
     hl = r["hits"][0]["highlights"][0]
     assert hl["snippet"] == "Blah, blah <mark>Stark</mark> Industries"

@@ -711,3 +711,44 @@ def test_stateful_remove_docs(ray_session, tmp_path):
     with pytest.raises(ValueError) as ei:
         coll.remove_by_filter("bad filter")
     assert str(ei.value) == "Could not parse the filter query."
+
+
+def test_scrub_reindex_doc():
+    """Ports IndexTest.ScrubReindexDoc (test/index_test.cpp:5-59):
+    fields whose update value equals the old value are erased from both
+    the del and update docs; changed fields, the id, and keys outside
+    the search schema survive."""
+    from typesense_ray.ops import scrub_reindex_doc
+
+    schema = [
+        FieldSpec("title", "string"),
+        FieldSpec("points", "int32"),
+        FieldSpec("cast", "string[]"),
+        FieldSpec("movie", "bool"),
+    ]
+    old_doc = {
+        "id": "1",
+        "title": "One more thing.",
+        "points": 100,
+        "cast": ["John Wick", "Jeremy Renner"],
+        "movie": True,
+    }
+
+    # all fields remain the same → only id survives
+    update_doc1 = dict(old_doc)
+    del_doc1 = dict(old_doc)
+    scrub_reindex_doc(update_doc1, del_doc1, old_doc, schema)
+    assert del_doc1 == {"id": "1"}
+
+    # only some fields updated → unchanged 'points' is scrubbed,
+    # changed 'cast' stays
+    update_doc2 = {"id": "1", "points": 100, "cast": ["Jack"]}
+    del_doc2 = dict(update_doc2)
+    scrub_reindex_doc(update_doc2, del_doc2, old_doc, schema)
+    assert del_doc2 == {"id": "1", "cast": ["Jack"]}
+
+    # keys not in the search schema always survive
+    update_doc3 = {"id": "1", "title": "The Lawyer", "foo": "Bar"}
+    del_doc3 = dict(update_doc3)
+    scrub_reindex_doc(update_doc3, del_doc3, old_doc, schema)
+    assert del_doc3 == {"id": "1", "title": "The Lawyer", "foo": "Bar"}

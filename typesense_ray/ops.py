@@ -504,6 +504,56 @@ def delete_by_filter(index_dir: str, filter_by: str = "",
     return stats
 
 
+def scrub_reindex_doc(update_doc: dict, del_doc: dict, old_doc: dict,
+                      schema) -> None:
+    """Field-level update scrub — ``Index::scrub_reindex_doc``
+    (``src/index.cpp:354-427``, tested by
+    ``test/index_test.cpp`` IndexTest.ScrubReindexDoc): for every key in
+    ``del_doc`` that names a declared schema field, compare the update
+    value with the old value — string/string[] fields on their TOKENIZED
+    forms (``Index::tokenize_doc_field``, ``src/index.cpp:2193-2206``),
+    scalars/arrays element-wise — and erase matching fields from BOTH
+    ``del_doc`` and ``update_doc`` so an upsert neither un-indexes nor
+    reindexes unchanged fields. Keys outside the schema (``id``, ad-hoc
+    keys) always survive. Mutates both dicts in place, like the
+    reference.
+
+    The segment-based :func:`upsert_documents` path makes this decision
+    per whole DOC (immutable segments can't drop a single field), so this
+    helper is the reference-parity primitive for callers that maintain
+    their own field-level stores.
+    """
+    from typesense_ray.tokenizer import tokenize
+
+    by_name = {f.name: f for f in schema}
+    _MISS = object()
+
+    def _vals(doc: dict, spec) -> object:
+        v = doc.get(spec.name, _MISS)
+        if v is _MISS:
+            return _MISS
+        if spec.type == "string":
+            return tokenize(v, keep_empty=True)
+        if spec.type == "string[]":
+            out: list[str] = []
+            for el in v:
+                out.extend(tokenize(el, keep_empty=True))
+            return out
+        return v if isinstance(v, list) else [v]
+
+    del_keys = []
+    for name in del_doc:
+        spec = by_name.get(name)
+        if spec is None:
+            continue
+        new_v = _vals(update_doc, spec)
+        if new_v is not _MISS and new_v == _vals(old_doc, spec):
+            del_keys.append(name)
+    for k in del_keys:
+        del_doc.pop(k, None)
+        update_doc.pop(k, None)
+
+
 def upsert_documents(source, index_dir: str, *,
                      concurrency: int | None = None) -> dict:
     """Upsert a delta of documents into an existing index: docs whose

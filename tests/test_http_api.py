@@ -242,6 +242,15 @@ def test_override_routes(api):
     out, _ = req(api, "PUT", "/collections/movies/overrides/bad",
                  json.dumps({"includes": []}), expect=400)
     assert json.loads(out)["message"] == "Bad JSON."
+    # outer shape valid but an include entry is malformed (missing id /
+    # non-integer position): a 400, never an unhandled exception
+    for bad_inc in ([{"position": 1}], [{"id": "3"}],
+                    [{"id": "3", "position": "x"}], ["3"]):
+        out, _ = req(
+            api, "PUT", "/collections/movies/overrides/bad",
+            json.dumps({"rule": {"query": "wind", "match": "exact"},
+                        "includes": bad_inc}), expect=400)
+        assert json.loads(out)["message"] == "Bad JSON."
     jreq(api, "DELETE", "/collections/movies/overrides/wind-rule")
     req(api, "GET", "/collections/movies/overrides/wind-rule", expect=404)
     r = jreq(api, "GET", "/collections/movies/documents/search"

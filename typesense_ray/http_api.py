@@ -612,10 +612,18 @@ class ApiServer:
                 or ("includes" not in req and "excludes" not in req)):
             _bad_request("Bad JSON.")
         req["id"] = params["id"]
-        includes = [(doc_id_from_key(str(inc["id"])), int(inc["position"]))
-                    for inc in req.get("includes", [])]
-        excludes = [doc_id_from_key(str(exc["id"]))
-                    for exc in req.get("excludes", [])]
+        # the reference validates only the OUTER shape (core_api.cpp:
+        # 1144-1152) and lets override_t's json .get<>() throw on a
+        # malformed include/exclude entry; here that maps to the same
+        # "Bad JSON." 400 instead of an unhandled exception
+        try:
+            includes = [(doc_id_from_key(str(inc["id"])),
+                         int(inc["position"]))
+                        for inc in req.get("includes", [])]
+            excludes = [doc_id_from_key(str(exc["id"]))
+                        for exc in req.get("excludes", [])]
+        except (KeyError, TypeError, ValueError):
+            _bad_request("Bad JSON.")
         coll.add_override(Override(
             rule_id=params["id"], rule_query=req["rule"]["query"],
             match=req["rule"]["match"], includes=includes,

@@ -187,6 +187,14 @@ def test_search_endpoint(api):
                  expect=400)
     assert json.loads(out)["message"] == (
         "Parameter `num_typos` must be an unsigned integer.")
+    # uint32 overflow is NOT a valid uint (StringUtils::is_uint32_t,
+    # StringUtilsTest.UInt32Validation: 32-digit number → false)
+    out, _ = req(api, "GET", "/collections/movies/documents/search"
+                             "?q=shadow&query_by=title"
+                             "&per_page=99999999999999999999999999999999",
+                 expect=400)
+    assert json.loads(out)["message"] == (
+        "Parameter `per_page` must be an unsigned integer.")
     # >2 sort fields rejected at the HTTP layer (core_api.cpp:475-478)
     out, _ = req(api, "GET", "/collections/movies/documents/search"
                              "?q=shadow&query_by=title"

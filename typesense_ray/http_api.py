@@ -138,8 +138,10 @@ def route_action(http_method: str, path_parts: list[str]) -> str:
 
 
 def _is_uint(s: str) -> bool:
-    """``StringUtils::is_uint32_t`` role: digits only, no sign."""
-    return bool(s) and s.isdigit()
+    """``StringUtils::is_uint32_t`` (include/string_utils.h:182-190,
+    StringUtilsTest.UInt32Validation): digits only, no sign, and the
+    value must fit in uint32 (strtoul overflow → ULONG_MAX → reject)."""
+    return bool(s) and s.isdigit() and int(s) <= 0xFFFFFFFF
 
 
 def _message(status: int, text: str) -> tuple[int, str]:

@@ -470,3 +470,51 @@ def test_stdlib_server_no_cors_by_default(api):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_fuzz_handle_never_raises(api):
+    """Robustness fuzz over the whole route surface: for ANY request —
+    malformed JSON bodies, wrong-shaped params, overflow numbers, odd
+    paths — ``handle()`` must return a well-formed (status, body, ctype)
+    triple, never raise into the socket thread (the axis that caught the
+    malformed-override KeyError). Seeded via GRAFT_HTTP_FUZZ_SEED."""
+    import os
+    import random
+
+    rng = random.Random(int(os.environ.get("GRAFT_HTTP_FUZZ_SEED", "4242")))
+    from typesense_ray.http_api import ROUTES
+
+    bodies = [
+        "", "null", "[]", "42", '"str"', "{", "{}",
+        '{"id": 7}', '{"rule": {}}', '{"rule": {"query": 1, "match": 2}}',
+        '{"includes": [42]}', '{"synonyms": "nope"}',
+        '{"collection_name": 9}', '{"actions": "x"}',
+        '{"name": 1, "fields": {}, "default_sorting_field": 3}',
+        '{"fields": [{"name": 1}], "name": "x", '
+        '"default_sorting_field": ""}',
+        json.dumps({"title": 3, "points": "x"}),
+    ]
+    segments = ["movies", "nope", "bad%20name", "..", "42",
+                "99999999999999999999999999999999", "-1", ""]
+    qvals = ["", "*", "x", "true", "all", "-5", "1e9", ",", ":", "a:b:c",
+             "99999999999999999999999999999999", "points:desc,x",
+             "title,points", "[\"x\"]", "points: >abc", "tags: [a,"]
+    qkeys = ["q", "query_by", "filter_by", "sort_by", "facet_by",
+             "facet_query", "per_page", "page", "max_hits", "num_typos",
+             "prefix", "group_by", "group_limit", "pinned_hits",
+             "hidden_hits", "include_fields", "callback", "action",
+             "batch_size", "query_by_weights", "snapshot_path"]
+    for _ in range(400):
+        method, pattern, _h = rng.choice(ROUTES)
+        path = "/".join(
+            rng.choice(segments) if p.startswith(":") else p
+            for p in pattern.strip("/").split("/")
+        )
+        qs = "&".join(
+            f"{rng.choice(qkeys)}={rng.choice(qvals)}"
+            for _ in range(rng.randrange(4))
+        )
+        url = "/" + path + ("?" + qs if qs else "")
+        status, out, ctype = api.handle(method, url, rng.choice(bodies))
+        assert isinstance(status, int) and 200 <= status < 600, (method, url)
+        assert isinstance(out, str) and isinstance(ctype, str)

@@ -195,6 +195,15 @@ def test_search_endpoint(api):
                  expect=400)
     assert json.loads(out)["message"] == (
         "Parameter `per_page` must be an unsigned integer.")
+    # non-ASCII digits are rejected like strtoul would (isdigit() alone
+    # accepts '４２' and int() raises on '²' — both must be the clean
+    # parameter message, not a leaked Python error)
+    for nonascii in ("４２", "²"):
+        out, _ = req(api, "GET", "/collections/movies/documents/search"
+                                 f"?q=shadow&query_by=title"
+                                 f"&per_page={nonascii}", expect=400)
+        assert json.loads(out)["message"] == (
+            "Parameter `per_page` must be an unsigned integer.")
     # >2 sort fields rejected at the HTTP layer (core_api.cpp:475-478)
     out, _ = req(api, "GET", "/collections/movies/documents/search"
                              "?q=shadow&query_by=title"
@@ -340,6 +349,14 @@ def test_ops_endpoints(api, tmp_path):
     out, _ = req(api, "POST", "/operations/snapshot", expect=400)
     assert json.loads(out)["message"] == (
         "Parameter `snapshot_path` is required.")
+    # empty / unwritable paths are a clean 400, never an OSError into
+    # the socket thread
+    for bad in ("", "/proc/nope/snap"):
+        out, _ = req(api, "POST",
+                     f"/operations/snapshot?snapshot_path={bad}",
+                     expect=400)
+        assert json.loads(out)["message"] == (
+            "Parameter `snapshot_path` is not a writable directory path.")
 
 
 def test_auth_matrix(ray_session, tmp_path):
@@ -472,14 +489,18 @@ def test_stdlib_server_no_cors_by_default(api):
         httpd.server_close()
 
 
-def test_fuzz_handle_never_raises(api):
+def test_fuzz_handle_never_raises(api, tmp_path, monkeypatch):
     """Robustness fuzz over the whole route surface: for ANY request —
     malformed JSON bodies, wrong-shaped params, overflow numbers, odd
     paths — ``handle()`` must return a well-formed (status, body, ctype)
     triple, never raise into the socket thread (the axis that caught the
-    malformed-override KeyError). Seeded via GRAFT_HTTP_FUZZ_SEED."""
+    malformed-override KeyError and the post_snapshot OSError). Seeded
+    via GRAFT_HTTP_FUZZ_SEED. Runs chdir'd into tmp_path so relative
+    snapshot_path values never litter the checkout."""
     import os
     import random
+
+    monkeypatch.chdir(tmp_path)
 
     rng = random.Random(int(os.environ.get("GRAFT_HTTP_FUZZ_SEED", "4242")))
     from typesense_ray.http_api import ROUTES

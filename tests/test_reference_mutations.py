@@ -752,3 +752,11 @@ def test_scrub_reindex_doc():
     del_doc3 = dict(update_doc3)
     scrub_reindex_doc(update_doc3, del_doc3, old_doc, schema)
     assert del_doc3 == {"id": "1", "title": "The Lawyer", "foo": "Bar"}
+
+    # nlohmann equality is type-sensitive for bools: movie 1 vs True is
+    # a CHANGE (not scrubbed), while int-vs-float numeric equality is a
+    # match
+    update_doc4 = {"id": "1", "movie": 1, "points": 100.0}
+    del_doc4 = dict(update_doc4)
+    scrub_reindex_doc(update_doc4, del_doc4, old_doc, schema)
+    assert del_doc4 == {"id": "1", "movie": 1}

@@ -139,9 +139,10 @@ def route_action(http_method: str, path_parts: list[str]) -> str:
 
 def _is_uint(s: str) -> bool:
     """``StringUtils::is_uint32_t`` (include/string_utils.h:182-190,
-    StringUtilsTest.UInt32Validation): digits only, no sign, and the
+    StringUtilsTest.UInt32Validation): ASCII digits only, no sign
+    (strtoul never consumes non-ASCII digits like '４２'), and the
     value must fit in uint32 (strtoul overflow → ULONG_MAX → reject)."""
-    return bool(s) and s.isdigit() and int(s) <= 0xFFFFFFFF
+    return bool(s) and s.isascii() and s.isdigit() and int(s) <= 0xFFFFFFFF
 
 
 def _message(status: int, text: str) -> tuple[int, str]:
@@ -749,8 +750,15 @@ class ApiServer:
             _bad_request("Parameter `snapshot_path` is required.")
         import os
 
-        os.makedirs(params["snapshot_path"], exist_ok=True)
-        self.registry.save(params["snapshot_path"])
+        # an empty or unwritable path must be a clean 400, not an OSError
+        # escaping into the socket thread (the reference's Raft snapshot
+        # op likewise surfaces a failure response, src/raft_server.cpp)
+        try:
+            os.makedirs(params["snapshot_path"], exist_ok=True)
+            self.registry.save(params["snapshot_path"])
+        except OSError:
+            _bad_request("Parameter `snapshot_path` is not a writable "
+                         "directory path.")
         return _json_ok(201, {"success": True})
 
 

@@ -541,14 +541,24 @@ def scrub_reindex_doc(update_doc: dict, del_doc: dict, old_doc: dict,
             return out
         return v if isinstance(v, list) else [v]
 
+    def _json_eq(a: list, b: list) -> bool:
+        # nlohmann::json equality: bool vs number is UNEQUAL (True != 1),
+        # while cross-numeric-type compares by value (1 == 1.0)
+        return len(a) == len(b) and all(
+            isinstance(x, bool) == isinstance(y, bool) and x == y
+            for x, y in zip(a, b)
+        )
+
     del_keys = []
     for name in del_doc:
         spec = by_name.get(name)
         if spec is None:
             continue
         new_v = _vals(update_doc, spec)
-        if new_v is not _MISS and new_v == _vals(old_doc, spec):
-            del_keys.append(name)
+        if new_v is not _MISS:
+            old_v = _vals(old_doc, spec)
+            if old_v is not _MISS and _json_eq(new_v, old_v):
+                del_keys.append(name)
     for k in del_keys:
         del_doc.pop(k, None)
         update_doc.pop(k, None)

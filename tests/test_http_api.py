@@ -357,6 +357,14 @@ def test_ops_endpoints(api, tmp_path):
                      expect=400)
         assert json.loads(out)["message"] == (
             "Parameter `snapshot_path` is not a writable directory path.")
+    # a non-string key `value` is rejected at validation — it must not
+    # poison the key store (listing and scoped-key walks would TypeError)
+    out, _ = req(api, "POST", "/keys",
+                 json.dumps({"value": 123, "description": "x",
+                             "actions": ["*"], "collections": ["*"]}),
+                 expect=400)
+    assert json.loads(out)["message"] == (
+        "Wrong format for `value`. It should be a string.")
 
 
 def test_auth_matrix(ray_session, tmp_path):

@@ -413,3 +413,37 @@ def test_scoped_key_search_integration(ray_session, tmp_path):
     # the scoped key cannot reach another collection
     assert not am.authenticate(scoped, "documents:search", "other_coll",
                                {})
+
+
+def test_crafted_scoped_key_with_non_ascii_digest_is_rejected():
+    """A tampered scoped key whose digest bytes are non-ASCII must be a
+    clean auth failure — hmac.compare_digest raises TypeError on
+    non-ASCII str operands, which must never escape into the request
+    thread."""
+    import base64
+
+    am = AuthManager()
+    parent = am.create_key(ApiKey(
+        "KeyValKeyValKeyValKeyValKeyVal12", "search only",
+        ["documents:search"], ["*"]))
+    real = generate_scoped_key("KeyValKeyValKeyValKeyValKeyVal12",
+                               {"filter_by": "user_id:1080"})
+    payload = base64.b64decode(real).decode()
+    forged = base64.b64encode(
+        ("é" * 44 + payload[44:]).encode()).decode()
+    assert not am.authenticate(forged, "documents:search", "any", {})
+    assert parent.id == 0
+
+
+def test_create_key_rejects_non_string_value():
+    """Beyond the reference (which ignores client values entirely): an
+    explicit non-string `value` must 400 at validation, not poison the
+    key store with TypeErrors."""
+    import pytest
+
+    from typesense_ray.errors import DocumentError
+
+    with pytest.raises(DocumentError) as ei:
+        ApiKey.validate({"value": 123, "description": "x",
+                         "actions": ["*"], "collections": ["*"]})
+    assert str(ei.value) == "Wrong format for `value`. It should be a string."

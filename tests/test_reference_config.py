@@ -201,3 +201,30 @@ def test_flag_enable_cors_only_sets_true(tmp_path):
     assert cfg.enable_cors is True
     cfg.load_cmd_args({"enable-cors": True})
     assert cfg.enable_cors is True
+
+
+def test_malformed_ini_values_fall_back_to_hardcoded_defaults(tmp_path):
+    """INIReader::GetInteger/GetReal/GetBoolean (include/INIReader.h:
+    397-432) fall back to the HARDCODED defaults — not the earlier
+    layer's value — when a present key's value fails the strtol/strtod
+    prefix parse; partial prefixes keep the consumed digits and base-0
+    hex/octal parse like strtol."""
+    p = tmp_path / "bad.ini"
+    p.write_text("[server]\n"
+                 "api-port = abc\n"
+                 "peering-port = 12xyz\n"
+                 "snapshot-interval-seconds = 0x10\n"
+                 "catch-up-threshold-percentage = 010\n"
+                 "max-memory-ratio = banana\n"
+                 "enable-cors = banana\n")
+    cfg = ServerConfig()
+    cfg.load_env({"TYPESENSE_API_PORT": "9999"})
+    assert cfg.api_port == 9999
+    cfg.load_file(str(p))
+    assert cfg.config_file_validity == 1
+    assert cfg.api_port == 8108            # malformed -> hardcoded default
+    assert cfg.peering_port == 12          # strtol partial prefix
+    assert cfg.snapshot_interval_seconds == 16   # 0x10, strtol base 0
+    assert cfg.catch_up_threshold_percentage == 8  # 010 octal
+    assert cfg.max_memory_ratio == 1.0
+    assert cfg.enable_cors is False

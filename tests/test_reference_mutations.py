@@ -760,3 +760,61 @@ def test_scrub_reindex_doc():
     del_doc4 = dict(update_doc4)
     scrub_reindex_doc(update_doc4, del_doc4, old_doc, schema)
     assert del_doc4 == {"id": "1", "movie": 1}
+
+
+def test_int64_overflow_is_a_per_record_error(reg):
+    """An int beyond int64 must fail validation per-record (the
+    reference's nlohmann parser stores it as double, failing
+    is_number_integer) — never OverflowError inside the Arrow commit,
+    which would lose every other staged doc in the batch."""
+    coll = reg.create_collection(
+        "big", [FieldSpec("title", "string"),
+                FieldSpec("n", "int64")], None)
+    summary, results = coll.add_many([
+        {"title": "ok", "n": 2**63 - 1},
+        {"title": "too big", "n": 2**63},
+        {"title": "too small", "n": -(2**63) - 1},
+    ])
+    assert summary == {"success": False, "num_imported": 1}
+    assert results[0]["success"] is True
+    assert results[1]["success"] is False and results[1]["code"] == 400
+    assert results[1]["error"] == "Field `n` must be an int64."
+    assert results[2]["success"] is False
+    assert coll.num_documents == 1
+
+
+def test_unserializable_record_is_a_per_record_error(reg):
+    """A dict record that json.dumps cannot serialize must produce a
+    per-record failure, not a TypeError aborting the whole add_many
+    batch before any result is built."""
+    coll = reg.create_collection(
+        "rawbytes", [FieldSpec("title", "string")], None)
+    summary, results = coll.add_many([
+        {"title": "fine"},
+        {"title": b"bytes are not json"},
+    ])
+    assert summary["num_imported"] == 1
+    assert results[0] == {"success": True}
+    assert results[1]["success"] is False and results[1]["code"] == 400
+    assert coll.num_documents == 1
+
+
+def test_auto_id_sequence_survives_stale_registry_snapshot(reg, tmp_path):
+    """_next_seq persists with the INDEX at every commit (next_seq.json),
+    so reloading from a registry snapshot older than the last commit
+    must not rewind the sequence and overwrite documents whose auto ids
+    were consumed after the snapshot."""
+    from typesense_ray.manager import ManagedCollection
+
+    coll = reg.create_collection(
+        "seq", [FieldSpec("title", "string")], None)
+    coll.add_many([{"title": f"doc {i}"} for i in range(3)])  # ids 0..2
+    stale_next_seq = 1  # pretend the registry snapshot predates 2 adds
+
+    fresh = ManagedCollection("seq", coll.index_dir, coll.fields, None)
+    fresh._next_seq = max(stale_next_seq, fresh._next_seq)  # load path
+    assert fresh._next_seq == 3  # sidecar wins over the stale snapshot
+    doc = fresh.add({"title": "new"})
+    assert doc["id"] == "3"
+    assert fresh.num_documents == 4
+    assert fresh.get("0")["title"] == "doc 0"  # nothing overwritten

@@ -57,7 +57,7 @@ import os
 import re
 import time
 
-from typesense_ray.manager import DocumentError
+from typesense_ray.errors import DocumentError
 
 FAR_FUTURE_TIMESTAMP = 64723363199  # year 4020 (include/auth_manager.h:19)
 PREFIX_LEN = 4
@@ -145,6 +145,14 @@ class ApiKey:
                 raise DocumentError(
                     400, "Wrong format for `expires_at`. It should be an "
                          "unsigned integer.")
+        # beyond the reference (which ignores client-supplied values and
+        # always generates the key server-side, src/core_api.cpp
+        # post_create_key): this port honors an explicit `value`, so it
+        # must be a string — a numeric value would poison key listing
+        # and scoped-key candidate walks with TypeErrors
+        if "value" in key_obj and not isinstance(key_obj["value"], str):
+            raise DocumentError(
+                400, "Wrong format for `value`. It should be a string.")
 
 
 class AuthManager:
@@ -284,8 +292,12 @@ class AuthManager:
             if not self.auth_against_key(collection, action, api_key,
                                          search_only=True):
                 raise forbidden
-            if not _hmac.compare_digest(hmac_b64(value, custom_params),
-                                        digest):
+            # compare as BYTES: compare_digest raises TypeError on
+            # non-ASCII str input, and a crafted key with a non-ASCII
+            # digest must be a clean 403, not a request-thread crash
+            if not _hmac.compare_digest(
+                    hmac_b64(value, custom_params).encode(),
+                    digest.encode()):
                 continue
             try:
                 embedded = json.loads(custom_params)

@@ -2230,7 +2230,11 @@ class CollectionRegistry:
                     c["default_sorting_field"] or None,
                     created_at=c.get("created_at", 0),
                 )
-                coll._next_seq = int(c.get("next_seq", 0))
+                # never rewind past the per-commit sidecar the
+                # constructor restored — a stale registry snapshot must
+                # not recycle auto ids consumed after it was written
+                coll._next_seq = max(int(c.get("next_seq", 0)),
+                                     coll._next_seq)
                 coll.synonyms = syn
                 coll.overrides = ovs
                 reg.register(name, coll)

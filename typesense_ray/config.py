@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import configparser
 import os
+import re
 from dataclasses import dataclass, field
 
 # option name → (attribute, type). The listen-* names are the
@@ -57,6 +58,58 @@ _INT_OPTS = {
     "catch-up-threshold-percentage": "catch_up_threshold_percentage",
 }
 _FLOAT_OPTS = {"max-memory-ratio": "max_memory_ratio"}
+
+# the reference's INIReader falls back to these HARDCODED defaults when
+# a present key's value fails strtol/strtod parsing (include/config.h:
+# 288-320, include/INIReader.h:397-432) — NOT to the earlier layer's
+# value
+_INI_DEFAULTS = {
+    "listen-port": 8108, "api-port": 8108, "peering-port": 8107,
+    "snapshot-interval-seconds": 3600,
+    "catch-up-threshold-percentage": 95,
+    "max-memory-ratio": 1.0,
+}
+
+_INT_PREFIX = re.compile(r"\s*([+-]?)(0[xX][0-9a-fA-F]+|[0-9]+)")
+_FLOAT_PREFIX = re.compile(
+    r"\s*[+-]?(\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)")
+
+
+def _ini_int(s: str, default: int) -> int:
+    """``INIReader::GetInteger`` — ``strtol(value, &end, 0)`` prefix
+    parse (decimal / 0x hex / leading-0 octal, partial parses keep the
+    consumed prefix); no digits consumed → the hardcoded default."""
+    m = _INT_PREFIX.match(s)
+    if not m:
+        return default
+    sign, digits = m.groups()
+    if digits[:2].lower() == "0x":
+        val = int(digits, 16)
+    elif digits.startswith("0") and len(digits) > 1:
+        val = int(re.match(r"0[0-7]*", digits).group(), 8)
+    else:
+        val = int(digits, 10)
+    return -val if sign == "-" else val
+
+
+def _ini_float(s: str, default: float) -> float:
+    """``INIReader::GetReal`` — ``strtod`` prefix parse; no conversion →
+    the hardcoded default."""
+    m = _FLOAT_PREFIX.match(s)
+    if not m:
+        return default
+    return float(m.group())
+
+
+def _ini_bool(s: str, default: bool) -> bool:
+    """``INIReader::GetBoolean`` — case-insensitive true/yes/on/1 vs
+    false/no/off/0; anything else → the hardcoded default."""
+    v = s.strip().lower()
+    if v in ("true", "yes", "on", "1"):
+        return True
+    if v in ("false", "no", "off", "0"):
+        return False
+    return default
 
 
 @dataclass
@@ -147,12 +200,14 @@ class ServerConfig:
                 setattr(self, attr, sec.get(key))
         for key, attr in _INT_OPTS.items():
             if key in sec:
-                setattr(self, attr, sec.getint(key))
+                setattr(self, attr,
+                        _ini_int(sec.get(key), _INI_DEFAULTS[key]))
         for key, attr in _FLOAT_OPTS.items():
             if key in sec:
-                setattr(self, attr, sec.getfloat(key))
+                setattr(self, attr,
+                        _ini_float(sec.get(key), _INI_DEFAULTS[key]))
         if "enable-cors" in sec:
-            self.enable_cors = sec.getboolean("enable-cors")
+            self.enable_cors = _ini_bool(sec.get("enable-cors"), False)
 
     # -- layer 3: command line (include/config.h:324-401) ---------------
 

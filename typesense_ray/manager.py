@@ -62,12 +62,10 @@ def _arrow_type(ftype: str) -> pa.DataType:
     return _ARROW_TYPES[ftype]
 
 
-class DocumentError(ValueError):
-    """A per-document failure carrying the reference's HTTP-ish code."""
-
-    def __init__(self, code: int, message: str):
-        super().__init__(message)
-        self.code = code
+# re-exported for compatibility; defined dependency-free in errors.py so
+# the stdlib-only auth/config layers need not import this module's
+# numpy/pyarrow stack
+from typesense_ray.errors import DocumentError  # noqa: E402,F401
 
 
 def prune_document(doc: dict, include=(), exclude=()) -> dict:
@@ -124,7 +122,18 @@ class ManagedCollection:
         self.default_sorting_field = default_sorting_field
         self.created_at = int(created_at)
         self.collection_id: int | None = None  # set by the registry
+        # the next auto-id sequence slot. Persisted alongside the INDEX
+        # on every commit (next_seq.json) — the registry snapshot alone
+        # is only written on explicit save(), so restarting from a stale
+        # snapshot must not rewind the sequence and silently overwrite
+        # docs whose auto ids were consumed after the snapshot (the
+        # reference derives next_seq from the durable store itself,
+        # src/collection.cpp:133)
         self._next_seq = 0
+        seq_fp = os.path.join(index_dir, "next_seq.json")
+        if os.path.exists(seq_fp):
+            with open(seq_fp) as f:
+                self._next_seq = int(json.load(f)["next_seq"])
         self._searcher = None
         from typesense_ray.collection import SynonymIndex
 
@@ -338,7 +347,9 @@ class ManagedCollection:
         staged: dict[str, dict] = {}
         num_ok = 0
         for r in records:
-            raw = r if isinstance(r, str) else json.dumps(r)
+            # default=repr: one non-JSON-serializable dict must yield a
+            # per-record error, not a TypeError aborting the whole batch
+            raw = r if isinstance(r, str) else json.dumps(r, default=repr)
             try:
                 doc, doc_id, is_new = self._to_doc(
                     r, action, id_param, stored, staged
@@ -449,6 +460,8 @@ class ManagedCollection:
                         concurrency=2)
         else:
             upsert_documents(rd.from_arrow(tbl), self.index_dir)
+        with open(os.path.join(self.index_dir, "next_seq.json"), "w") as f:
+            json.dump({"next_seq": self._next_seq}, f)
         self._searcher = None
 
     # -- search (declared-schema-aware validation, then delegate) -------

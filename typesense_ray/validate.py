@@ -53,7 +53,12 @@ _SCALAR_OK = {
     "string": lambda v: isinstance(v, str),
     "int32": lambda v: isinstance(v, int) and not isinstance(v, bool)
     and -(2**31) <= v < 2**31,
-    "int64": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    # int64 is range-bounded like int32: a Python int beyond int64 would
+    # pass an unbounded check and then OverflowError inside pa.array()
+    # mid-commit (the reference's nlohmann parser stores such numbers as
+    # double, failing is_number_integer the same way)
+    "int64": lambda v: isinstance(v, int) and not isinstance(v, bool)
+    and -(2**63) <= v < 2**63,
     "float": lambda v: isinstance(v, (int, float)) and not isinstance(v, bool),
     "bool": lambda v: isinstance(v, bool),
 }

@@ -547,3 +547,106 @@ def test_fuzz_handle_never_raises(api, tmp_path, monkeypatch):
         status, out, ctype = api.handle(method, url, rng.choice(bodies))
         assert isinstance(status, int) and 200 <= status < 600, (method, url)
         assert isinstance(out, str) and isinstance(ctype, str)
+
+
+def test_override_non_string_rule_is_rejected(api):
+    # a non-string rule.query would 200 and then poison every
+    # subsequent search (Override.matches tokenizes the query)
+    out, _ = req(api, "PUT", "/collections/movies/overrides/bad",
+                 json.dumps({"rule": {"query": 123, "match": "exact"},
+                             "excludes": [{"id": "1"}]}), expect=400)
+    assert json.loads(out)["message"] == "Bad JSON."
+    r = jreq(api, "GET", "/collections/movies/documents/search"
+                         "?q=shadow&query_by=title")
+    assert r["found"] == 2  # searches unaffected
+
+
+def test_drop_collection_via_alias_drops_target(api):
+    jreq(api, "PUT", "/aliases/films",
+         json.dumps({"collection_name": "movies"}))
+    dropped = jreq(api, "DELETE", "/collections/films")
+    assert dropped["name"] == "movies"
+    req(api, "GET", "/collections/movies", expect=404)
+
+
+def test_create_collection_non_string_name(api):
+    out, _ = req(api, "POST", "/collections",
+                 json.dumps({"name": {}, "fields": [
+                     {"name": "t", "type": "string"}],
+                     "default_sorting_field": ""}), expect=400)
+    assert json.loads(out)["message"] == "Bad JSON."
+
+
+def test_key_value_longer_than_key_len_rejected(api):
+    out, _ = req(api, "POST", "/keys",
+                 json.dumps({"value": "k" * 40, "description": "x",
+                             "actions": ["*"], "collections": ["*"]}),
+                 expect=400)
+    assert json.loads(out)["message"] == (
+        "Wrong format for `value`. It should be a string of at most "
+        "32 characters.")
+
+
+def test_managed_synonym_mutators_invalidate_read_view(api):
+    coll = api.registry.get_collection("movies")
+    r = coll.search("breeze", mode="reference", query_by=["title"])
+    assert r["found"] == 0
+    coll.add_synonym_json({"id": "s1", "synonyms": ["breeze", "wind"]})
+    r = coll.search("breeze", mode="reference", query_by=["title"])
+    assert r["found"] == 2  # the two wind docs via the synonym
+    coll.remove_synonym("s1")
+    r = coll.search("breeze", mode="reference", query_by=["title"])
+    assert r["found"] == 0
+
+
+def test_socket_guards_and_concurrent_key_creation(api):
+    """serve()-level robustness: bad Content-Length and invalid UTF-8
+    get a 400 response (not a dropped connection), and concurrent
+    mutating requests are serialized (distinct key ids, intact store)."""
+    import http.client
+    import threading
+
+    srv = serve(api, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # invalid UTF-8 body
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.putrequest("POST", "/collections/movies/documents")
+        c.putheader("Content-Length", "4")
+        c.endheaders()
+        c.send(b"\xff\xfe\xfd\xfc")
+        resp = c.getresponse()
+        assert resp.status == 400
+        assert json.loads(resp.read()) == {"message": "Bad UTF-8."}
+        c.close()
+        # malformed Content-Length
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.putrequest("POST", "/health")
+        c.putheader("Content-Length", "abc")
+        c.endheaders()
+        resp = c.getresponse()
+        assert resp.status == 400
+        assert json.loads(resp.read()) == {"message": "Bad Content-Length."}
+        c.close()
+        # concurrent key creation: every id unique
+        import urllib.request
+
+        def make_key(i, out):
+            body = json.dumps({"description": f"k{i}", "actions": ["*"],
+                               "collections": ["*"]}).encode()
+            r = urllib.request.Request(
+                f"http://127.0.0.1:{port}/keys", data=body, method="POST")
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                out.append(json.loads(resp.read())["id"])
+
+        ids: list = []
+        threads = [threading.Thread(target=make_key, args=(i, ids))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert sorted(ids) == list(range(len(ids)))
+    finally:
+        srv.shutdown()

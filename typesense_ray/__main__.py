@@ -106,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
                    type=int, default=None)
 
     args = p.parse_args(argv)
-    _ensure_ray()
+    # serve validates its config BEFORE paying Ray's multi-second local
+    # startup — a bad --config must fail instantly; the data commands
+    # all need Ray up front
+    if args.cmd != "serve":
+        _ensure_ray()
 
     if args.cmd == "build":
         from typesense_ray.index_build import IndexConfig, build_index
@@ -190,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
             # validation errors are the reference's, verbatim
             print(err, file=sys.stderr)
             return 1
+        _ensure_ray()
         data_dir = cfg.data_dir
         manifest = os.path.join(data_dir, "registry.json")
         if os.path.exists(manifest):

@@ -153,6 +153,13 @@ class ApiKey:
         if "value" in key_obj and not isinstance(key_obj["value"], str):
             raise DocumentError(
                 400, "Wrong format for `value`. It should be a string.")
+        if "value" in key_obj and len(key_obj["value"]) > KEY_LEN:
+            # authenticate() treats anything longer than KEY_LEN as a
+            # scoped HMAC key, so a longer stored value could never
+            # authenticate — reject at creation instead
+            raise DocumentError(
+                400, f"Wrong format for `value`. It should be a string "
+                     f"of at most {KEY_LEN} characters.")
 
 
 class AuthManager:
@@ -223,6 +230,11 @@ class AuthManager:
         if key is None:
             raise DocumentError(404, "Not found.")
         return key.truncated() if truncate_value else key
+
+    def has_keys(self) -> bool:
+        """True when any key is configured — the facade's open-mode
+        check, without reaching into the private store."""
+        return bool(self._keys)
 
     def list_keys(self) -> list[ApiKey]:
         return [k.truncated()

@@ -2110,10 +2110,14 @@ class CollectionRegistry:
     def drop(self, name: str):
         """Drop a collection from the registry (the index dirs stay on
         disk; ``CollectionManager::drop_collection`` also deletes rows,
-        which here is the owner's rm -rf of the index_dir). The next
-        collection id is NOT reused, and symlinks survive — they may
-        dangle until the name is recreated
-        (CollectionManagerTest.DropCollectionCleanly)."""
+        which here is the owner's rm -rf of the index_dir). Resolves
+        aliases like ``get_collection`` does — the reference drops the
+        RESOLVED collection (core_api del_drop_collection fetches by
+        alias then drops ``collection->get_name()``), so dropping via an
+        alias must not be a silent no-op. The next collection id is NOT
+        reused, and symlinks survive — they may dangle until the name is
+        recreated (CollectionManagerTest.DropCollectionCleanly)."""
+        name = self._aliases.get(name, name)
         self._collections.pop(name, None)
         self._meta.pop(name, None)
 

@@ -52,7 +52,7 @@ import time
 from urllib.parse import parse_qsl, urlsplit
 
 from typesense_ray.auth import FAR_FUTURE_TIMESTAMP, ApiKey, AuthManager
-from typesense_ray.manager import DocumentError
+from typesense_ray.errors import DocumentError
 
 AUTH_HEADER = "x-typesense-api-key"  # include/http_server.h:163
 VERSION = "0.15.0"  # the reference snapshot's version string
@@ -185,6 +185,14 @@ class ApiServer:
         # monotonically increasing mutation sequence (GET /sequence — the
         # reference reports the store's latest seq number)
         self.seq_num = 0
+        # the reference serializes every handler on one h2o event loop;
+        # ThreadingHTTPServer is multi-threaded, so mutating handlers
+        # take this lock (key ids, seq_num, registry dicts, keys.json
+        # writes would otherwise race). GETs stay lock-free — searches
+        # snapshot their searcher reference up front.
+        import threading
+
+        self._write_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     # dispatch
@@ -222,7 +230,11 @@ class ApiServer:
         handler = getattr(self, handler_name)
         content_type = "application/json; charset=utf-8"
         try:
-            result = handler(params, body)
+            if method == "GET":
+                result = handler(params, body)
+            else:
+                with self._write_lock:
+                    result = handler(params, body)
         except _HandlerError as e:
             return e.status, e.body, content_type
         except DocumentError as e:
@@ -255,7 +267,7 @@ class ApiServer:
         ``auth_key_matches`` (collection_manager.cpp:259-274)."""
         if handler_name == "get_health":
             return True
-        if self.bootstrap_key is None and not self.auth._keys:
+        if self.bootstrap_key is None and not self.auth.has_keys():
             # no keys configured at all: open mode (test/dev), like
             # running the reference without --api-key enforcement
             return True
@@ -299,6 +311,11 @@ class ApiServer:
             _bad_request("Bad JSON.")
         if "name" not in req:
             _bad_request("Parameter `name` is required.")
+        if not isinstance(req["name"], str):
+            # the reference's .get<std::string>() would throw here; an
+            # unhashable name must not crash the registry lookup and a
+            # non-string hashable one would create an unroutable entry
+            _bad_request("Bad JSON.")
         if "fields" not in req:
             _bad_request("Parameter `fields` is required.")
         if "default_sorting_field" not in req:
@@ -339,6 +356,8 @@ class ApiServer:
     def del_drop_collection(self, params, body):
         coll = self._collection(params)
         summary = coll.get_summary_json()
+        # registry.drop resolves aliases like get_collection does, so a
+        # DELETE via an alias drops the target, never a silent no-op
         self.registry.drop_collection(params["collection"])
         self.seq_num += 1
         return _json_ok(200, summary)
@@ -608,10 +627,13 @@ class ApiServer:
 
         coll = self._collection(params)
         req = self._parse_json(body)
+        # query/match must be STRINGS, not merely present — a non-string
+        # rule would 200 here and then poison every subsequent search on
+        # the collection (Override.matches tokenizes the query)
         if (not isinstance(req, dict) or "rule" not in req
                 or not isinstance(req["rule"], dict)
-                or "query" not in req["rule"]
-                or "match" not in req["rule"]
+                or not isinstance(req["rule"].get("query"), str)
+                or not isinstance(req["rule"].get("match"), str)
                 or ("includes" not in req and "excludes" not in req)):
             _bad_request("Bad JSON.")
         req["id"] = params["id"]
@@ -668,10 +690,13 @@ class ApiServer:
             _bad_request("Bad JSON.")
         req["id"] = params["id"]
         try:
-            coll.synonyms.add_json(req)
+            if hasattr(coll, "add_synonym_json"):
+                coll.add_synonym_json(req)  # mutate + invalidate together
+            else:
+                coll.synonyms.add_json(req)
+                coll._searcher = None
         except ValueError as e:
             _bad_request(str(e))
-        coll._searcher = None  # synonym change invalidates the read view
         self.seq_num += 1
         return _json_ok(200, req)
 
@@ -679,8 +704,11 @@ class ApiServer:
         coll = self._collection(params)
         if coll.synonyms.get_synonym(params["id"]) is None:
             _not_found()
-        coll.synonyms.remove_synonym(params["id"])
-        coll._searcher = None
+        if hasattr(coll, "remove_synonym"):
+            coll.remove_synonym(params["id"])
+        else:
+            coll.synonyms.remove_synonym(params["id"])
+            coll._searcher = None
         self.seq_num += 1
         return _json_ok(200, {"id": params["id"]})
 
@@ -735,10 +763,13 @@ class ApiServer:
 
     def get_metrics_json(self, params, body):
         import resource
+        import sys
 
         usage = resource.getrusage(resource.RUSAGE_SELF)
+        # ru_maxrss is KiB on Linux but BYTES on macOS
+        rss_scale = 1 if sys.platform == "darwin" else 1024
         return _json_ok(200, {
-            "system_memory_used_bytes": usage.ru_maxrss * 1024,
+            "system_memory_used_bytes": usage.ru_maxrss * rss_scale,
             "uptime_seconds": int(time.time() - self.started_at),
         })
 
@@ -807,10 +838,31 @@ def serve(api: ApiServer, host: str = "127.0.0.1", port: int = 8108,
             self.wfile.write(payload)
 
         def _dispatch(self, method: str):
-            length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length).decode() if length else ""
-            status, out, ctype = api.handle(
-                method, self.path, body, dict(self.headers.items()))
+            # crafted requests must get an HTTP response, not a dropped
+            # connection: malformed/negative Content-Length → 400 (a
+            # negative read would block on the socket), invalid UTF-8 →
+            # 400, anything escaping handle() → a 500 envelope
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                length = -1
+            if length < 0:
+                self._send(400, b'{"message": "Bad Content-Length."}',
+                           "application/json; charset=utf-8")
+                return
+            try:
+                body = self.rfile.read(length).decode() if length else ""
+            except UnicodeDecodeError:
+                self._send(400, b'{"message": "Bad UTF-8."}',
+                           "application/json; charset=utf-8")
+                return
+            try:
+                status, out, ctype = api.handle(
+                    method, self.path, body, dict(self.headers.items()))
+            except Exception:
+                self._send(500, b'{"message": "Server error."}',
+                           "application/json; charset=utf-8")
+                return
             self._send(status, out.encode(), ctype)
 
         def do_GET(self):

@@ -518,6 +518,18 @@ class ManagedCollection:
     # src/collection.cpp:2120-2156; the cached searcher is dropped so
     # the next search sees the current override set) ------------------
 
+    def add_synonym_json(self, obj: dict) -> str:
+        """Upsert a synonym definition and invalidate the read view in
+        one step — library callers mutating ``self.synonyms`` directly
+        would keep serving a stale searcher with the old synonym set."""
+        sid = self.synonyms.add_json(obj)
+        self._searcher = None
+        return sid
+
+    def remove_synonym(self, syn_id: str) -> None:
+        self.synonyms.remove_synonym(syn_id)
+        self._searcher = None
+
     def add_override(self, ov) -> None:
         if ov.rule_id is not None:
             self.overrides[:] = [

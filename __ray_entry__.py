@@ -1484,6 +1484,37 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas().sort_values(["media_id"], ignore_index=True))
 
 
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """REAL audio pipeline, oracle-checkable end-to-end: per doc_id,
+    synthesize a deterministic on-FFT-bin sine WAV (SynthToneWav), run
+    the real AudioFeatures actor pool (stdlib wave decode + numpy-FFT
+    spectral peak), and emit the measured features. Because every tone
+    sits exactly on a bin, dominant_hz equals the synthesized frequency
+    bit-for-bit and DuckDB recomputes the whole expected table in
+    closed form from doc_id — a hash-matched oracle over a genuine
+    DSP pipeline (decode state per actor; payloads never leave the
+    stage)."""
+    import ray.data as rd
+
+    from typesense_ray.functions.multimodal import AudioFeatures, SynthToneWav
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(SynthToneWav(), batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            AudioFeatures(backend="real"),
+            batch_format="pyarrow", batch_size=256, concurrency=4,
+        )
+        .select_columns(
+            ["media_id", "sample_rate", "n_samples", "duration_s",
+             "dominant_hz"]
+        )
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["media_id"], ignore_index=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational aggregates over the TPC-H-ish tables (facet-stats machinery)
 # ---------------------------------------------------------------------------
@@ -2183,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
+        "audio_features": q_audio_features,
         "tpch_q1ish": q_tpch_q1ish,
         "tpch_q5ish": q_tpch_q5ish,
         "join_priority": q_join_priority,
@@ -3262,6 +3294,19 @@ SELECT doc_id AS media_id,
        CAST(16 + (strlen(text) * 7919) % 992 AS INTEGER) AS width,
        CAST(3 AS INTEGER) AS channels
 FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 64)
+ORDER BY media_id
+""",
+        # the real audio pipeline's closed-form expectation: SynthToneWav
+        # puts each tone exactly on an FFT bin (step = sr/n_samples = 2 Hz),
+        # so the measured dominant_hz equals the synthesized frequency and
+        # duration/sample counts are constants of the synthesizer
+        "audio_features": """
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(4000 AS BIGINT) AS n_samples,
+       CAST(0.5 AS DOUBLE) AS duration_s,
+       CAST(100.0 + 2.0 * (doc_id % 100) AS DOUBLE) AS dominant_hz
+FROM documents
 ORDER BY media_id
 """,
     }

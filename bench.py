@@ -305,6 +305,7 @@ def main() -> None:
         "synonym_search",
         "override_search",
         "facet_query_counts",
+        "audio_features",
     ]:
         if only and name not in only:
             continue

@@ -366,6 +366,51 @@ class AudioFeatures:
         return out.append_column("dominant_hz", pa.array(dom, pa.float64()))
 
 
+class SynthToneWav:
+    """doc_id → deterministic PCM WAV payload: a pure sine at
+    ``base_hz + step_hz * (doc_id % n_tones)`` Hz, chosen to land
+    EXACTLY on an FFT bin (``step_hz`` = sr / n_samples spacing), so
+    the real :class:`AudioFeatures` pipeline over these payloads has a
+    closed-form expected output (dominant_hz = the synthesized
+    frequency, bit-exact — ``np.fft.rfftfreq`` bins at this sr/N are
+    exact float64 integers). The benchmark/oracle source for the real
+    audio path; synthesis is per-row only at the stdlib ``wave``
+    writer (the sine itself is vectorized)."""
+
+    def __init__(self, sr: int = 8000, n_samples: int = 4000,
+                 amp: float = 0.5, base_hz: float = 100.0,
+                 n_tones: int = 100, id_col: str = "doc_id"):
+        self.sr = sr
+        self.n = n_samples
+        self.amp = amp
+        self.base = base_hz
+        self.n_tones = n_tones
+        self.id_col = id_col
+        self.step = sr / n_samples  # one FFT-bin spacing
+        self.t = np.arange(n_samples) / sr
+
+    def freq_of(self, doc_id: int) -> float:
+        return self.base + self.step * (doc_id % self.n_tones)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            f = self.freq_of(int(did))
+            payloads.append(
+                encode_wav(self.amp * np.sin(2 * np.pi * f * self.t), self.sr)
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "kind": pa.array(["audio"] * len(ids)),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "mime": pa.array(["audio/wav"] * len(ids)),
+                "meta_json": pa.array(["{}"] * len(ids)),
+            }
+        )
+
+
 def make_fake_media_table(n: int = 32, kind: str = "image", seed: int = 5) -> pa.Table:
     rng = np.random.default_rng(seed)
     payloads = [bytes(rng.integers(0, 256, int(rng.integers(64, 4096)), dtype=np.uint8)) for _ in range(n)]

@@ -1484,6 +1484,55 @@ def q_multimodal_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.to_pandas().sort_values(["media_id"], ignore_index=True))
 
 
+def q_image_decode_real(sf_dir: str) -> pa.Table:
+    """REAL image pipeline, oracle-checkable: per doc_id, encode an
+    actual 24-bit BMP whose dims derive from doc_id (content = a
+    deterministic gradient), push the payloads through the real BMP
+    decoder actor pool, and emit the measured (height, width,
+    channels). DuckDB recomputes the expected dims in closed form —
+    the hash compare proves the BMP bytes (stride padding, BGR,
+    bottom-up rows) round-trip through a genuine decoder at corpus
+    scale, not a length-derived fake."""
+    import ray.data as rd
+
+    from typesense_ray.functions.multimodal import ImageDecode, encode_bmp
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids:
+            h = 8 + int(did) % 32
+            w = 8 + (int(did) * 7) % 32
+            # cheap deterministic content: a row-index gradient
+            img = np.broadcast_to(
+                (np.arange(h, dtype=np.uint8) * 5)[:, None, None], (h, w, 3)
+            )
+            payloads.append(encode_bmp(np.ascontiguousarray(img)))
+        n = len(ids)
+        return pa.table(
+            {
+                "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "kind": pa.array(["image"] * n),
+                "payload": pa.array(payloads, pa.large_binary()),
+                "mime": pa.array(["image/bmp"] * n),
+                "meta_json": pa.array(["{}"] * n),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(synth, batch_format="pyarrow", batch_size=512)
+        .map_batches(
+            ImageDecode(backend="real"),
+            batch_format="pyarrow", batch_size=256, concurrency=4,
+        )
+        .select_columns(["media_id", "height", "width", "channels"])
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["media_id"], ignore_index=True)
+    )
+
+
 def q_audio_features(sf_dir: str) -> pa.Table:
     """REAL audio pipeline, oracle-checkable end-to-end: per doc_id,
     synthesize a deterministic on-FFT-bin sine WAV (SynthToneWav), run
@@ -2215,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         "audio_features": q_audio_features,
+        "image_decode_real": q_image_decode_real,
         "tpch_q1ish": q_tpch_q1ish,
         "tpch_q5ish": q_tpch_q5ish,
         "join_priority": q_join_priority,
@@ -3306,6 +3356,16 @@ SELECT doc_id AS media_id,
        CAST(4000 AS BIGINT) AS n_samples,
        CAST(0.5 AS DOUBLE) AS duration_s,
        CAST(100.0 + 2.0 * (doc_id % 100) AS DOUBLE) AS dominant_hz
+FROM documents
+ORDER BY media_id
+""",
+        # real BMP decode: the synthesizer's dims are closed-form in
+        # doc_id; a hash match proves the encoder→decoder byte round-trip
+        "image_decode_real": """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 32 AS INTEGER) AS height,
+       CAST(8 + (doc_id * 7) % 32 AS INTEGER) AS width,
+       CAST(3 AS INTEGER) AS channels
 FROM documents
 ORDER BY media_id
 """,

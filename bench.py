@@ -306,6 +306,7 @@ def main() -> None:
         "override_search",
         "facet_query_counts",
         "audio_features",
+        "image_decode_real",
     ]:
         if only and name not in only:
             continue

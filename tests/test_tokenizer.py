@@ -230,3 +230,20 @@ def test_normalized_slot_codes_property_ascii(texts):
     assert list(uniq[codes]) == toks
     assert unit_ix.tolist() == units
     assert pos.tolist() == poss
+
+
+def test_tokenize_iteratively_reference_vector():
+    """Ports TokenizerTest.ShouldTokenizeIteratively
+    (test/tokenizer_test.cpp:73-104): the keep_empty iteration emits an
+    EMPTY slot between consecutive newlines (position numbering skips
+    across blank segments). The case's second half (no_op=true verbatim
+    mode) is the reference's "don't tokenize" flag — trivially the
+    whole string as one token, with no analogue needed here (no caller
+    in this engine tokenizes in no-op mode)."""
+    from typesense_ray.tokenizer import tokenize
+
+    toks = tokenize(
+        "Michael Jordan:\n\nWelcome, everybody. Welcome!", keep_empty=True
+    )
+    assert toks == ["michael", "jordan", "", "welcome", "everybody",
+                    "welcome"]

@@ -240,3 +240,19 @@ def test_roundtrip_through_ray(ray_session):
         v = np.asarray(r["embedding"])
         assert v.shape == (16,)
         assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-4)
+
+
+def test_malformed_bmp_dims_rejected():
+    import struct
+
+    from typesense_ray.functions.multimodal import encode_bmp
+
+    raw = bytearray(encode_bmp(_img(4, 4)))
+    struct.pack_into("<i", raw, 18, -4)  # negative width
+    with pytest.raises(ValueError, match="malformed BMP dims"):
+        decode_image(bytes(raw))
+
+
+def test_non_wav_payload_is_value_error():
+    with pytest.raises(ValueError, match="not a PCM WAV"):
+        decode_wav(b"ID3\x04\x00\x00\x00\x00\x00\x00not-actually-audio")

@@ -88,6 +88,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         )
     flipped = h > 0  # positive height = bottom-up row order
     h = abs(h)
+    if w <= 0 or h == 0 or planes != 1:
+        raise ValueError(f"malformed BMP dims (w={w}, h={h}, planes={planes})")
     nb = bpp // 8
     stride = ((w * nb + 3) // 4) * 4  # rows pad to 4-byte boundaries
     need = data_off + stride * h
@@ -178,11 +180,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     (mono float64 samples in [-1, 1], sample_rate)."""
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        # uniform per-record error type across the decode stages (BMP/PPM
+        # raise ValueError); MP3/OGG payloads land here with a clear name
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
     if width == 2:
         x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned

@@ -256,3 +256,24 @@ def test_malformed_bmp_dims_rejected():
 def test_non_wav_payload_is_value_error():
     with pytest.raises(ValueError, match="not a PCM WAV"):
         decode_wav(b"ID3\x04\x00\x00\x00\x00\x00\x00not-actually-audio")
+
+
+def test_wav_fast_path_equals_wave_module():
+    # a WAV with an extra chunk between fmt and data takes the stdlib
+    # fallback; the canonical layout takes the numpy fast path — both
+    # must produce identical samples
+    sr = 8000
+    sine = 0.25 * np.sin(2 * np.pi * 100 * np.arange(800) / sr)
+    canonical = encode_wav(sine, sr)
+    x_fast, r_fast = decode_wav(canonical)
+    # splice a LIST chunk in front of the data chunk
+    hdr, data = canonical[:36], canonical[36:]
+    extra = b"LIST" + (8).to_bytes(4, "little") + b"INFOgap!"
+    import struct
+
+    riff_size = struct.unpack_from("<I", canonical, 4)[0] + len(extra)
+    noncanon = (b"RIFF" + struct.pack("<I", riff_size) + canonical[8:36]
+                + extra + data)
+    x_slow, r_slow = decode_wav(noncanon)
+    assert r_fast == r_slow == sr
+    assert np.array_equal(x_fast, x_slow)

@@ -277,3 +277,49 @@ def test_wav_fast_path_equals_wave_module():
     x_slow, r_slow = decode_wav(noncanon)
     assert r_fast == r_slow == sr
     assert np.array_equal(x_fast, x_slow)
+
+
+def test_image_near_dup_composition(ray_session):
+    """Composed multimodal × dedup pipeline, all real kernels: BMP
+    payloads → real decode + pooled-grid embeddings (actor pool) →
+    hyperplane-LSH cosine near-dup. Noisy copies of the same image are
+    found as near-duplicate pairs; structurally different images are
+    not. This is the 100 TB image-dedup shape end-to-end on real bytes."""
+    import ray.data as rd
+
+    from typesense_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(33)
+    n_base = 10
+    bases = [_img(24, 24, seed=100 + i) for i in range(n_base)]
+    rows, truth = [], set()
+    for i, im in enumerate(bases):
+        rows.append((i, im))
+        if i < 4:  # four images get a lightly-noised near-duplicate
+            noisy = np.clip(
+                im.astype(np.int16) + rng.integers(-4, 5, im.shape), 0, 255
+            ).astype(np.uint8)
+            rows.append((100 + i, noisy))
+            truth.add((i, 100 + i))
+    tbl = pa.table(
+        {"media_id": pa.array([r[0] for r in rows], pa.int64()),
+         "kind": pa.array(["image"] * len(rows)),
+         "payload": pa.array([encode_bmp(r[1]) for r in rows],
+                             pa.large_binary()),
+         "mime": pa.array(["image/bmp"] * len(rows)),
+         "meta_json": pa.array(["{}"] * len(rows))}
+    )
+    emb = rd.from_arrow(tbl).map_batches(
+        ImageEmbed(dim=64, backend="real"),
+        batch_format="pyarrow", batch_size=8, concurrency=2,
+    ).select_columns(["media_id", "embedding"])
+    pairs = embedding_dup_pairs(
+        emb, vec_col="embedding", id_col="media_id", threshold=0.9,
+        n_planes=8, seeds=[7, 11],
+    )
+    prows = pairs.take_all()
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in prows}
+    assert truth <= got, f"missed near-dup pairs: {truth - got}"
+    # no pair between two DIFFERENT base images
+    for a, b in got:
+        assert (a % 100) == (b % 100), f"false pair {(a, b)}"

@@ -323,3 +323,36 @@ def test_image_near_dup_composition(ray_session):
     # no pair between two DIFFERENT base images
     for a, b in got:
         assert (a % 100) == (b % 100), f"false pair {(a, b)}"
+
+
+# --- property tests over the real codecs ------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+@given(st.integers(1, 2000), st.sampled_from([8000, 16000, 44100]),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, sr, seed):
+    x = np.random.default_rng(seed).uniform(-1, 1, n)
+    got, rate = decode_wav(encode_wav(x, sr))
+    assert rate == sr and got.size == n
+    # exact roundtrip identity: encode quantizes rint(x*32767) (clipped
+    # to int16), decode divides by 32768
+    expect = np.clip(np.rint(x * 32767), -32768, 32767) / 32768.0
+    assert np.array_equal(got, expect)
